@@ -1,0 +1,317 @@
+"""On-device input pipeline: packed frame stores + jit'd window gather.
+
+The reference's hot loop decodes 4 image files from disk per *sample* inside
+DataLoader worker processes (reference src/dataset/imitation_dataset.py:115-122)
+— it is blatantly input-bound (SURVEY.md §3.1). The TPU-native design packs
+each split's grayscale frames ONCE into a contiguous uint8 array that lives in
+HBM; every training batch is then a pure on-device gather:
+
+    x = frames[idx[:, None] + arange(frame_skip)]  →  (B, H, W, frame_skip)
+
+fused by XLA with the /255 normalization and any augmentation into the train
+step. Zero host work, zero H2D traffic per step (only the index vector).
+
+Semantics preserved from the reference (SequentialTorchDataset,
+imitation_dataset.py:90-136): sorted numeric frame files, luminance grayscale,
+window = frames[k : k+frame_skip], label = action[k + frame_skip],
+len = N - frame_skip. The reference hardcodes ``index + 4`` (defect §5.7); we
+use ``frame_skip`` everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_imitation_learning_tpu.data import actions as action_lib
+from carla_imitation_learning_tpu.data import frame_log as fl
+
+
+@dataclasses.dataclass
+class FrameStore:
+    """Packed frames + aligned targets for one split.
+
+    frames:  (N, H, W) uint8 luminance (or float32 in [0,1] when exactness is
+             needed — tests).
+    actions: (N,) int32 discrete action per frame.
+    traffic: (N,) int32 red-light status per frame.
+    sensors: (N, 3) float32 ``(current_steer, speed_long, speed)``.
+    """
+
+    frames: np.ndarray
+    actions: np.ndarray
+    traffic: np.ndarray
+    sensors: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    @property
+    def height(self) -> int:
+        return self.frames.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.frames.shape[2]
+
+    @classmethod
+    def from_arrays(cls, frames: np.ndarray, state: fl.StateLog, file_idx=None) -> "FrameStore":
+        """Align a (N,H,W) frame array with a StateLog via 1-based file indices."""
+        if file_idx is None:
+            file_idx = np.arange(len(frames))
+        acts = np.asarray(
+            action_lib.continuous_to_discrete(state.steer, state.throttle, state.brake)
+        ).astype(np.int32)
+        return cls(
+            frames=frames,
+            actions=acts[file_idx],
+            traffic=np.asarray(state.trafficlight).astype(np.int32)[file_idx],
+            sensors=state.sensors[file_idx],
+        )
+
+    @classmethod
+    def from_processed_dir(cls, cfg, split: str, log: str | None = None) -> "FrameStore":
+        """Load the reference's processed-sequential layout:
+        ``<data_dir>/processed/<log>/<split>/<log>/`` frames + ``raw/state.csv``
+        (reference imitation_dataset.py:94-110)."""
+        log = log or cfg["train_logs"][0]
+        data_dir = Path(cfg["data_dir"])
+        frame_dir = data_dir / "processed" / log / split / log
+        if not frame_dir.is_dir():
+            # fall back to the sole frame subfolder under the split (the raw
+            # layout's class-folder name may differ, e.g. a camera name)
+            subdirs = [p for p in (data_dir / "processed" / log / split).iterdir()
+                       if p.is_dir()]
+            if len(subdirs) != 1:
+                raise FileNotFoundError(
+                    f"expected {frame_dir} or exactly one frame folder, got {subdirs}")
+            frame_dir = subdirs[0]
+        flog = fl.FrameLog(frame_dir)
+        state_path = data_dir / "raw" / log / "state.csv"
+        if not state_path.exists():
+            state_path = data_dir / "raw" / "state.csv"
+        state = fl.load_state_csv(state_path)
+        return cls.from_arrays(flog.read_all_gray_u8(), state, flog.file_idx)
+
+    @classmethod
+    def from_raw_camera(cls, cfg, log: str, camera: str) -> "FrameStore":
+        """Load straight from ``raw/<log>/<camera>/`` (pooled/large paths,
+        reference imitation_dataset.py:49-87, 342-381)."""
+        data_dir = Path(cfg["data_dir"])
+        flog = fl.FrameLog(data_dir / "raw" / log / camera)
+        state_path = data_dir / "raw" / log / "state.csv"
+        if not state_path.exists():
+            state_path = data_dir / "raw" / "state.csv"
+        state = fl.load_state_csv(state_path)
+        return cls.from_arrays(flog.read_all_gray_u8(), state, flog.file_idx)
+
+    @classmethod
+    def synthetic(cls, n: int = 64, height: int = 64, width: int = 64, seed: int = 0) -> "FrameStore":
+        state = fl.make_synthetic_state(n, seed)
+        rgb = fl.synthetic_frames(n, height, width, seed)
+        gray = np.round(rgb[..., :3].astype(np.float64) @ fl.LUMA).astype(np.uint8)
+        return cls.from_arrays(gray, state)
+
+    def slice(self, start: int, stop: int) -> "FrameStore":
+        return FrameStore(
+            self.frames[start:stop], self.actions[start:stop],
+            self.traffic[start:stop], self.sensors[start:stop],
+        )
+
+
+def _normalize(frames_u8: jnp.ndarray, dtype) -> jnp.ndarray:
+    if frames_u8.dtype == jnp.uint8:
+        return frames_u8.astype(dtype) * (1.0 / 255.0)
+    return frames_u8.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_skip", "dtype_name"))
+def gather_windows(frames, idx, frame_skip: int, dtype_name: str = "float32"):
+    """(N,H,W) + (B,) start indices → (B, H, W, frame_skip) NHWC window stack.
+
+    NHWC is the TPU-native conv layout; the reference's channel-first stacking
+    (imitation_dataset.py:115-122) is a torch convention, not a data semantic.
+    """
+    dtype = jnp.dtype(dtype_name)
+    windows = frames[idx[:, None] + jnp.arange(frame_skip)[None, :]]  # (B, fs, H, W)
+    return _normalize(jnp.transpose(windows, (0, 2, 3, 1)), dtype)
+
+
+class DeviceDataset:
+    """Iterator over on-device batches from a FrameStore.
+
+    Yields ``(x, y)`` with x:(B,H,W,frame_skip) and y:(B,) int32, or with
+    ``aux=True`` yields ``((x, sensor), (traffic, action))`` matching the
+    reference's SequentialAuxTorchDataset contract (imitation_dataset.py:139-194).
+    """
+
+    def __init__(
+        self,
+        store: FrameStore,
+        batch_size: int,
+        frame_skip: int = 4,
+        shuffle: bool = False,
+        seed: int = 0,
+        aux: bool = False,
+        drop_last: bool = True,
+        dtype: str = "float32",
+        sharding=None,
+        label_offset: int | None = None,
+    ):
+        self.store = store
+        self.batch_size = batch_size
+        self.frame_skip = frame_skip
+        self.shuffle = shuffle
+        self.aux = aux
+        self.drop_last = drop_last
+        self.dtype = dtype
+        self._rng = np.random.default_rng(seed)
+        # Sequential windows label the frame AFTER the window (reference
+        # imitation_dataset.py:124-131: x = frames[k:k+4], y = y[k+4]);
+        # single-frame paths label the same frame (LargeTorchDataset :77-84).
+        self.label_offset = frame_skip if label_offset is None else label_offset
+        n_samples = len(store) - max(frame_skip - 1, self.label_offset)
+        if n_samples <= 0:
+            raise ValueError(
+                f"store with {len(store)} frames too small for frame_skip={frame_skip}"
+            )
+        self.n_samples = n_samples
+        # Device-resident packed arrays (replicated under a mesh; batches are
+        # sharded by sharding the index vector).
+        device_put = (lambda a: jax.device_put(a, sharding.replicate())) if sharding is not None else jnp.asarray
+        self.frames = device_put(store.frames)
+        self.actions = device_put(store.actions.astype(np.int32))
+        self.traffic = device_put(store.traffic.astype(np.int32))
+        self.sensors = device_put(store.sensors.astype(np.float32))
+        self._idx_sharding = sharding
+
+    def __len__(self) -> int:
+        if self.drop_last and self.n_samples >= self.batch_size:
+            return self.n_samples // self.batch_size
+        # never silently produce zero batches: fall back to a partial batch
+        return -(-self.n_samples // self.batch_size)
+
+    def epoch_indices(self) -> np.ndarray:
+        order = np.arange(self.n_samples)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order
+
+    def make_batch(self, idx: np.ndarray):
+        idx = jnp.asarray(idx, dtype=jnp.int32)
+        if self._idx_sharding is not None:
+            idx = jax.device_put(idx, self._idx_sharding)
+        x = gather_windows(self.frames, idx, self.frame_skip, self.dtype)
+        y = self.actions[idx + self.label_offset]
+        if not self.aux:
+            return x, y
+        sensor = self.sensors[idx + self.label_offset]
+        traffic = self.traffic[idx + self.label_offset]
+        return (x, sensor), jnp.stack([traffic, y], axis=-1)
+
+    def __iter__(self) -> Iterator:
+        order = self.epoch_indices()
+        nb = len(self)
+        for b in range(nb):
+            yield self.make_batch(order[b * self.batch_size:(b + 1) * self.batch_size])
+
+
+# ---------------------------------------------------------------------------
+# Iterator factories, mirroring the reference's public API
+# (imitation_dataset.py:197-314). Each returns the same dict shape:
+# {'train_dataloader', 'val_dataloader', 'test_dataloader'}.
+# ---------------------------------------------------------------------------
+
+def _loaders_from_stores(cfg, stores: dict[str, FrameStore], aux: bool, frame_skip: int,
+                         sharding=None, label_offset: int | None = None) -> dict:
+    batch = int(cfg["BATCH_SIZE"])
+    shuffle = bool(cfg.get("shuffle_train", False))
+    seed = int(cfg.get("seed", 0))
+    out = {}
+    for split, name in (("train", "train_dataloader"), ("val", "val_dataloader"), ("test", "test_dataloader")):
+        out[name] = DeviceDataset(
+            stores[split], batch, frame_skip=frame_skip,
+            shuffle=(shuffle and split == "train"), seed=seed, aux=aux,
+            # train drops the remainder for a single static shape; eval splits
+            # keep the partial final batch (torch DataLoader default) so small
+            # val/test splits still produce metrics.
+            drop_last=(split == "train"),
+            dtype=str(cfg.get("compute_dtype_input", "float32")), sharding=sharding,
+            label_offset=label_offset,
+        )
+    return out
+
+
+def _sequential_stores(cfg) -> dict[str, FrameStore]:
+    return {s: FrameStore.from_processed_dir(cfg, s) for s in ("train", "val", "test")}
+
+
+def sequential_train_val_test_iterator(cfg, stores: dict[str, FrameStore] | None = None,
+                                       sharding=None) -> dict:
+    """BC loaders over 4-frame windows (reference imitation_dataset.py:263-288)."""
+    stores = stores or _sequential_stores(cfg)
+    return _loaders_from_stores(cfg, stores, aux=False, frame_skip=int(cfg["frame_skip"]), sharding=sharding)
+
+
+def sequential_aux_train_val_test_iterator(cfg, stores: dict[str, FrameStore] | None = None,
+                                           sharding=None) -> dict:
+    """Aux multi-task loaders: ((frames, sensor), (traffic, action))
+    (reference imitation_dataset.py:291-314)."""
+    stores = stores or _sequential_stores(cfg)
+    return _loaders_from_stores(cfg, stores, aux=True, frame_skip=int(cfg["frame_skip"]), sharding=sharding)
+
+
+def _pooled_split(cfg, store: FrameStore) -> dict[str, FrameStore]:
+    """Sequential (1-2t, t, t) split over pooled frames — reference
+    get_pooled_data uses np.split on an arange (imitation_dataset.py:363-368)."""
+    t = float(cfg["TEST_SIZE"])
+    n = len(store)
+    i1, i2 = int((1 - 2 * t) * n), int((1 - t) * n)
+    return {"train": store.slice(0, i1), "val": store.slice(i1, i2), "test": store.slice(i2, n)}
+
+
+def train_val_test_iterator(cfg, data_split_type: str = "pooled_data", sharding=None) -> dict:
+    """Pooled per-frame loaders (reference imitation_dataset.py:197-238).
+
+    Single-frame samples (frame_skip handled as a 1-frame window): the pooled
+    path in the reference trains on individual grayscale frames.
+    """
+    camera = cfg["camera"][0] if isinstance(cfg["camera"], list) else cfg["camera"]
+    stores_per_log = [FrameStore.from_raw_camera(cfg, log, camera) for log in cfg["train_logs"]]
+    pooled = FrameStore(
+        frames=np.concatenate([s.frames for s in stores_per_log]),
+        actions=np.concatenate([s.actions for s in stores_per_log]),
+        traffic=np.concatenate([s.traffic for s in stores_per_log]),
+        sensors=np.concatenate([s.sensors for s in stores_per_log]),
+    )
+    stores = _pooled_split(cfg, pooled)
+    return _loaders_from_stores(cfg, stores, aux=False, frame_skip=1, sharding=sharding,
+                                label_offset=0)
+
+
+def large_train_val_test_iterator(cfg, sharding=None) -> dict:
+    """Per-file lazy path of the reference (imitation_dataset.py:241-260).
+
+    On TPU the packed store already makes 'large' logs cheap; this factory
+    exists for API parity and loads the processed per-camera layout
+    ``processed/<log>/<split>/<camera>/`` (reference LargeTorchDataset :49-87).
+    """
+    log = cfg["train_logs"][0]
+    camera = cfg["camera"][0] if isinstance(cfg["camera"], list) else cfg["camera"]
+    data_dir = Path(cfg["data_dir"])
+    state_path = data_dir / "raw" / log / "state.csv"
+    if not state_path.exists():
+        state_path = data_dir / "raw" / "state.csv"
+    state = fl.load_state_csv(state_path)
+    stores = {}
+    for split in ("train", "val", "test"):
+        flog = fl.FrameLog(data_dir / "processed" / log / split / camera)
+        stores[split] = FrameStore.from_arrays(flog.read_all_gray_u8(), state, flog.file_idx)
+    return _loaders_from_stores(cfg, stores, aux=False, frame_skip=1, sharding=sharding,
+                                label_offset=0)

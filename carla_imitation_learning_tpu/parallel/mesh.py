@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers.
+
+The scaling recipe: build a Mesh, annotate array shardings (batch/env axes on
+'data', params replicated — 'model' axis reserved for TP), and let XLA insert
+the collectives. Works identically on one chip, a v5p slice, or a CPU host
+mesh forced with ``--xla_force_host_platform_device_count``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices=None, axis_sizes: dict[str, int] | None = None) -> Mesh:
+    """Create a mesh from config (mesh.axes with -1 = all remaining devices)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axes = dict(cfg.get_dotted("mesh.axes", {"data": -1})) if cfg is not None \
+            else {"data": -1}
+        axis_sizes = {str(k): int(v) for k, v in axes.items()}
+    n = len(devices)
+    fixed = 1
+    wildcard = None
+    for name, size in axis_sizes.items():
+        if size == -1:
+            if wildcard is not None:
+                raise ValueError("only one mesh axis may be -1")
+            wildcard = name
+        else:
+            fixed *= size
+    if wildcard is not None:
+        axis_sizes[wildcard] = max(1, n // fixed)
+    total = int(np.prod(list(axis_sizes.values())))
+    mesh_devices = np.asarray(devices[:total]).reshape(tuple(axis_sizes.values()))
+    return Mesh(mesh_devices, tuple(axis_sizes.keys()))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data", ndim_leading: int = 1) -> NamedSharding:
+    """Shard the leading (batch/env) dim on ``axis``; rest replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a (pytree of) batch array(s) with the leading dim sharded."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+
+
+def shard_train_state(mesh: Mesh, state):
+    """Replicate params/opt-state across the mesh (DP layout; TP would use
+    per-param PartitionSpecs here)."""
+    rep = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), state)
+
+
+def multihost_initialize(**kwargs) -> None:
+    """Multi-host runtime init (replaces Ray's DistributedTrainableCreator,
+    reference ray_trainer.py:41-45). No-op when single-process."""
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # single-host dev environment

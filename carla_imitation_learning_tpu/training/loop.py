@@ -1,0 +1,175 @@
+"""Epoch-based fit loop — the framework's replacement for pl.Trainer.fit
+(reference train.py:125-129 + Lightning internals).
+
+Behavioral parity with the reference recipe:
+- sanity val steps before training (configs/trainer/default_trainer.yaml:5),
+- per-epoch train/val metric means logged as 'losses/{train,val}_loss'
+  (reference imitation.py:57-71),
+- best-k checkpointing on the monitored val metric,
+- LR schedule drops at epoch milestones (baked into the optax schedule),
+- limit_{train,val}_batches fractions (debug_trainer.yaml).
+
+TPU-first: metric pytrees stay on device during the epoch and are reduced with
+one jnp.stack/mean per epoch — a single host sync per epoch, not per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from carla_imitation_learning_tpu.training.steps import (
+    TrainState, make_eval_step, make_train_step,
+)
+from carla_imitation_learning_tpu.utils.logging import MetricLogger
+from carla_imitation_learning_tpu.utils.profiling import SimpleProfiler, StepTimer
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    history: list[dict]
+    best_metric: float | None
+    best_path: str | None
+    throughput: dict
+
+
+def _limit(n_batches: int, limit) -> int:
+    if limit is None:
+        return n_batches
+    if isinstance(limit, float):
+        return max(1, int(n_batches * limit)) if limit < 1.0 else n_batches
+    return min(n_batches, int(limit))
+
+
+def _mean_metrics(metric_list: list[dict]) -> dict:
+    if not metric_list:
+        return {}
+    stacked = {k: jnp.stack([m[k] for m in metric_list]) for k in metric_list[0]}
+    return {k: float(jnp.mean(v)) for k, v in stacked.items()}
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg,
+        logger: MetricLogger | None = None,
+        callbacks: Sequence = (),
+        checkpoint_manager=None,
+        name: str = "run",
+    ):
+        self.cfg = cfg
+        tcfg = cfg.get("trainer", {})
+        self.max_epochs = int(tcfg.get("max_epochs", cfg.get("NUM_EPOCHS", 1)))
+        self.num_sanity_val_steps = int(tcfg.get("num_sanity_val_steps", 0))
+        self.limit_train_batches = tcfg.get("limit_train_batches", 1.0)
+        self.limit_val_batches = tcfg.get("limit_val_batches", 1.0)
+        self.profiler = SimpleProfiler() if tcfg.get("profiler") == "simple" else None
+        self.logger = logger
+        self.callbacks = list(callbacks)
+        self.ckpt = checkpoint_manager
+        self.name = name
+
+    def _callback(self, hook: str, **kw) -> None:
+        for cb in self.callbacks:
+            fn = getattr(cb, hook, None)
+            if fn is not None:
+                fn(trainer=self, **kw)
+
+    def fit(
+        self,
+        state: TrainState,
+        loss_fn: Callable,
+        loaders: dict,
+        rng: jax.Array,
+        max_epochs: int | None = None,
+    ) -> FitResult:
+        train_step = make_train_step(loss_fn)
+        eval_step = make_eval_step(loss_fn)
+        train_loader = loaders["train_dataloader"]
+        val_loader = loaders.get("val_dataloader")
+        max_epochs = max_epochs or self.max_epochs
+        history: list[dict] = []
+        timer = StepTimer(items_per_step=getattr(train_loader, "batch_size", 0))
+        self._callback("on_fit_start", state=state)
+
+        # Lightning-style sanity validation (default_trainer.yaml:5)
+        if val_loader is not None and self.num_sanity_val_steps:
+            for i, batch in enumerate(val_loader):
+                if i >= self.num_sanity_val_steps:
+                    break
+                eval_step(state, batch)
+
+        t_start = time.perf_counter()
+        for epoch in range(max_epochs):
+            train_metrics: list[dict] = []
+            nb = _limit(len(train_loader), self.limit_train_batches)
+            for i, batch in enumerate(train_loader):
+                if i >= nb:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                if self.profiler:
+                    with self.profiler.phase("train_step"):
+                        state, metrics = train_step(state, batch, step_rng)
+                else:
+                    state, metrics = train_step(state, batch, step_rng)
+                train_metrics.append(metrics)
+                timer.tick()
+            epoch_row = {f"train_{k}": v for k, v in _mean_metrics(train_metrics).items()}
+
+            if val_loader is not None:
+                val_metrics: list[dict] = []
+                nvb = _limit(len(val_loader), self.limit_val_batches)
+                for i, batch in enumerate(val_loader):
+                    if i >= nvb:
+                        break
+                    if self.profiler:
+                        with self.profiler.phase("val_step"):
+                            val_metrics.append(eval_step(state, batch))
+                    else:
+                        val_metrics.append(eval_step(state, batch))
+                epoch_row.update({f"val_{k}": v for k, v in _mean_metrics(val_metrics).items()})
+
+            epoch_row["epoch"] = epoch
+            history.append(epoch_row)
+            if self.logger is not None:
+                # reference logs train/val loss under 'losses' (imitation.py:63-71)
+                self.logger.add_scalars(
+                    "losses",
+                    {k: v for k, v in epoch_row.items() if k.endswith("loss")},
+                    step=epoch,
+                )
+                self.logger.add_scalars_flat(
+                    {k: v for k, v in epoch_row.items() if k != "epoch"}, step=epoch)
+            if self.ckpt is not None:
+                self.ckpt.save(epoch, {"params": state.params, "opt_state": state.opt_state,
+                                       "step": state.step}, epoch_row)
+            self._callback("on_epoch_end", state=state, epoch=epoch, metrics=epoch_row,
+                           loaders=loaders)
+
+        elapsed = time.perf_counter() - t_start
+        throughput = {
+            "steps_per_sec": timer.steps / max(elapsed, 1e-9),
+            "images_per_sec": timer.steps * timer.items_per_step / max(elapsed, 1e-9),
+            "wall_s": elapsed,
+        }
+        self._callback("on_fit_end", state=state, history=history)
+        if self.profiler:
+            print(self.profiler.summary())
+        best = self.ckpt.best if self.ckpt is not None else None
+        return FitResult(
+            state=state,
+            history=history,
+            best_metric=(best or {}).get("metric"),
+            best_path=(best or {}).get("path"),
+            throughput=throughput,
+        )
+
+    def test(self, state: TrainState, loss_fn: Callable, loaders: dict) -> dict:
+        eval_step = make_eval_step(loss_fn)
+        metrics = [eval_step(state, b) for b in loaders["test_dataloader"]]
+        return {f"test_{k}": v for k, v in _mean_metrics(metrics).items()}

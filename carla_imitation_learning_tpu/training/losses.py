@@ -1,0 +1,96 @@
+"""Loss functions, as pure fns of (params, apply_fn, batch, rng) → (loss, metrics).
+
+Behavioral matches:
+- BC: softmax cross-entropy on 9-way logits (reference imitation.py:42-45).
+- VAE: alpha·MSE(recon, x) + beta·KL, KL = mean over batch of -0.5·Σ_z(1 +
+  logσ² - μ² - σ²) (reference vae.py:26-35; alpha=0.75, beta=0.1 from config).
+- Aux: weighted recon MSE + traffic CE + action CE; reference lossCriterion
+  keeps only the action CE active (imitation.py:11-24), so default weights are
+  (0, 0, 1) — set via config aux_*_weight.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax CE with integer labels (torch nn.CrossEntropyLoss semantics)."""
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels).mean()
+
+
+def accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.argmax(logits, axis=-1) == labels).mean()
+
+
+def kl_divergence(mu: jnp.ndarray, log_var: jnp.ndarray) -> jnp.ndarray:
+    """Reference vae.py:26-28: (-0.5 * (1 + logσ² - μ² - σ²).sum(dim=1)).mean()."""
+    return (-0.5 * (1 + log_var - mu**2 - jnp.exp(log_var)).sum(axis=1)).mean()
+
+
+def bc_loss_fn(params, apply_fn, batch, rng=None):
+    x, y = batch
+    logits = apply_fn({"params": params}, x)
+    loss = cross_entropy(logits, y)
+    return loss, {"loss": loss, "accuracy": accuracy(logits, y)}
+
+
+def dual_stream_loss_fn(params, apply_fn, batch, rng=None):
+    """(x_raw, x_seg, y) batch for DualStreamCNN (reference train.py:205-239)."""
+    x, x_seg, y = batch
+    logits = apply_fn({"params": params}, x, x_seg)
+    loss = cross_entropy(logits, y)
+    return loss, {"loss": loss, "accuracy": accuracy(logits, y)}
+
+
+def vae_loss_fn(alpha: float = 0.75, beta: float = 0.1):
+    def loss_fn(params, apply_fn, batch, rng=None):
+        x = batch[0] if isinstance(batch, tuple) else batch
+        recon, mu, log_var = apply_fn({"params": params}, x, rng)
+        recon_loss = jnp.mean((x.astype(jnp.float32) - recon) ** 2)
+        kl = kl_divergence(mu, log_var)
+        loss = alpha * recon_loss + beta * kl
+        return loss, {"loss": loss, "recon_loss": recon_loss, "kl_loss": kl}
+
+    return loss_fn
+
+
+def aux_loss_fn(recon_weight: float = 0.0, traffic_weight: float = 0.0,
+                action_weight: float = 1.0):
+    def loss_fn(params, apply_fn, batch, rng=None):
+        (frames, sensor), y = batch  # y: (B, 2) = (trafficlight, action)
+        recon, traffic_logits, action_logits = apply_fn({"params": params}, (frames, sensor))
+        recon_loss = jnp.mean((frames.astype(jnp.float32) - recon) ** 2)
+        traffic_loss = cross_entropy(traffic_logits, y[:, 0])
+        action_loss = cross_entropy(action_logits, y[:, 1])
+        loss = (recon_weight * recon_loss + traffic_weight * traffic_loss
+                + action_weight * action_loss)
+        return loss, {
+            "loss": loss,
+            "image_recons_loss": recon_loss,
+            "traffic_loss": traffic_loss,
+            "autopilot_action_loss": action_loss,
+            "accuracy": accuracy(action_logits, y[:, 1]),
+        }
+
+    return loss_fn
+
+
+def cil_loss_fn(speed_weight: float = 0.1):
+    def loss_fn(params, apply_fn, batch, rng=None):
+        frames, speed, command, y = batch
+        logits, pred_speed = apply_fn({"params": params}, frames, speed, command)
+        action_loss = cross_entropy(logits, y)
+        speed_loss = jnp.mean((pred_speed - speed) ** 2)
+        loss = action_loss + speed_weight * speed_loss
+        return loss, {
+            "loss": loss,
+            "action_loss": action_loss,
+            "speed_loss": speed_loss,
+            "accuracy": accuracy(logits, y),
+        }
+
+    return loss_fn

@@ -1,0 +1,107 @@
+"""Train state, optimizers, and jit'd train/eval steps.
+
+TPU-first notes:
+- The train step is ONE jit region (forward, backward, optimizer update,
+  metrics) with donated state — params and opt state never leave HBM.
+- Under a mesh, batches are sharded on the 'data' axis and params replicated;
+  jax inserts the gradient all-reduce (psum over ICI) automatically from the
+  sharding annotations — the TPU-native replacement for the reference's
+  PL gpus=/DataParallel path (utils.py:60-64, ray_trainer.py:36).
+- LR schedule: Adam(1e-3) with ×0.1 drops at epochs [20, 30], matching
+  MultiStepLR in reference imitation.py:82-87.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal train state (params + opt state + step), jit-donatable."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def make_lr_schedule(cfg, steps_per_epoch: int) -> optax.Schedule:
+    """MultiStepLR equivalent: piecewise-constant ×gamma at epoch milestones
+    (reference imitation.py:84-86: milestones=[20,30], gamma=0.1)."""
+    lr = float(cfg.get("LEARNING_RATE", 1e-3))
+    milestones = cfg.get("LR_MILESTONES", None)
+    if not milestones:
+        return optax.constant_schedule(lr)
+    gamma = float(cfg.get("LR_GAMMA", 0.1))
+    boundaries = {int(e) * steps_per_epoch: gamma for e in milestones}
+    return optax.piecewise_constant_schedule(lr, boundaries)
+
+
+def make_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """Adam + grad clip (reference imitation.py:83 Adam(lr=1e-3);
+    configs/trainer/default_trainer.yaml gradient_clip_val=0.5)."""
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    clip = float(cfg.get_dotted("trainer.gradient_clip_val", 0.0) or 0.0) \
+        if hasattr(cfg, "get_dotted") else float(cfg.get("gradient_clip_val", 0.0))
+    tx = optax.adam(schedule)
+    if clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx
+
+
+def create_train_state(model, rng, example_input, tx) -> TrainState:
+    """Initialize params via a smoke forward on the example input — the
+    reference runs the same shape-sanity forward before fit (train.py:119-120)."""
+    if isinstance(example_input, tuple):
+        variables = model.init(rng, *example_input)
+    else:
+        variables = model.init(rng, example_input)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def make_train_step(loss_fn, donate: bool = True):
+    """Build the jit'd train step: grads → update → metrics, one XLA program."""
+
+    def step(state: TrainState, batch, rng):
+        def wrapped(params):
+            return loss_fn(params, state.apply_fn, batch, rng)
+
+        (_, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(loss_fn):
+    def step(state: TrainState, batch):
+        _, metrics = loss_fn(state.params, state.apply_fn, batch, None)
+        return metrics
+
+    return jax.jit(step)
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def predict_step(apply_fn, params, x):
+    return jnp.argmax(apply_fn({"params": params}, x), axis=-1)

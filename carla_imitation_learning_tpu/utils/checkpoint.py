@@ -1,0 +1,120 @@
+"""Checkpointing: Orbax-backed sharded save/restore with best-k retention.
+
+Replaces PL's ModelCheckpoint(monitor='val_loss', save_top_k=1, mode='min')
+(reference train.py:106-111) and load_from_checkpoint (train.py:198-201).
+Checkpoints are sharded pytrees (params, opt state, step, rng, anything) —
+safe under a multi-device mesh; Orbax handles per-shard IO.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+from pathlib import Path
+from typing import Any
+
+
+class BestKCheckpointManager:
+    def __init__(
+        self,
+        directory: str | Path,
+        monitor: str = "val_loss",
+        mode: str = "min",
+        save_top_k: int = 1,
+        save_last: bool = False,
+        filename: str = "ckpt",
+    ):
+        assert mode in ("min", "max")
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self.save_last = save_last
+        self.filename = filename
+        self._index_path = self.directory / "index.json"
+        self._index: list[dict] = []
+        if self._index_path.exists():
+            self._index = json.loads(self._index_path.read_text())
+        self._ckptr = None
+
+    @property
+    def checkpointer(self):
+        if self._ckptr is None:
+            import orbax.checkpoint as ocp
+
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def _score(self, metrics: dict) -> float:
+        v = float(metrics.get(self.monitor, math.nan))
+        return v if self.mode == "min" else -v
+
+    def _write_index(self) -> None:
+        self._index_path.write_text(json.dumps(self._index, indent=1))
+
+    def save(self, step: int, state: Any, metrics: dict) -> Path | None:
+        """Save if within top-k on the monitored metric; prune the worst."""
+        score = self._score(metrics)
+        path = self.directory / f"{self.filename}-step{step}"
+        keep = (
+            len([e for e in self._index if not e.get("is_last")]) < self.save_top_k
+            or score < max(e["score"] for e in self._index if not e.get("is_last"))
+        )
+        if keep and not math.isnan(score):
+            if path.exists():
+                shutil.rmtree(path)
+            self.checkpointer.save(path, state)
+            self.checkpointer.wait_until_finished()
+            self._index.append({
+                "step": int(step), "score": score, "path": str(path),
+                "metric": float(metrics.get(self.monitor, math.nan)),
+            })
+            ranked = sorted([e for e in self._index if not e.get("is_last")],
+                            key=lambda e: e["score"])
+            for e in ranked[self.save_top_k:]:
+                self._index.remove(e)
+                shutil.rmtree(e["path"], ignore_errors=True)
+            self._write_index()
+        else:
+            path = None
+        if self.save_last:
+            last = self.directory / f"{self.filename}-last"
+            if last.exists():
+                shutil.rmtree(last)
+            self.checkpointer.save(last, state)
+            self.checkpointer.wait_until_finished()
+        return path
+
+    @property
+    def best(self) -> dict | None:
+        ranked = sorted([e for e in self._index if not e.get("is_last")],
+                        key=lambda e: e["score"])
+        return ranked[0] if ranked else None
+
+    def restore(self, target: Any, path: str | Path | None = None) -> Any:
+        """Restore into the structure/shardings of ``target`` (abstract ok)."""
+        if path is None:
+            best = self.best
+            if best is None:
+                raise FileNotFoundError(f"no checkpoints in {self.directory}")
+            path = best["path"]
+        return self.checkpointer.restore(Path(path).resolve(), target)
+
+
+def save_pytree(path: str | Path, tree: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    p = Path(path).resolve()
+    if p.exists():
+        shutil.rmtree(p)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(p, tree)
+    ckptr.wait_until_finished()
+
+
+def restore_pytree(path: str | Path, target: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(Path(path).resolve(), target)

@@ -1,0 +1,98 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU platform."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from carla_imitation_learning_tpu.parallel import (
+    make_mesh, shard_batch, shard_train_state, tune_run, vmap_sweep,
+)
+
+
+def test_make_mesh_wildcard(eight_devices):
+    mesh = make_mesh(axis_sizes={"data": -1, "model": 1})
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(axis_sizes={"data": 4})
+    assert mesh2.shape == {"data": 4}
+
+
+def test_sharded_bc_train_step(eight_devices, rng):
+    """Data-parallel BC step over the mesh: batch sharded, params replicated,
+    gradient all-reduce inserted by XLA from the shardings."""
+    from carla_imitation_learning_tpu.models import PolicyCNN
+    from carla_imitation_learning_tpu.training import (
+        bc_loss_fn, create_train_state, make_optimizer, make_train_step,
+    )
+
+    mesh = make_mesh(axis_sizes={"data": 8})
+    model = PolicyCNN(dtype=jnp.float32)
+    tx = make_optimizer({"LEARNING_RATE": 1e-3}, 1)
+    state = create_train_state(model, rng, jnp.zeros((2, 64, 64, 4)), tx)
+    state = shard_train_state(mesh, state)
+
+    x = jax.device_put(jax.random.uniform(rng, (16, 64, 64, 4)),
+                       NamedSharding(mesh, P("data")))
+    y = jax.device_put(jnp.arange(16, dtype=jnp.int32) % 9,
+                       NamedSharding(mesh, P("data")))
+    step = make_train_step(bc_loss_fn, donate=False)
+    new_state, metrics = step(state, (x, y), rng)
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay replicated after the update
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    # sharded result == single-device result
+    state1 = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 4)), tx)
+    state8 = shard_train_state(mesh, state1)
+    s1, m1 = step(state1, (jax.device_put(np.asarray(x)), jax.device_put(np.asarray(y))), rng)
+    s8, m8 = step(state8, (x, y), rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    l8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), rtol=1e-4, atol=1e-6)
+
+
+def test_graft_entry_dryrun(eight_devices):
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 9)
+
+
+def test_tune_run_driver():
+    def trainable(config):
+        # quadratic bowl: best lr at 0.1
+        return {"mean_accuracy": 1.0 - (config["lr"] - 0.1) ** 2}
+
+    best, trials = tune_run(
+        trainable, trial_configs=[{"lr": v} for v in (0.01, 0.1, 0.5, 1.0)],
+        metric="mean_accuracy", mode="max",
+    )
+    assert best.config["lr"] == 0.1
+    assert len(trials) == 4
+
+
+def test_vmap_sweep(rng):
+    """All trials trained in ONE jit program."""
+
+    def init_fn(r, h):
+        return {"w": jax.random.normal(r, (4,))}
+
+    def train_fn(state, lr):
+        def loss(w):
+            return jnp.sum((w - 3.0) ** 2)
+
+        w = state["w"]
+        for _ in range(50):
+            w = w - lr * jax.grad(loss)(w)
+        return {"w": w}, {"final_loss": loss(w)}
+
+    lrs = jnp.array([0.001, 0.05, 0.1])
+    states, metrics = vmap_sweep(init_fn, train_fn, lrs, rng)
+    losses = np.asarray(metrics["final_loss"])
+    assert losses.shape == (3,)
+    assert losses[2] < losses[0]  # bigger lr converges further on the bowl

@@ -1,0 +1,77 @@
+"""Scripted traffic agents + traffic-light schedule.
+
+Agents are route-followers: their pose is a pure function of (route, arclength)
+— a gather + lerp into the town's resampled polylines — so a fleet step is a
+handful of vectorized ops with no per-agent control flow.
+
+Traffic lights are STATELESS: phase is a pure function of sim time and the
+light's fixed offset, so light state never needs checkpointing or resets.
+Phases: 0=green, 1=yellow, 2=red.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from carla_imitation_learning_tpu.sim.town import TownMap, route_point
+
+GREEN, YELLOW, RED = 0, 1, 2
+
+
+def light_phases(town: TownMap, t_seconds, green: float, yellow: float, red: float):
+    """(L,) int32 phase of every light at sim time t."""
+    cycle = green + yellow + red
+    s = jnp.mod(t_seconds + town.lights_offset, cycle)
+    return jnp.where(s < green, GREEN, jnp.where(s < green + yellow, YELLOW, RED))
+
+
+def red_light_ahead(town: TownMap, pos, yaw, phases, stop_distance: float):
+    """True when a non-green light lies within stop_distance in front of pos."""
+    rel = town.lights_pos - pos  # (L,2)
+    dist = jnp.linalg.norm(rel, axis=-1)
+    heading = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+    ahead = (rel @ heading) > 0.0
+    blocking = (phases != GREEN) & ahead & (dist < stop_distance)
+    return jnp.any(blocking)
+
+
+def agent_positions(town: TownMap, routes, s):
+    """(A,) routes + (A,) arclens → ((A,2) pos, (A,) yaw)."""
+    return jax.vmap(lambda r, ss: route_point(town, r, ss))(routes, s)
+
+
+def step_agents(
+    town: TownMap,
+    routes: jnp.ndarray,   # (A,) int32
+    s: jnp.ndarray,        # (A,) arclength
+    v: jnp.ndarray,        # (A,) speed
+    phases: jnp.ndarray,   # (L,) light phases
+    dt: float,
+    target_speed: float,
+    accel: float = 3.0,
+    stop_distance: float = 12.0,
+    gap: float = 8.0,
+):
+    """One fleet step → (s, v). Speed control: accelerate to target, brake for
+    red lights ahead and for the leading agent on the same route."""
+    pos, yaw = agent_positions(town, routes, s)
+
+    # red light braking, per agent
+    must_stop = jax.vmap(
+        lambda p, y: red_light_ahead(town, p, y, phases, stop_distance)
+    )(pos, yaw)
+
+    # same-route leader gap: pairwise forward arc distance (A is small)
+    total = town.route_total[routes]  # (A,)
+    ds = jnp.mod(s[None, :] - s[:, None], total[:, None])  # ds[i,j] = arc i→j
+    same_route = (routes[None, :] == routes[:, None])
+    is_other = ~jnp.eye(routes.shape[0], dtype=bool)
+    blocked = same_route & is_other & (ds > 1e-3) & (ds < gap)
+    leader_close = jnp.any(blocked, axis=1)
+
+    target = jnp.where(must_stop | leader_close, 0.0, target_speed)
+    dv = jnp.clip(target - v, -2.0 * accel * dt, accel * dt)
+    v_new = jnp.maximum(v + dv, 0.0)
+    s_new = jnp.mod(s + v_new * dt, total)
+    return s_new, v_new

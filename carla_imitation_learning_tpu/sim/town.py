@@ -1,0 +1,169 @@
+"""Procedural town: grid road network, lane-offset loop routes, buildings,
+traffic lights. Generated host-side with numpy ONCE (static geometry), then
+lives on device as a fixed-shape pytree shared by all envs.
+
+Conventions: world is z-up, ground plane z=0, distances in meters, yaw in
+radians (0 = +x). Right-hand traffic: route loops run counterclockwise around
+blocks offset to the right lane.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+class TownMap(struct.PyTreeNode):
+    # Routes: (R, P, 2) closed-loop lane-center polylines, uniformly resampled;
+    # (R, P) per-point cumulative arclength; (R,) total loop length.
+    routes: jnp.ndarray
+    route_arclen: jnp.ndarray
+    route_total: jnp.ndarray
+    # Buildings: (B, 5) = cx, cy, half_w, half_h, height (axis-aligned boxes).
+    buildings: jnp.ndarray
+    # Traffic lights: (L, 2) positions at intersections; (L,) phase offsets s.
+    lights_pos: jnp.ndarray
+    lights_offset: jnp.ndarray
+    # Road segments for off-road checks + rendering: (S, 4) = x0, y0, x1, y1.
+    road_segments: jnp.ndarray
+    road_half_width: jnp.ndarray  # scalar
+    extent: jnp.ndarray  # scalar: half-size of the town square
+
+    @property
+    def n_routes(self) -> int:
+        return self.routes.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.lights_pos.shape[0]
+
+
+def _resample_loop(corners: np.ndarray, n_points: int) -> np.ndarray:
+    """Uniformly resample a closed polygon (corners (K,2)) to n_points."""
+    pts = np.concatenate([corners, corners[:1]], axis=0)
+    seg = np.diff(pts, axis=0)
+    seg_len = np.linalg.norm(seg, axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total = cum[-1]
+    s = np.linspace(0.0, total, n_points, endpoint=False)
+    idx = np.searchsorted(cum, s, side="right") - 1
+    idx = np.clip(idx, 0, len(seg) - 1)
+    frac = (s - cum[idx]) / np.maximum(seg_len[idx], 1e-9)
+    return pts[idx] + frac[:, None] * seg[idx]
+
+
+def make_town(
+    blocks: int = 3,
+    block_size: float = 80.0,
+    lane_width: float = 3.5,
+    n_buildings: int = 24,
+    n_lights: int = 8,
+    route_points: int = 128,
+    seed: int = 0,
+) -> TownMap:
+    """Build a (blocks×blocks)-block grid town.
+
+    Routes: one counterclockwise loop per block at right-lane offset, plus the
+    outer perimeter loop — fixed count R = blocks² + 1, each resampled to
+    ``route_points`` points so route-following is a pure gather.
+    """
+    rng = np.random.default_rng(seed)
+    size = blocks * block_size
+    half_lane = lane_width / 2.0
+
+    # --- routes ---------------------------------------------------------
+    loops = []
+    for bi in range(blocks):
+        for bj in range(blocks):
+            x0, y0 = bi * block_size, bj * block_size
+            x1, y1 = x0 + block_size, y0 + block_size
+            # CCW loop around the block, offset INTO the block by half a lane
+            # (right-hand traffic on the surrounding roads).
+            o = half_lane
+            loops.append(np.array([
+                [x0 + o, y0 + o], [x1 - o, y0 + o], [x1 - o, y1 - o], [x0 + o, y1 - o],
+            ]))
+    o = half_lane
+    loops.append(np.array([  # outer perimeter (CCW, offset outward lane)
+        [-o, -o], [size + o, -o], [size + o, size + o], [-o, size + o],
+    ]))
+    routes = np.stack([_resample_loop(c, route_points) for c in loops])  # (R,P,2)
+    diffs = np.diff(np.concatenate([routes, routes[:, :1]], axis=1), axis=1)
+    seg_len = np.linalg.norm(diffs, axis=-1)  # (R,P)
+    arclen = np.concatenate([np.zeros((routes.shape[0], 1)),
+                             np.cumsum(seg_len, axis=1)[:, :-1]], axis=1)
+    total = seg_len.sum(axis=1)
+
+    # --- buildings -------------------------------------------------------
+    margin = lane_width + 2.0
+    bpb = max(1, -(-n_buildings // (blocks * blocks)))  # ceil; trimmed below
+    buildings = []
+    for bi in range(blocks):
+        for bj in range(blocks):
+            x0, y0 = bi * block_size + margin, bj * block_size + margin
+            x1, y1 = (bi + 1) * block_size - margin, (bj + 1) * block_size - margin
+            for _ in range(bpb):
+                hw = rng.uniform(4.0, 12.0)
+                hh = rng.uniform(4.0, 12.0)
+                cx = rng.uniform(x0 + hw, max(x0 + hw, x1 - hw))
+                cy = rng.uniform(y0 + hh, max(y0 + hh, y1 - hh))
+                height = rng.uniform(6.0, 25.0)
+                buildings.append([cx, cy, hw, hh, height])
+    buildings = np.array(buildings[:n_buildings] or [[0, 0, 0, 0, 0]], dtype=np.float32)
+
+    # --- lights at interior intersections ---------------------------------
+    nodes = [(i * block_size, j * block_size)
+             for i in range(1, blocks) for j in range(1, blocks)]
+    if not nodes:  # degenerate 1-block town: corners
+        nodes = [(0.0, 0.0)]
+    nodes = (nodes * ((n_lights // len(nodes)) + 1))[:n_lights]
+    lights_pos = np.array(nodes, dtype=np.float32)
+    lights_offset = rng.uniform(0.0, 16.0, size=len(nodes)).astype(np.float32)
+
+    # --- road segments (grid edges) ---------------------------------------
+    segs = []
+    for i in range(blocks + 1):
+        c = i * block_size
+        segs.append([0.0, c, size, c])   # horizontal
+        segs.append([c, 0.0, c, size])   # vertical
+    road_segments = np.array(segs, dtype=np.float32)
+
+    return TownMap(
+        routes=jnp.asarray(routes, jnp.float32),
+        route_arclen=jnp.asarray(arclen, jnp.float32),
+        route_total=jnp.asarray(total, jnp.float32),
+        buildings=jnp.asarray(buildings, jnp.float32),
+        lights_pos=jnp.asarray(lights_pos, jnp.float32),
+        lights_offset=jnp.asarray(lights_offset, jnp.float32),
+        road_segments=jnp.asarray(road_segments, jnp.float32),
+        road_half_width=jnp.float32(lane_width),  # two lanes: half-road = lane width
+        extent=jnp.float32(size / 2.0),
+    )
+
+
+def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
+    t = cfg.sim.town
+    return make_town(
+        blocks=int(t.blocks), block_size=float(t.block_size),
+        lane_width=float(t.lane_width), n_buildings=int(t.n_buildings),
+        n_lights=int(cfg.sim.n_lights), seed=seed,
+    )
+
+
+def route_point(town: TownMap, route_idx, s):
+    """Position + tangent yaw on route ``route_idx`` at arclength ``s``
+    (wrapped). Pure gather + lerp — vmap/jit friendly."""
+    total = town.route_total[route_idx]
+    s = jnp.mod(s, total)
+    arclen = town.route_arclen[route_idx]  # (P,)
+    pts = town.routes[route_idx]  # (P,2)
+    i = jnp.clip(jnp.searchsorted(arclen, s, side="right") - 1, 0, pts.shape[0] - 1)
+    nxt = (i + 1) % pts.shape[0]
+    p0, p1 = pts[i], pts[nxt]
+    seg = p1 - p0
+    seg_len = jnp.linalg.norm(seg) + 1e-9
+    frac = jnp.clip((s - arclen[i]) / seg_len, 0.0, 1.0)
+    pos = p0 + frac * seg
+    yaw = jnp.arctan2(seg[1], seg[0])
+    return pos, yaw

@@ -1,0 +1,231 @@
+"""World state + env step/reset + autopilot expert.
+
+The closed-loop replacement for CARLA's socket step loop: everything —
+dynamics, traffic, lights, collision, auto-reset — is one pure function, so a
+policy-in-the-loop rollout is a single lax.scan under jit with ZERO host
+round-trips per step (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from carla_imitation_learning_tpu.sim import agents as agent_lib
+from carla_imitation_learning_tpu.sim import collision as col
+from carla_imitation_learning_tpu.sim.dynamics import bicycle_step
+from carla_imitation_learning_tpu.sim.town import TownMap, route_point
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Static simulation constants (python floats → baked into the jaxpr)."""
+
+    dt: float = 0.05
+    wheelbase: float = 2.9
+    max_steer: float = 0.6
+    max_accel: float = 4.0
+    max_brake: float = 8.0
+    drag: float = 0.05
+    tire_stiffness: float = 9.0
+    n_agents: int = 15
+    agent_target_speed: float = 7.0
+    light_green: float = 8.0
+    light_yellow: float = 2.0
+    light_red: float = 6.0
+    collision_radius: float = 2.2
+    episode_len: int = 400
+    target_speed: float = 8.0  # autopilot cruise speed
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "SimParams":
+        s = cfg.sim
+        return cls(
+            dt=float(s.dt), wheelbase=float(s.wheelbase), max_steer=float(s.max_steer),
+            max_accel=float(s.max_accel), max_brake=float(s.max_brake),
+            drag=float(s.drag), tire_stiffness=float(s.tire_stiffness),
+            n_agents=int(s.n_agents), agent_target_speed=float(s.agent_target_speed),
+            light_green=float(s.light_green), light_yellow=float(s.light_yellow),
+            light_red=float(s.light_red), collision_radius=float(s.collision_radius),
+            episode_len=int(s.episode_len),
+        )
+
+
+class WorldState(struct.PyTreeNode):
+    ego_pos: jnp.ndarray    # (2,)
+    ego_yaw: jnp.ndarray    # ()
+    ego_v: jnp.ndarray      # ()
+    ego_steer: jnp.ndarray  # () realized wheel angle (rad)
+    ego_route: jnp.ndarray  # () int32 — route the autopilot/spawn follows
+    ego_s: jnp.ndarray      # () arclength of the nearest route point (autopilot)
+    agents_route: jnp.ndarray  # (A,) int32
+    agents_s: jnp.ndarray      # (A,)
+    agents_v: jnp.ndarray      # (A,)
+    t: jnp.ndarray          # () int32 step count within episode
+    rng: jnp.ndarray        # PRNG key folded at resets
+
+
+class VehicleControl(struct.PyTreeNode):
+    """CARLA-style normalized control (reference state.csv columns)."""
+
+    steer: jnp.ndarray     # [-1, 1]
+    throttle: jnp.ndarray  # [0, 1]
+    brake: jnp.ndarray     # [0, 1]
+
+
+def reset_env(params: SimParams, town: TownMap, rng) -> WorldState:
+    """Spawn ego + agents on random routes at spaced arclengths."""
+    k_ego_r, k_ego_s, k_ar, k_as, k_state = jax.random.split(rng, 5)
+    n_routes = town.routes.shape[0]
+    ego_route = jax.random.randint(k_ego_r, (), 0, n_routes)
+    ego_s = jax.random.uniform(k_ego_s, ()) * town.route_total[ego_route]
+    ego_pos, ego_yaw = route_point(town, ego_route, ego_s)
+
+    a = params.n_agents
+    agents_route = jax.random.randint(k_ar, (a,), 0, n_routes)
+    # spread agents: stratified arclengths with jitter, avoids spawn overlap
+    base = (jnp.arange(a) + jax.random.uniform(k_as, (a,))) / a
+    agents_s = base * town.route_total[agents_route]
+    return WorldState(
+        ego_pos=ego_pos, ego_yaw=ego_yaw,
+        ego_v=jnp.zeros(()), ego_steer=jnp.zeros(()),
+        ego_route=ego_route, ego_s=ego_s,
+        agents_route=agents_route, agents_s=agents_s,
+        agents_v=jnp.full((a,), params.agent_target_speed * 0.5),
+        t=jnp.zeros((), jnp.int32), rng=k_state,
+    )
+
+
+def _nearest_s_update(town: TownMap, state: WorldState) -> jnp.ndarray:
+    """Track the ego's arclength on its route by local search around ego_s
+    (window search = fixed-size gather; no global argmin needed)."""
+    route = state.ego_route
+    total = town.route_total[route]
+    offsets = jnp.linspace(-4.0, 8.0, 13)
+    cand = jnp.mod(state.ego_s + offsets, total)
+    pts = jax.vmap(lambda s: route_point(town, route, s)[0])(cand)
+    d2 = jnp.sum((pts - state.ego_pos) ** 2, axis=-1)
+    return cand[jnp.argmin(d2)]
+
+
+def step_env(params: SimParams, town: TownMap, state: WorldState,
+             control: VehicleControl):
+    """One sim tick → (new_state, info). Auto-resets on done."""
+    phases = agent_lib.light_phases(
+        town, state.t.astype(jnp.float32) * params.dt,
+        params.light_green, params.light_yellow, params.light_red)
+
+    steer_cmd = jnp.clip(control.steer, -1.0, 1.0) * params.max_steer
+    ego_pos, ego_yaw, ego_v, ego_steer = bicycle_step(
+        state.ego_pos, state.ego_yaw, state.ego_v, state.ego_steer,
+        steer_cmd, jnp.clip(control.throttle, 0.0, 1.0),
+        jnp.clip(control.brake, 0.0, 1.0),
+        dt=params.dt, wheelbase=params.wheelbase, max_accel=params.max_accel,
+        max_brake=params.max_brake, drag=params.drag,
+        tire_stiffness=params.tire_stiffness,
+    )
+
+    agents_s, agents_v = agent_lib.step_agents(
+        town, state.agents_route, state.agents_s, state.agents_v, phases,
+        dt=params.dt, target_speed=params.agent_target_speed)
+    agents_pos, _ = agent_lib.agent_positions(town, state.agents_route, agents_s)
+
+    hit_vehicle = col.any_vehicle_collision(ego_pos, agents_pos, params.collision_radius)
+    hit_building = col.any_building_collision(ego_pos, town.buildings,
+                                              params.collision_radius)
+    off = col.offroad(ego_pos, town.road_segments, town.road_half_width)
+    collided = hit_vehicle | hit_building
+    t_new = state.t + 1
+    timeout = t_new >= params.episode_len
+    done = collided | off | timeout
+
+    mid = WorldState(
+        ego_pos=ego_pos, ego_yaw=ego_yaw, ego_v=ego_v, ego_steer=ego_steer,
+        ego_route=state.ego_route, ego_s=state.ego_s,
+        agents_route=state.agents_route, agents_s=agents_s, agents_v=agents_v,
+        t=t_new, rng=state.rng,
+    )
+    mid = mid.replace(ego_s=_nearest_s_update(town, mid))
+
+    # auto-reset: branchless select between continued and fresh state
+    reset_rng, next_rng = jax.random.split(jax.random.fold_in(state.rng, state.t))
+    fresh = reset_env(params, town, reset_rng)
+    fresh = fresh.replace(rng=next_rng)
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(done, a, b), fresh, mid)  # done is scalar: broadcasts
+
+    info = {
+        "collision": collided, "offroad": off, "timeout": timeout, "done": done,
+        "speed": ego_v, "red_light": agent_lib.red_light_ahead(
+            town, ego_pos, ego_yaw, phases, stop_distance=15.0),
+    }
+    return new_state, info
+
+
+def autopilot_control(params: SimParams, town: TownMap, state: WorldState
+                      ) -> VehicleControl:
+    """Expert: pure pursuit along the ego's route + discrete CARLA-like pedals.
+
+    Pedal values are restricted to the (throttle, brake) pairs the reference's
+    discretizer understands — (1,0), (0.5,0), (0,1) — so logged expert actions
+    discretize losslessly (imitation_dataset.py:330-333 table).
+    """
+    lookahead = jnp.maximum(4.0, 0.8 * state.ego_v)
+    target_pos, _ = route_point(town, state.ego_route, state.ego_s + lookahead)
+    rel = target_pos - state.ego_pos
+    # angle to target in body frame
+    alpha = jnp.arctan2(rel[1], rel[0]) - state.ego_yaw
+    alpha = jnp.mod(alpha + jnp.pi, 2 * jnp.pi) - jnp.pi
+    ld = jnp.linalg.norm(rel) + 1e-6
+    steer_angle = jnp.arctan2(2.0 * params.wheelbase * jnp.sin(alpha), ld)
+    steer = jnp.clip(steer_angle / params.max_steer, -1.0, 1.0)
+
+    phases = agent_lib.light_phases(
+        town, state.t.astype(jnp.float32) * params.dt,
+        params.light_green, params.light_yellow, params.light_red)
+    must_stop = agent_lib.red_light_ahead(town, state.ego_pos, state.ego_yaw,
+                                          phases, stop_distance=15.0)
+    err = params.target_speed - state.ego_v
+    throttle = jnp.where(err > 1.0, 1.0, jnp.where(err > -0.5, 0.5, 0.0))
+    brake = jnp.where(err <= -0.5, 1.0, 0.0)
+    throttle = jnp.where(must_stop, 0.0, throttle)
+    brake = jnp.where(must_stop, 1.0, brake)
+    return VehicleControl(steer=steer, throttle=throttle, brake=brake)
+
+
+def sensor_vector(params: SimParams, state: WorldState) -> jnp.ndarray:
+    """(3,) = (current_steer, speed_long, speed) — the reference's sensor
+    contract (imitation_dataset.py:159-160)."""
+    beta = jnp.arctan(0.5 * jnp.tan(state.ego_steer))
+    return jnp.stack([
+        state.ego_steer / params.max_steer,
+        state.ego_v * jnp.cos(beta),
+        state.ego_v,
+    ])
+
+
+def traffic_light_state(params: SimParams, town: TownMap, state: WorldState):
+    """() int32 — 1 when a red/yellow light blocks the ego (state.csv
+    'trafficlight' column semantics)."""
+    phases = agent_lib.light_phases(
+        town, state.t.astype(jnp.float32) * params.dt,
+        params.light_green, params.light_yellow, params.light_red)
+    return agent_lib.red_light_ahead(town, state.ego_pos, state.ego_yaw, phases,
+                                     stop_distance=15.0).astype(jnp.int32)
+
+
+def make_batched_env(params: SimParams, town: TownMap):
+    """vmapped reset/step closures over the env axis (shard with NamedSharding
+    on the leading dim for multi-chip fleets)."""
+
+    def reset_batch(rng, n_envs: int):
+        return jax.vmap(lambda k: reset_env(params, town, k))(
+            jax.random.split(rng, n_envs))
+
+    def step_batch(states: WorldState, controls: VehicleControl):
+        return jax.vmap(lambda s, c: step_env(params, town, s, c))(states, controls)
+
+    return reset_batch, step_batch

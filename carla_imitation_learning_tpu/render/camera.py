@@ -1,0 +1,102 @@
+"""Pinhole camera + 2D-homogeneous triangle setup.
+
+Projection emits, per triangle, the 2D-homogeneous edge/interpolation
+coefficients (Olano–Greer style): with screen-homogeneous vertices
+v_i = (sx·w, sy·w, w), the edge rows are E_i = cross(v_{i+1}, v_{i+2}) and for
+a pixel p = (px, py, 1):
+
+    e_i(p) = E_i · p            inside ⇔ all e_i share a sign
+    den(p) = Σ_i e_i(p)
+    z(p)   = (Σ_i z_i E_i) · p / den(p)     (perspective-correct camera depth)
+
+No near-plane clipping is required: triangles crossing the eye plane
+rasterize correctly because the test/interp never divides by per-vertex w.
+This setup is pure batched linear algebra — it runs as fused matmuls/VPU ops
+ahead of the rasterizer.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+class Camera(struct.PyTreeNode):
+    pos: jnp.ndarray      # (3,) world position
+    forward: jnp.ndarray  # (3,) unit
+    right: jnp.ndarray    # (3,) unit
+    down: jnp.ndarray     # (3,) unit (image y grows downward)
+
+
+def camera_from_ego(ego_pos: jnp.ndarray, ego_yaw: jnp.ndarray,
+                    height: float = 1.6, forward_offset: float = 0.5) -> Camera:
+    """Dashboard camera: at the ego, looking along its heading, horizon level."""
+    c, s = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
+    forward = jnp.stack([c, s, jnp.zeros_like(c)], -1)
+    right = jnp.stack([s, -c, jnp.zeros_like(c)], -1)
+    down = jnp.array([0.0, 0.0, -1.0])
+    pos = jnp.concatenate([ego_pos + forward_offset * forward[:2],
+                           jnp.array([height])])
+    return Camera(pos=pos, forward=forward, right=right, down=down)
+
+
+class TriangleSetup(struct.PyTreeNode):
+    """Per-triangle rasterization coefficients (all (T, 3))."""
+
+    edges: jnp.ndarray   # (T, 3, 3) rows E_i
+    znum: jnp.ndarray    # (T, 3)  Σ_i z_i E_i (depth numerator row)
+    colors: jnp.ndarray  # (T, 3)
+    classes: jnp.ndarray  # (T,)
+    valid: jnp.ndarray   # (T,) bool — non-degenerate and not fully behind
+    bbox: jnp.ndarray    # (T, 4) screen-space xmin, xmax, ymin, ymax (conservative)
+
+
+def project_triangles(
+    tris: jnp.ndarray,   # (T, 3, 3) world vertices
+    colors: jnp.ndarray,
+    classes: jnp.ndarray,
+    cam: Camera,
+    width: int,
+    height: int,
+    fov_deg: float = 90.0,
+    near: float = 0.5,
+) -> TriangleSetup:
+    rel = tris - cam.pos  # (T,3,3)
+    x = rel @ cam.right   # (T,3) camera-right coords
+    y = rel @ cam.down
+    z = rel @ cam.forward  # camera depth
+
+    focal = 1.0 / jnp.tan(jnp.deg2rad(fov_deg) / 2.0)
+    # screen-homogeneous verts: (sx·w, sy·w, w) with w = z
+    sx_w = (x * focal + z) * (width / 2.0)   # ((x·f/z)+1)/2·W  · z
+    sy_w = (y * focal * (width / height) + z) * (height / 2.0)
+    v = jnp.stack([sx_w, sy_w, z], axis=-1)  # (T,3,3) homogeneous screen verts
+
+    e0 = jnp.cross(v[:, 1], v[:, 2])
+    e1 = jnp.cross(v[:, 2], v[:, 0])
+    e2 = jnp.cross(v[:, 0], v[:, 1])
+    edges = jnp.stack([e0, e1, e2], axis=1)  # (T,3,3)
+
+    znum = jnp.einsum("tv,tvc->tc", z, edges)  # Σ_i z_i E_i
+
+    # validity: some area and not entirely behind the near plane
+    det = jnp.einsum("tc,tc->t", v[:, 0], e0)  # det(M) = v0 · (v1 × v2)
+    any_area = jnp.abs(det) > 1e-9
+    front = jnp.any(z > near, axis=1)
+    degenerate = jnp.all(tris == 0.0, axis=(1, 2))  # padding
+    valid = any_area & front & ~degenerate
+
+    # conservative screen bbox (for tile culling): vertices behind the eye
+    # make the triangle's extent unbounded → clamp bbox to full screen then.
+    safe_z = jnp.maximum(z, 1e-3)
+    px = sx_w / safe_z
+    py = sy_w / safe_z
+    behind = jnp.any(z <= 1e-3, axis=1)
+    xmin = jnp.where(behind, 0.0, jnp.min(px, axis=1))
+    xmax = jnp.where(behind, float(width), jnp.max(px, axis=1))
+    ymin = jnp.where(behind, 0.0, jnp.min(py, axis=1))
+    ymax = jnp.where(behind, float(height), jnp.max(py, axis=1))
+    bbox = jnp.stack([xmin, xmax, ymin, ymax], axis=-1)
+
+    return TriangleSetup(edges=edges, znum=znum, colors=colors,
+                         classes=classes, valid=valid, bbox=bbox)

@@ -1,0 +1,181 @@
+"""Scene assembly: town + world state → fixed-size triangle buffers.
+
+All buffers are FIXED SHAPE (padded with degenerate triangles) so the whole
+render composes under jit/vmap/scan. Static geometry (ground, roads,
+buildings, light poles) is built once per town; per-step dynamics add traffic
+vehicles and phase-colored light heads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from carla_imitation_learning_tpu.sim.town import TownMap
+
+# Semantic classes (CARLA-like reduced set)
+SEM_SKY, SEM_TERRAIN, SEM_ROAD, SEM_BUILDING, SEM_VEHICLE, SEM_LIGHT = 0, 1, 2, 3, 4, 5
+
+SEMANTIC_PALETTE = np.array([
+    [70, 130, 180],   # sky
+    [107, 142, 35],   # terrain
+    [128, 64, 128],   # road
+    [70, 70, 70],     # building
+    [0, 0, 142],      # vehicle
+    [250, 170, 30],   # traffic light
+], dtype=np.float32) / 255.0
+
+
+class StaticScene(struct.PyTreeNode):
+    tris: jnp.ndarray    # (Ts, 3, 3) world-space vertices
+    colors: jnp.ndarray  # (Ts, 3) RGB in [0,1]
+    classes: jnp.ndarray  # (Ts,) int32 semantic ids
+
+
+def _quad(p0, p1, p2, p3) -> list:
+    """Two triangles for quad p0-p1-p2-p3 (in order)."""
+    return [[p0, p1, p2], [p0, p2, p3]]
+
+
+def _box_tris(cx, cy, hw, hh, z0, z1) -> list:
+    """Axis-aligned box: 4 walls + roof (10 triangles). Floor omitted."""
+    x0, x1, y0, y1 = cx - hw, cx + hw, cy - hh, cy + hh
+    c = lambda x, y, z: [x, y, z]  # noqa: E731
+    tris = []
+    tris += _quad(c(x0, y0, z0), c(x1, y0, z0), c(x1, y0, z1), c(x0, y0, z1))  # south
+    tris += _quad(c(x1, y0, z0), c(x1, y1, z0), c(x1, y1, z1), c(x1, y0, z1))  # east
+    tris += _quad(c(x1, y1, z0), c(x0, y1, z0), c(x0, y1, z1), c(x1, y1, z1))  # north
+    tris += _quad(c(x0, y1, z0), c(x0, y0, z0), c(x0, y0, z1), c(x0, y1, z1))  # west
+    tris += _quad(c(x0, y0, z1), c(x1, y0, z1), c(x1, y1, z1), c(x0, y1, z1))  # roof
+    return tris
+
+
+VEHICLE_TRIS = 10  # box walls + roof
+LIGHT_HEAD_TRIS = 2
+
+
+def build_static_scene(town: TownMap, seed: int = 0) -> StaticScene:
+    """Host-side (numpy) static scene build — runs once per town."""
+    rng = np.random.default_rng(seed)
+    size = 2.0 * float(town.extent)
+    tris, colors, classes = [], [], []
+
+    def add(t_list, color, cls, per_face_shade=True):
+        for i, t in enumerate(t_list):
+            tris.append(t)
+            shade = 1.0 if not per_face_shade else 0.8 + 0.2 * ((i // 2) % 3) / 2.0
+            colors.append(np.asarray(color) * shade)
+            classes.append(cls)
+
+    # ground plane (slightly below road to avoid z-fighting)
+    m = size  # extend one town-size beyond the edges
+    g = -0.02
+    add(_quad([-m, -m, g], [size + m, -m, g], [size + m, size + m, g], [-m, size + m, g]),
+        SEMANTIC_PALETTE[SEM_TERRAIN], SEM_TERRAIN, per_face_shade=False)
+
+    # roads: one long quad per grid segment
+    hwid = float(town.road_half_width)
+    for seg in np.asarray(town.road_segments):
+        x0, y0, x1, y1 = seg
+        d = np.array([x1 - x0, y1 - y0])
+        n = np.array([-d[1], d[0]])
+        n = n / (np.linalg.norm(n) + 1e-9) * hwid
+        add(_quad([x0 - n[0], y0 - n[1], 0.0], [x1 - n[0], y1 - n[1], 0.0],
+                  [x1 + n[0], y1 + n[1], 0.0], [x0 + n[0], y0 + n[1], 0.0]),
+            SEMANTIC_PALETTE[SEM_ROAD], SEM_ROAD, per_face_shade=False)
+
+    # buildings
+    for b in np.asarray(town.buildings):
+        cx, cy, hw, hh, h = b
+        tone = rng.uniform(0.6, 1.2)
+        add(_box_tris(cx, cy, hw, hh, 0.0, h), SEMANTIC_PALETTE[SEM_BUILDING] * tone,
+            SEM_BUILDING)
+
+    # light poles (heads are dynamic — colored by phase at render time)
+    for lp in np.asarray(town.lights_pos):
+        x, y = lp
+        add(_quad([x - 0.15, y, 0.0], [x + 0.15, y, 0.0],
+                  [x + 0.15, y, 4.5], [x - 0.15, y, 4.5]),
+            np.array([0.3, 0.3, 0.3]), SEM_LIGHT, per_face_shade=False)
+
+    return StaticScene(
+        tris=jnp.asarray(np.array(tris, np.float32)),
+        colors=jnp.asarray(np.clip(np.array(colors, np.float32), 0, 1)),
+        classes=jnp.asarray(np.array(classes, np.int32)),
+    )
+
+
+def _unit_vehicle_box() -> np.ndarray:
+    """(VEHICLE_TRIS, 3, 3) box for a 4.5×2.0×1.5 m vehicle centered at origin,
+    front along +x."""
+    return np.array(_box_tris(0.0, 0.0, 2.25, 1.0, 0.05, 1.55), np.float32)
+
+
+_UNIT_VEHICLE = _unit_vehicle_box()
+
+_LIGHT_PHASE_COLORS = np.array([
+    [0.1, 0.9, 0.1],  # green
+    [0.95, 0.8, 0.1],  # yellow
+    [0.9, 0.1, 0.1],  # red
+], dtype=np.float32)
+
+
+def vehicle_triangles(pos: jnp.ndarray, yaw: jnp.ndarray) -> jnp.ndarray:
+    """(A,2) pos + (A,) yaw → (A·10, 3, 3) world triangles (batched rotate)."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    rot = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)  # (A,2,2)
+    base = jnp.asarray(_UNIT_VEHICLE)  # (10,3,3)
+    xy = jnp.einsum("aij,tvj->atvi", rot, base[..., :2])  # (A,10,3,2)
+    xy = xy + pos[:, None, None, :]
+    z = jnp.broadcast_to(base[..., 2:], xy.shape[:-1] + (1,))
+    return jnp.concatenate([xy, z], axis=-1).reshape(-1, 3, 3)
+
+
+def light_head_triangles(lights_pos: jnp.ndarray, phases: jnp.ndarray):
+    """(L,2) + (L,) phase → ((L·2,3,3) tris, (L·2,3) colors) emissive heads."""
+    x, y = lights_pos[:, 0], lights_pos[:, 1]
+    r = 0.45
+    v0 = jnp.stack([x - r, y, jnp.full_like(x, 4.5)], -1)
+    v1 = jnp.stack([x + r, y, jnp.full_like(x, 4.5)], -1)
+    v2 = jnp.stack([x + r, y, jnp.full_like(x, 5.4)], -1)
+    v3 = jnp.stack([x - r, y, jnp.full_like(x, 5.4)], -1)
+    t0 = jnp.stack([v0, v1, v2], axis=1)
+    t1 = jnp.stack([v0, v2, v3], axis=1)
+    tris = jnp.concatenate([t0, t1], axis=0)  # (2L,3,3)
+    col = jnp.asarray(_LIGHT_PHASE_COLORS)[phases]  # (L,3)
+    colors = jnp.concatenate([col, col], axis=0)
+    return tris, colors
+
+
+def assemble_scene(
+    static: StaticScene,
+    lights_pos: jnp.ndarray,
+    phases: jnp.ndarray,
+    agents_pos: jnp.ndarray,
+    agents_yaw: jnp.ndarray,
+    max_triangles: int,
+):
+    """→ (tris (T,3,3), colors (T,3), classes (T,)) padded/truncated to T."""
+    veh = vehicle_triangles(agents_pos, agents_yaw)
+    lh_tris, lh_col = light_head_triangles(lights_pos, phases)
+    tris = jnp.concatenate([static.tris, veh, lh_tris], axis=0)
+    colors = jnp.concatenate([
+        static.colors,
+        jnp.tile(jnp.asarray(SEMANTIC_PALETTE[SEM_VEHICLE]), (veh.shape[0], 1)),
+        lh_col,
+    ], axis=0)
+    classes = jnp.concatenate([
+        static.classes,
+        jnp.full((veh.shape[0],), SEM_VEHICLE, jnp.int32),
+        jnp.full((lh_tris.shape[0],), SEM_LIGHT, jnp.int32),
+    ], axis=0)
+    n = tris.shape[0]
+    if n > max_triangles:
+        raise ValueError(f"scene has {n} triangles > max_triangles={max_triangles}")
+    pad = max_triangles - n
+    tris = jnp.pad(tris, ((0, pad), (0, 0), (0, 0)))
+    colors = jnp.pad(colors, ((0, pad), (0, 0)))
+    classes = jnp.pad(classes, ((0, pad),))
+    return tris, colors, classes

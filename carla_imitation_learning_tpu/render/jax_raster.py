@@ -1,0 +1,93 @@
+"""Pure-JAX z-buffer rasterizer: lax.scan over triangle chunks.
+
+The portable correctness reference for the Pallas tile kernel (ops/raster.py).
+Per chunk, edge/depth evaluation is a broadcasted FMA over the pixel grid and
+the z-test is a masked min-reduction — all fused by XLA. Buffers are carried
+through the scan, so peak memory is O(chunk · H · W) per env.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from carla_imitation_learning_tpu.render.camera import TriangleSetup
+from carla_imitation_learning_tpu.render.geometry import SEMANTIC_PALETTE, SEM_SKY
+
+SKY_TOP = jnp.asarray([0.35, 0.55, 0.85])
+SKY_HORIZON = jnp.asarray([0.75, 0.85, 0.95])
+
+
+def sky_image(height: int, width: int) -> jnp.ndarray:
+    """Vertical sky gradient background."""
+    t = jnp.linspace(0.0, 1.0, height)[:, None, None]
+    return jnp.broadcast_to(SKY_TOP * (1 - t) + SKY_HORIZON * t, (height, width, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "chunk", "near", "far"))
+def rasterize_jax(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    chunk: int = 64,
+    near: float = 0.5,
+    far: float = 300.0,
+):
+    """→ (rgb (H,W,3) f32, sem (H,W) int32, depth (H,W) f32)."""
+    T = setup.edges.shape[0]
+    assert T % chunk == 0, f"triangle count {T} must be a multiple of chunk {chunk}"
+    px = jnp.arange(width, dtype=jnp.float32) + 0.5
+    py = jnp.arange(height, dtype=jnp.float32) + 0.5
+    PX = px[None, :] * jnp.ones((height, 1))   # (H,W)
+    PY = py[:, None] * jnp.ones((1, width))
+
+    edges = setup.edges.reshape(T // chunk, chunk, 3, 3)
+    znum = setup.znum.reshape(T // chunk, chunk, 3)
+    colors = setup.colors.reshape(T // chunk, chunk, 3)
+    classes = setup.classes.reshape(T // chunk, chunk)
+    valid = setup.valid.reshape(T // chunk, chunk)
+
+    def body(carry, xs):
+        zbuf, rgb, sem = carry
+        e_c, zn_c, col_c, cls_c, val_c = xs
+
+        # e_i(p) per chunk triangle: (C, 3, H, W)
+        e = (e_c[:, :, 0, None, None] * PX + e_c[:, :, 1, None, None] * PY
+             + e_c[:, :, 2, None, None])
+        inside = jnp.all(e > 0.0, axis=1) | jnp.all(e < 0.0, axis=1)  # (C,H,W)
+        den = jnp.sum(e, axis=1)
+        z = (zn_c[:, 0, None, None] * PX + zn_c[:, 1, None, None] * PY
+             + zn_c[:, 2, None, None]) / jnp.where(den == 0, 1e-9, den)
+        ok = inside & val_c[:, None, None] & (z > near) & (z < far)
+        zm = jnp.where(ok, z, jnp.inf)  # (C,H,W)
+
+        win = jnp.argmin(zm, axis=0)  # (H,W) best triangle in chunk
+        zwin = jnp.take_along_axis(zm, win[None], axis=0)[0]
+        better = zwin < zbuf
+        zbuf = jnp.where(better, zwin, zbuf)
+        rgb = jnp.where(better[..., None], col_c[win], rgb)
+        sem = jnp.where(better, cls_c[win], sem)
+        return (zbuf, rgb, sem), None
+
+    init = (
+        jnp.full((height, width), jnp.inf),
+        sky_image(height, width),
+        jnp.full((height, width), SEM_SKY, jnp.int32),
+    )
+    (zbuf, rgb, sem), _ = jax.lax.scan(
+        body, init, (edges, znum, colors, classes, valid))
+
+    # simple distance shading on hit pixels (depth cue, keeps flat look)
+    hit = jnp.isfinite(zbuf)
+    shade = jnp.where(hit, 1.0 / (1.0 + 0.004 * jnp.nan_to_num(zbuf, posinf=0.0)), 1.0)
+    rgb = rgb * shade[..., None]
+    depth = jnp.where(hit, zbuf, far)
+    return rgb, sem, depth
+
+
+def semantic_to_rgb(sem: jnp.ndarray) -> jnp.ndarray:
+    """Semantic ids → palette colors (for visualization and the reference's
+    'semantic' camera variant, train.py:97)."""
+    return jnp.asarray(SEMANTIC_PALETTE)[sem]

@@ -1,0 +1,74 @@
+"""Render pipeline: world state → camera frames, as one jit-able function.
+
+make_renderer() closes over the static scene and returns render(state) for a
+single env — vmap it for fleets; the backend is selectable:
+'jax' (portable scan rasterizer) or 'pallas' (TPU tile kernel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from carla_imitation_learning_tpu.render import geometry as geo
+from carla_imitation_learning_tpu.render.camera import camera_from_ego, project_triangles
+from carla_imitation_learning_tpu.render.jax_raster import rasterize_jax, semantic_to_rgb
+from carla_imitation_learning_tpu.sim import agents as agent_lib
+from carla_imitation_learning_tpu.sim.town import TownMap
+from carla_imitation_learning_tpu.sim.world import SimParams, WorldState
+
+LUMA = jnp.asarray([0.299, 0.587, 0.114])  # reference imitation_dataset.py:121
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    height: int = 128
+    width: int = 128
+    fov_deg: float = 90.0
+    max_triangles: int = 512
+    near: float = 0.5
+    far: float = 300.0
+    backend: str = "jax"  # 'jax' | 'pallas'
+
+    @classmethod
+    def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
+        r = cfg.render
+        return cls(height=int(r.height), width=int(r.width),
+                   fov_deg=float(r.fov_deg), max_triangles=int(r.max_triangles),
+                   near=float(r.near), far=float(r.far),
+                   backend=backend or str(r.get("backend", "jax")))
+
+
+def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig):
+    """→ render(state) -> {'rgb','semantic','gray','depth'} for ONE env."""
+    static = geo.build_static_scene(town)
+
+    if rcfg.backend == "pallas":
+        from carla_imitation_learning_tpu.ops.raster import rasterize_pallas as raster
+    else:
+        raster = None
+
+    def render(state: WorldState):
+        phases = agent_lib.light_phases(
+            town, state.t.astype(jnp.float32) * params.dt,
+            params.light_green, params.light_yellow, params.light_red)
+        agents_pos, agents_yaw = agent_lib.agent_positions(
+            town, state.agents_route, state.agents_s)
+        tris, colors, classes = geo.assemble_scene(
+            static, town.lights_pos, phases, agents_pos, agents_yaw,
+            rcfg.max_triangles)
+        cam = camera_from_ego(state.ego_pos, state.ego_yaw)
+        setup = project_triangles(tris, colors, classes, cam,
+                                  rcfg.width, rcfg.height, rcfg.fov_deg, rcfg.near)
+        if raster is not None:
+            rgb, sem, depth = raster(setup, rcfg.height, rcfg.width,
+                                     near=rcfg.near, far=rcfg.far)
+        else:
+            rgb, sem, depth = rasterize_jax(setup, rcfg.height, rcfg.width,
+                                            near=rcfg.near, far=rcfg.far)
+        gray = rgb @ LUMA  # (H,W) in [0,1] — the policy's observation channel
+        return {"rgb": rgb, "semantic": sem, "gray": gray, "depth": depth,
+                "semantic_rgb": semantic_to_rgb(sem)}
+
+    return render

@@ -1,0 +1,194 @@
+"""Closed-loop evaluation, on-device data collection, and DAgger.
+
+The capability the reference system delegates to CARLA's client-server socket
+loop, rebuilt as single-jit programs (BASELINE.json configs #4-#5):
+
+- ``make_rollout``      — policy-in-the-loop fleet rollout: sim step → Pallas
+  render → 4-frame stack → policy forward → discrete action → sim step, all
+  inside one lax.scan. ZERO host round-trips per step.
+- ``evaluate_policy``   — driving metrics over N envs × T steps (collision /
+  off-road / red-light infraction rates, mean speed, episodes completed).
+- ``collect_dataset``   — autopilot (expert) rollouts → a FrameStore, i.e.
+  on-device generation of exactly the data contract the reference consumes
+  from CARLA logs (frames + state.csv columns).
+- ``dagger_iteration``  — policy drives, expert labels: on-policy aggregation
+  feeding BC (configs #5).
+
+Observation contract matches the reference BC setup: the policy sees the last
+``frame_skip`` grayscale frames stacked as channels
+(imitation_dataset.py:115-122), rendered at the sim camera resolution.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_imitation_learning_tpu.data.actions import discrete_to_continuous
+from carla_imitation_learning_tpu.render.pipeline import RenderConfig, make_renderer
+from carla_imitation_learning_tpu.sim.world import (
+    SimParams, VehicleControl, WorldState, autopilot_control, reset_env,
+    sensor_vector, step_env, traffic_light_state,
+)
+from carla_imitation_learning_tpu.sim.town import TownMap
+
+
+def control_from_discrete(action: jnp.ndarray) -> VehicleControl:
+    steer, throttle, brake = discrete_to_continuous(action)
+    return VehicleControl(steer=steer, throttle=throttle, brake=brake)
+
+
+def _init_framebuf(n_envs: int, frame_skip: int, h: int, w: int) -> jnp.ndarray:
+    return jnp.zeros((n_envs, frame_skip, h, w), jnp.float32)
+
+
+def make_rollout(
+    params: SimParams,
+    town: TownMap,
+    rcfg: RenderConfig,
+    policy_fn: Callable | None,
+    frame_skip: int = 4,
+):
+    """Build (init_fn, rollout_fn).
+
+    policy_fn(obs_nhwc (B,H,W,fs)) -> (B,) int32 discrete actions; None means
+    drive with the autopilot expert.
+
+    rollout_fn(carry, n_steps) -> (carry, traj) where traj stacks per-step:
+    gray frames (T,B,H,W), actions (T,B), sensors (T,B,3), traffic (T,B),
+    info scalars. carry = (states, framebuf).
+    """
+    render = make_renderer(params, town, rcfg)
+    render_batch = jax.vmap(render)
+    step_batch = jax.vmap(lambda s, c: step_env(params, town, s, c))
+    expert_batch = jax.vmap(lambda s: autopilot_control(params, town, s))
+    sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))
+    light_batch = jax.vmap(lambda s: traffic_light_state(params, town, s))
+
+    def init_fn(rng, n_envs: int):
+        states = jax.vmap(lambda k: reset_env(params, town, k))(
+            jax.random.split(rng, n_envs))
+        framebuf = _init_framebuf(n_envs, frame_skip, rcfg.height, rcfg.width)
+        # warm the frame buffer with the initial view
+        gray0 = render_batch(states)["gray"]
+        framebuf = jnp.repeat(gray0[:, None], frame_skip, axis=1)
+        return states, framebuf
+
+    def one_step(carry, _):
+        states, framebuf = carry
+        gray = render_batch(states)["gray"]  # (B,H,W)
+        framebuf = jnp.concatenate([framebuf[:, 1:], gray[:, None]], axis=1)
+        obs = jnp.transpose(framebuf, (0, 2, 3, 1))  # NHWC for the policy
+
+        expert = expert_batch(states)
+        if policy_fn is None:
+            control = expert
+            # expert's own action, discretized, is the label
+            from carla_imitation_learning_tpu.data.actions import continuous_to_discrete
+            action = continuous_to_discrete(
+                expert.steer, expert.throttle, expert.brake).astype(jnp.int32)
+        else:
+            action = policy_fn(obs).astype(jnp.int32)
+            control = control_from_discrete(action)
+
+        from carla_imitation_learning_tpu.data.actions import continuous_to_discrete
+        expert_action = continuous_to_discrete(
+            expert.steer, expert.throttle, expert.brake).astype(jnp.int32)
+
+        sensors = sensor_batch(states)
+        traffic = light_batch(states)
+        new_states, info = step_batch(states, control)
+        out = {
+            "gray": gray, "action": action, "expert_action": expert_action,
+            "sensor": sensors, "traffic": traffic,
+            "collision": info["collision"], "offroad": info["offroad"],
+            "done": info["done"], "speed": info["speed"],
+            "red_light": info["red_light"],
+            "steer": control.steer, "throttle": control.throttle,
+            "brake": control.brake,
+        }
+        return (new_states, framebuf), out
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def rollout_fn(carry, n_steps: int):
+        return jax.lax.scan(one_step, carry, None, length=n_steps)
+
+    return init_fn, rollout_fn
+
+
+def evaluate_policy(
+    params: SimParams, town: TownMap, rcfg: RenderConfig,
+    policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 200,
+    frame_skip: int = 4,
+) -> dict:
+    """Driving metrics for a policy (or the expert when policy_fn is None)."""
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip)
+    carry = init_fn(rng, n_envs)
+    _, traj = rollout_fn(carry, n_steps)
+    steps = n_envs * n_steps
+    return {
+        "mean_speed": float(traj["speed"].mean()),
+        "collisions_per_1k_steps": float(traj["collision"].sum()) / steps * 1000,
+        "offroad_per_1k_steps": float(traj["offroad"].sum()) / steps * 1000,
+        "episodes_ended": int(traj["done"].sum()),
+        "red_light_exposure": float(traj["red_light"].mean()),
+        "action_agreement": float((traj["action"] == traj["expert_action"]).mean()),
+        "env_steps": steps,
+    }
+
+
+def collect_dataset(
+    params: SimParams, town: TownMap, rcfg: RenderConfig, rng,
+    n_envs: int = 16, n_steps: int = 256, frame_skip: int = 4,
+    policy_fn: Callable | None = None,
+):
+    """Rollouts → FrameStore (frames packed uint8 + expert labels + sensors).
+
+    With policy_fn=None this is expert data collection (the on-device
+    equivalent of the reference's CARLA autopilot logging). With a policy it
+    is the DAgger aggregation step: the POLICY drives, the EXPERT labels.
+    Episode boundaries are respected: windows never cross a reset (frames are
+    laid out env-major, and the caller stacks within env streams).
+    """
+    from carla_imitation_learning_tpu.data.frame_log import StateLog
+    from carla_imitation_learning_tpu.data.pipeline import FrameStore
+
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip)
+    carry = init_fn(rng, n_envs)
+    _, traj = rollout_fn(carry, n_steps)
+
+    # (T,B,...) → env-major (B*T, ...) so each env's stream is contiguous
+    def flat(x):
+        return np.asarray(jnp.swapaxes(x, 0, 1).reshape((-1,) + x.shape[2:]))
+
+    frames_u8 = np.clip(flat(traj["gray"]) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    state = StateLog(
+        steer=flat(traj["steer"]).astype(np.float64),
+        throttle=flat(traj["throttle"]).astype(np.float64),
+        brake=flat(traj["brake"]).astype(np.float64),
+        trafficlight=flat(traj["traffic"]).astype(np.float64),
+        current_steer=flat(traj["sensor"])[:, 0].astype(np.float64),
+        speed_long=flat(traj["sensor"])[:, 1].astype(np.float64),
+        speed=flat(traj["sensor"])[:, 2].astype(np.float64),
+    )
+    store = FrameStore(
+        frames=frames_u8,
+        actions=flat(traj["expert_action"]).astype(np.int32),
+        traffic=flat(traj["traffic"]).astype(np.int32),
+        sensors=flat(traj["sensor"]).astype(np.float32),
+    )
+    return store, state, traj
+
+
+def dagger_iteration(
+    params: SimParams, town: TownMap, rcfg: RenderConfig,
+    policy_fn: Callable, rng, n_envs: int = 16, n_steps: int = 256,
+    frame_skip: int = 4,
+):
+    """One DAgger round: policy drives, expert labels → aggregation store."""
+    return collect_dataset(params, town, rcfg, rng, n_envs, n_steps, frame_skip,
+                           policy_fn=policy_fn)

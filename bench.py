@@ -91,6 +91,9 @@ def bench_bc_images(batch: int = 256, hw: int = 256, iters: int = 20) -> float:
 
 
 def main() -> None:
+    from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     log(f"devices: {jax.devices()}")
     bc_rate = bench_bc_images()
     rate = bench_closed_loop()

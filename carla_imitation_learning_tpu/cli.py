@@ -1,0 +1,94 @@
+"""CLI: ``tpuil run <experiment> [--override k=v ...]``.
+
+Replaces the reference's edit-the-source workflow (flipping skip_run flags in
+train.py:19-239) with named experiments + config overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tpuil",
+        description="TPU-native driving-simulation + imitation-learning framework")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run_p = sub.add_parser("run", help="run a named experiment")
+    run_p.add_argument("experiment", help="experiment name (see 'tpuil list')")
+    run_p.add_argument("--config", default="config", help="root config name")
+    run_p.add_argument("--override", "-o", action="append", default=[],
+                       metavar="K=V", help="config override (group or dotted value)")
+    run_p.add_argument("--checkpoint", default=None, help="checkpoint to restore")
+    run_p.add_argument("--json", action="store_true", help="print result as JSON")
+
+    sub.add_parser("list", help="list experiments")
+
+    bench_p = sub.add_parser("bench", help="run the headline benchmark")
+    bench_p.add_argument("--envs", type=int, default=1024)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "list":
+        from carla_imitation_learning_tpu.experiments import EXPERIMENTS
+
+        for name, fn in sorted(EXPERIMENTS.items()):
+            doc = (fn.__doc__ or "").strip().splitlines()[0]
+            print(f"{name:<20} {doc}")
+        return 0
+
+    if args.command == "bench":
+        import bench  # repo-root bench.py when run from the repo
+
+        bench.main()
+        return 0
+
+    from carla_imitation_learning_tpu import compose
+    from carla_imitation_learning_tpu.experiments import EXPERIMENTS
+    from carla_imitation_learning_tpu.utils import ColorPrint
+    from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    if args.experiment not in EXPERIMENTS:
+        ColorPrint.print_warn(
+            f"unknown experiment {args.experiment!r}; available: "
+            f"{', '.join(sorted(EXPERIMENTS))}")
+        return 2
+
+    # experiment-appropriate default model group (reference composes
+    # model=imitation for the BC blocks, train.py:95)
+    overrides = list(args.override)
+    if args.experiment.startswith(("bc", "test", "hpo", "dagger", "closed", "collect")) \
+            and not any(o.startswith("model=") for o in overrides):
+        overrides.insert(0, "model=imitation")
+    cfg = compose(args.config, overrides=overrides)
+
+    ColorPrint.print_run(f"running experiment {args.experiment}")
+    kw = {}
+    if args.checkpoint:
+        kw["checkpoint"] = args.checkpoint
+    result = EXPERIMENTS[args.experiment](cfg, **kw)
+
+    def scrub(x):
+        if isinstance(x, dict):
+            return {k: scrub(v) for k, v in x.items() if k != "state"}
+        if isinstance(x, (list, tuple)):
+            return [scrub(v) for v in x]
+        if hasattr(x, "item") and getattr(x, "ndim", 1) == 0:
+            return x.item()
+        return x
+
+    printable = scrub(result)
+    if args.json:
+        print(json.dumps(printable, default=str))
+    else:
+        print(json.dumps(printable, indent=1, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

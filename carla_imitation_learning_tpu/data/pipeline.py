@@ -48,6 +48,7 @@ class FrameStore:
     actions: np.ndarray
     traffic: np.ndarray
     sensors: np.ndarray
+    commands: np.ndarray | None = None  # (N,) CIL navigation commands, optional
 
     def __len__(self) -> int:
         return len(self.frames)
@@ -84,14 +85,21 @@ class FrameStore:
         data_dir = Path(cfg["data_dir"])
         frame_dir = data_dir / "processed" / log / split / log
         if not frame_dir.is_dir():
-            # fall back to the sole frame subfolder under the split (the raw
-            # layout's class-folder name may differ, e.g. a camera name)
-            subdirs = [p for p in (data_dir / "processed" / log / split).iterdir()
-                       if p.is_dir()]
-            if len(subdirs) != 1:
-                raise FileNotFoundError(
-                    f"expected {frame_dir} or exactly one frame folder, got {subdirs}")
-            frame_dir = subdirs[0]
+            # fall back to the configured camera's folder, else the sole
+            # frame subfolder under the split
+            camera = cfg.get("camera")
+            camera = camera[0] if isinstance(camera, list) else camera
+            cam_dir = data_dir / "processed" / log / split / str(camera)
+            if cam_dir.is_dir():
+                frame_dir = cam_dir
+            else:
+                subdirs = [p for p in (data_dir / "processed" / log / split).iterdir()
+                           if p.is_dir()]
+                if len(subdirs) != 1:
+                    raise FileNotFoundError(
+                        f"expected {frame_dir}, {cam_dir}, or exactly one frame "
+                        f"folder, got {subdirs}")
+                frame_dir = subdirs[0]
         flog = fl.FrameLog(frame_dir)
         state_path = data_dir / "raw" / log / "state.csv"
         if not state_path.exists():
@@ -122,6 +130,7 @@ class FrameStore:
         return FrameStore(
             self.frames[start:stop], self.actions[start:stop],
             self.traffic[start:stop], self.sensors[start:stop],
+            None if self.commands is None else self.commands[start:stop],
         )
 
 
@@ -163,12 +172,14 @@ class DeviceDataset:
         dtype: str = "float32",
         sharding=None,
         label_offset: int | None = None,
+        cil: bool = False,
     ):
         self.store = store
         self.batch_size = batch_size
         self.frame_skip = frame_skip
         self.shuffle = shuffle
         self.aux = aux
+        self.cil = cil
         self.drop_last = drop_last
         self.dtype = dtype
         self._rng = np.random.default_rng(seed)
@@ -189,6 +200,9 @@ class DeviceDataset:
         self.actions = device_put(store.actions.astype(np.int32))
         self.traffic = device_put(store.traffic.astype(np.int32))
         self.sensors = device_put(store.sensors.astype(np.float32))
+        commands = (store.commands if store.commands is not None
+                    else np.zeros(len(store), np.int32))
+        self.commands = device_put(commands.astype(np.int32))
         self._idx_sharding = sharding
 
     def __len__(self) -> int:
@@ -209,6 +223,10 @@ class DeviceDataset:
             idx = jax.device_put(idx, self._idx_sharding)
         x = gather_windows(self.frames, idx, self.frame_skip, self.dtype)
         y = self.actions[idx + self.label_offset]
+        if self.cil:
+            speed = self.sensors[idx + self.label_offset, 2]
+            command = self.commands[idx + self.label_offset]
+            return x, speed, command, y
         if not self.aux:
             return x, y
         sensor = self.sensors[idx + self.label_offset]

@@ -1,0 +1,460 @@
+"""Named experiments — the framework's replacement for the reference's
+skip_run-gated blocks in train.py (SURVEY.md L6). Each experiment is a
+function(cfg, **kw) -> result dict; the CLI dispatches by name.
+
+Parity map (reference train.py block → experiment):
+  split_image_folder (:19)                  → split_folders
+  pooled_data_vae (:31)                     → vae_pooled
+  leave_one_out_data_vae (:61)              → vae_leave_one_out
+  behavior_cloning (:93)                    → bc
+  aux (:131)                                → bc_aux
+  test (:167)                               → test_eval
+  behavior_cloning_with_raw_segmented (:205)→ bc_raw_segment
+New capabilities (BASELINE.json configs #2, #4, #5):
+  bc_cil, collect_data, closed_loop_eval, dagger, hpo
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from carla_imitation_learning_tpu.callbacks import (
+    SaveBestMetricScores, SaveConfusionMatrix, SaveMetricsHeatmap,
+)
+from carla_imitation_learning_tpu.data import frame_log as fl
+from carla_imitation_learning_tpu.data import pipeline as pipe
+from carla_imitation_learning_tpu.data import stats as stats_lib
+from carla_imitation_learning_tpu.data import vae_data
+from carla_imitation_learning_tpu.models import (
+    AuxNet, BranchedCILPolicy, ConvVAE, DualStreamCNN, PolicyCNN,
+)
+from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+from carla_imitation_learning_tpu.sim.town import make_town_from_cfg
+from carla_imitation_learning_tpu.sim.world import SimParams
+from carla_imitation_learning_tpu.training import (
+    Trainer, aux_loss_fn, bc_loss_fn, cil_loss_fn, create_train_state,
+    dual_stream_loss_fn, make_optimizer, vae_loss_fn,
+)
+from carla_imitation_learning_tpu.training import closed_loop as cl
+from carla_imitation_learning_tpu.utils.checkpoint import BestKCheckpointManager
+from carla_imitation_learning_tpu.utils.logging import MetricLogger
+
+EXPERIMENTS = {}
+
+
+def experiment(name):
+    def deco(fn):
+        EXPERIMENTS[name] = fn
+        return fn
+
+    return deco
+
+
+def _dtype(cfg):
+    return jnp.bfloat16 if str(cfg.get("compute_dtype", "bfloat16")) == "bfloat16" \
+        else jnp.float32
+
+
+def _trainer_bits(cfg, name: str):
+    log_dir = Path(cfg["log_dir"])
+    logger = MetricLogger(log_dir, name)
+    ck = cfg.get_dotted("trainer.checkpoint", {})
+    ckpt = BestKCheckpointManager(
+        log_dir / name / "ckpt", monitor=ck.get("monitor", "val_loss"),
+        mode=ck.get("mode", "min"), save_top_k=int(ck.get("save_top_k", 1)),
+        save_last=bool(ck.get("save_last", False)), filename=name)
+    callbacks = [SaveBestMetricScores()]
+    n_actions = int(cfg.get("n_actions", 9))
+    callbacks += [SaveMetricsHeatmap(n_actions, out_dir=str(log_dir / name)),
+                  SaveConfusionMatrix(n_actions, out_dir=str(log_dir / name))]
+    trainer = Trainer(cfg, logger=logger, callbacks=callbacks,
+                      checkpoint_manager=ckpt, name=name)
+    return trainer, ckpt
+
+
+def _fit(cfg, name, model, example, loss_fn, loaders):
+    """Shared fit plumbing: smoke forward → optimizer → Trainer.fit
+    (mirrors each reference block's net→loaders→Lightning shape,
+    train.py:119-129)."""
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    spe = max(1, len(loaders["train_dataloader"]))
+    tx = make_optimizer(cfg, steps_per_epoch=spe)
+    state = create_train_state(model, rng, example, tx)
+    trainer, ckpt = _trainer_bits(cfg, name)
+    result = trainer.fit(state, loss_fn, loaders, rng,
+                         max_epochs=int(cfg.get("NUM_EPOCHS",
+                                                cfg.get_dotted("trainer.max_epochs", 1))))
+    test_metrics = trainer.test(result.state, loss_fn, loaders) \
+        if loaders.get("test_dataloader") else {}
+    return {
+        "history": result.history, "throughput": result.throughput,
+        "best_metric": result.best_metric, "best_path": result.best_path,
+        "test": test_metrics, "state": result.state,
+    }
+
+
+def _maybe_synthesize(cfg, camera: str = "camera"):
+    """If the data contract is absent under data_dir, synthesize a raw log +
+    sequential split so every experiment runs hermetically."""
+    data_dir = Path(cfg["data_dir"])
+    log = cfg["train_logs"][0]
+    if (data_dir / "processed" / log).exists():
+        return
+    n = int(cfg.get("synthetic_frames", 120))
+    h = int(cfg.get("image_height", 256))
+    fl.write_synthetic_log(data_dir, log=log, cameras=(camera, "semantic"),
+                           n_frames=n, height=h, width=int(cfg.get("image_width", h)),
+                           seed=int(cfg.get("data_seed", 1337)))
+    fl.split_frames(data_dir / "raw" / log, data_dir / "processed" / log,
+                    ratio=(0.8, 0.1, 0.1), shuffle=False)
+
+
+@experiment("split_folders")
+def split_folders(cfg, **kw):
+    """Reference train.py:19-29 (splitfolders.ratio 80/10/10, sequential)."""
+    data_dir = Path(cfg["data_dir"])
+    log = cfg["train_logs"][0]
+    counts = fl.split_frames(data_dir / "raw" / log, data_dir / "processed" / log,
+                             ratio=(0.8, 0.1, 0.1), shuffle=False,
+                             seed=int(cfg.get("data_seed", 1337)))
+    return {"counts": counts}
+
+
+@experiment("bc")
+def behavior_cloning(cfg, cameras=("camera", "semantic"), **kw):
+    """Reference train.py:93-129: ConvNet1 BC per camera type."""
+    results = {}
+    for camera in cameras:
+        cfg_c = cfg.copy()
+        cfg_c["camera"] = camera
+        _maybe_synthesize(cfg_c, camera)
+        loaders = pipe.sequential_train_val_test_iterator(cfg_c)
+        model = PolicyCNN(obs_size=int(cfg["obs_size"]),
+                          n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
+        example = model.example_input(1, int(cfg.get("image_height", 256)),
+                                      int(cfg.get("image_width", 256)))
+        results[camera] = _fit(cfg_c, f"imitation_{camera}", model, example,
+                               bc_loss_fn, loaders)
+    return results
+
+
+@experiment("bc_aux")
+def behavior_cloning_aux(cfg, cameras=("camera",), **kw):
+    """Reference train.py:131-165: AuxNet multi-task (recon+traffic+action)."""
+    results = {}
+    for camera in cameras:
+        cfg_c = cfg.copy()
+        cfg_c["camera"] = camera
+        _maybe_synthesize(cfg_c, camera)
+        loaders = pipe.sequential_aux_train_val_test_iterator(cfg_c)
+        model = AuxNet(obs_size=int(cfg["obs_size"]),
+                       n_actions=int(cfg["n_actions"]),
+                       n_traffic_classes=int(cfg.get("n_traffic_classes", 2)),
+                       image_hw=int(cfg.get("image_height", 256)), dtype=_dtype(cfg))
+        loss = aux_loss_fn(float(cfg.get("aux_recon_weight", 0.0)),
+                           float(cfg.get("aux_traffic_weight", 0.0)),
+                           float(cfg.get("aux_action_weight", 1.0)))
+        results[camera] = _fit(cfg_c, f"imitation_aux_{camera}", model,
+                               (model.example_input(1),), loss, loaders)
+    return results
+
+
+@experiment("bc_raw_segment")
+def behavior_cloning_raw_segment(cfg, **kw):
+    """Reference train.py:205-239: shared-trunk dual-stream (raw + semantic)."""
+    cfg_c = cfg.copy()
+    _maybe_synthesize(cfg_c, "camera")
+    raw = pipe._sequential_stores(cfg_c)
+    cfg_s = cfg_c.copy()
+    # semantic stream shares the split; frames come from the 'semantic' camera
+    sem_dir = Path(cfg["data_dir"]) / "raw" / cfg["train_logs"][0] / "semantic"
+    sem_frames = fl.FrameLog(sem_dir).read_all_gray_u8() if sem_dir.is_dir() else None
+
+    class ZipLoader:
+        def __init__(self, base: pipe.DeviceDataset, seg_frames):
+            self.base = base
+            h, w = base.store.height, base.store.width
+            seg = seg_frames if seg_frames is not None else base.store.frames
+            self.seg = jnp.asarray(seg[:len(base.store)])
+            self.batch_size = base.batch_size
+
+        def __len__(self):
+            return len(self.base)
+
+        def __iter__(self):
+            order = self.base.epoch_indices()
+            for b in range(len(self.base)):
+                idx = order[b * self.base.batch_size:(b + 1) * self.base.batch_size]
+                x, y = self.base.make_batch(idx)
+                xs = pipe.gather_windows(self.seg, jnp.asarray(idx, jnp.int32),
+                                         self.base.frame_skip, self.base.dtype)
+                yield x, xs, y
+
+    loaders = {}
+    for split, name in (("train", "train_dataloader"), ("val", "val_dataloader"),
+                        ("test", "test_dataloader")):
+        base = pipe.DeviceDataset(raw[split], int(cfg["BATCH_SIZE"]),
+                                  frame_skip=int(cfg["frame_skip"]),
+                                  drop_last=(split == "train"))
+        loaders[name] = ZipLoader(base, sem_frames)
+    model = DualStreamCNN(obs_size=int(cfg["obs_size"]),
+                          n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
+    return _fit(cfg_c, "imitation_raw_segment", model, model.example_input(1),
+                dual_stream_loss_fn, loaders)
+
+
+@experiment("vae_pooled")
+def vae_pooled(cfg, **kw):
+    """Reference train.py:31-59: pooled-data conv VAE."""
+    cfg_c = cfg.copy()
+    cfg_c["camera"] = kw.get("camera", "SL")
+    cfg_c["train_logs"] = cfg["logs"]
+    _maybe_synthesize_vae(cfg_c)
+    loaders = vae_data.train_val_test_iterator(cfg_c, "pooled_data")
+    return _fit_vae(cfg_c, "vae_pooled", loaders)
+
+
+@experiment("vae_leave_one_out")
+def vae_leave_one_out(cfg, **kw):
+    """Reference train.py:61-91."""
+    cfg_c = cfg.copy()
+    cfg_c["camera"] = kw.get("camera", "SL")
+    cfg_c["train_logs"] = cfg["logs"][:-1]
+    cfg_c["test_logs"] = cfg["logs"][-1:]
+    _maybe_synthesize_vae(cfg_c)
+    loaders = vae_data.train_val_test_iterator(cfg_c, "leave_one_out_data")
+    return _fit_vae(cfg_c, "vae_leave_one_out", loaders)
+
+
+def _maybe_synthesize_vae(cfg):
+    data_dir = Path(cfg["data_dir"])
+    cam = cfg["camera"] if isinstance(cfg["camera"], str) else cfg["camera"][0]
+    h = int(cfg["image_size"][1])
+    for log in cfg["train_logs"] + cfg.get("test_logs", []):
+        if not (data_dir / "raw" / log / f"{cam}_resized_{h}_bw").is_dir() and \
+           not (data_dir / "raw" / log / cam).is_dir():
+            fl.write_synthetic_log(data_dir, log=log, cameras=(cam,),
+                                   n_frames=int(cfg.get("synthetic_frames", 60)),
+                                   height=h, width=int(cfg["image_size"][2]),
+                                   seed=hash(log) % (2**31))
+
+
+def _fit_vae(cfg, name, loaders):
+    h, w = int(cfg["image_size"][1]), int(cfg["image_size"][2])
+    model = ConvVAE(channels=int(cfg["image_size"][0]), height=h, width=w,
+                    z_size=int(cfg.get("z_size", 32)), dtype=_dtype(cfg))
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    loss = vae_loss_fn(float(cfg["alpha"]), float(cfg["beta"]))
+    return _fit(cfg, name, model, (model.example_input(1), rng), loss, loaders)
+
+
+@experiment("test_eval")
+def test_eval(cfg, checkpoint: str | None = None, **kw):
+    """Reference train.py:167-203: restore a checkpoint, offline accuracy +
+    predWlabels dump (imitation.py:161-203)."""
+    cfg_c = cfg.copy()
+    cfg_c["camera"] = kw.get("camera", "camera")
+    _maybe_synthesize(cfg_c, cfg_c["camera"])
+    loaders = pipe.sequential_train_val_test_iterator(cfg_c)
+    model = PolicyCNN(obs_size=int(cfg["obs_size"]),
+                      n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
+    rng = jax.random.PRNGKey(0)
+    tx = make_optimizer(cfg, 1)
+    state = create_train_state(
+        model, rng, model.example_input(1, int(cfg.get("image_height", 256)),
+                                        int(cfg.get("image_width", 256))), tx)
+    if checkpoint:
+        from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
+
+        restored = restore_pytree(checkpoint, {"params": state.params,
+                                               "opt_state": state.opt_state,
+                                               "step": state.step})
+        state = state.replace(params=restored["params"])
+    acc = {split: stats_lib.calculate_accuracy(state.apply_fn, state.params,
+                                               loaders, f"{split}_dataloader")
+           for split in ("train", "val", "test")}
+    out = Path(cfg["log_dir"]) / "predWlabels.npy"
+    stats_lib.save_predictions(state.apply_fn, state.params,
+                               loaders["val_dataloader"], str(out))
+    return {"accuracy": acc, "predictions_file": str(out)}
+
+
+def _sim_bits(cfg, backend: str | None = None):
+    town = make_town_from_cfg(cfg, seed=int(cfg.get("data_seed", 0)))
+    params = SimParams.from_cfg(cfg)
+    if backend is None:
+        backend = "pallas" if jax.devices()[0].platform not in ("cpu",) else "jax"
+    rcfg = RenderConfig.from_cfg(cfg, backend=backend)
+    return town, params, rcfg
+
+
+@experiment("collect_data")
+def collect_data(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
+    """On-device expert data collection — the CARLA-server replacement: writes
+    a raw log (frames + state.csv) in the reference's exact contract."""
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    store, state_log, _ = cl.collect_dataset(params, town, rcfg, rng,
+                                             n_envs=n_envs, n_steps=n_steps,
+                                             frame_skip=int(cfg.get("frame_skip", 4)))
+    data_dir = Path(cfg["data_dir"])
+    log = kw.get("log_name", "SimLog1")
+    out_dir = data_dir / "raw" / log / "camera"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    from PIL import Image
+
+    for i in range(len(store)):
+        Image.fromarray(store.frames[i]).save(out_dir / f"{i + 1}.png")
+    fl.save_state_csv(data_dir / "raw" / log / "state.csv", state_log)
+    fl.save_state_csv(data_dir / "raw" / "state.csv", state_log)
+    return {"frames": len(store), "log": str(data_dir / "raw" / log),
+            "action_histogram": stats_lib.action_histogram(store.actions).tolist()}
+
+
+@experiment("closed_loop_eval")
+def closed_loop_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
+                     n_steps: int = 200, **kw):
+    """BASELINE config #4: policy-in-the-loop driving metrics."""
+    town, params, rcfg = _sim_bits(cfg)
+    model = PolicyCNN(obs_size=int(cfg.get("frame_skip", 4)),
+                      n_actions=int(cfg.get("n_actions", 9)), dtype=_dtype(cfg))
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    mparams = model.init(rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)))["params"]
+    if checkpoint:
+        from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
+
+        mparams = restore_pytree(checkpoint, {"params": mparams})["params"]
+
+    def policy_fn(obs):
+        return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
+
+    metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
+                                 n_envs=n_envs, n_steps=n_steps)
+    expert = cl.evaluate_policy(params, town, rcfg, None, rng,
+                                n_envs=n_envs, n_steps=n_steps)
+    return {"policy": metrics, "expert": expert}
+
+
+@experiment("dagger")
+def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
+           epochs_per_round: int = 3, **kw):
+    """BASELINE config #5: DAgger — collect with expert, train, then iterate
+    policy-driven collection with expert labels."""
+    from carla_imitation_learning_tpu.training.steps import make_train_step
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    model = PolicyCNN(dtype=_dtype(cfg))
+    tx = make_optimizer(cfg, 1)
+    state = create_train_state(
+        model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+    step = make_train_step(bc_loss_fn, donate=False)
+    stores = []
+    history = []
+    for rnd in range(rounds):
+        rng, k = jax.random.split(rng)
+        if rnd == 0:
+            store, _, _ = cl.collect_dataset(params, town, rcfg, k, n_envs, n_steps)
+        else:
+            p = state.params
+
+            def policy_fn(obs):
+                return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
+
+            store, _, _ = cl.dagger_iteration(params, town, rcfg, policy_fn, k,
+                                              n_envs, n_steps)
+        stores.append(store)
+        agg = pipe.FrameStore(
+            frames=np.concatenate([s.frames for s in stores]),
+            actions=np.concatenate([s.actions for s in stores]),
+            traffic=np.concatenate([s.traffic for s in stores]),
+            sensors=np.concatenate([s.sensors for s in stores]),
+            commands=np.concatenate([s.commands for s in stores]),
+        )
+        ds = pipe.DeviceDataset(agg, int(cfg.get("BATCH_SIZE", 64)),
+                                frame_skip=int(cfg.get("frame_skip", 4)),
+                                shuffle=True, seed=rnd)
+        last = {}
+        for _ in range(epochs_per_round):
+            for batch in ds:
+                rng, sk = jax.random.split(rng)
+                state, last = step(state, batch, sk)
+        p = state.params
+
+        def policy_fn(obs):
+            return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
+
+        rng, ek = jax.random.split(rng)
+        m = cl.evaluate_policy(params, town, rcfg, policy_fn, ek,
+                               n_envs=min(n_envs, 32), n_steps=100)
+        m["round"] = rnd
+        m["train_loss"] = float(last.get("loss", float("nan")))
+        m["dataset_frames"] = len(agg)
+        history.append(m)
+    return {"rounds": history}
+
+
+@experiment("bc_cil")
+def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
+    """BASELINE config #2: command-conditioned branched policy + speed head,
+    trained on on-device collected data."""
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    store, _, _ = cl.collect_dataset(params, town, rcfg, rng, n_envs, n_steps)
+    n = len(store)
+    splits = {"train": store.slice(0, int(0.8 * n)),
+              "val": store.slice(int(0.8 * n), int(0.9 * n)),
+              "test": store.slice(int(0.9 * n), n)}
+    loaders = {f"{k}_dataloader": pipe.DeviceDataset(
+        v, int(cfg.get("BATCH_SIZE", 64)), frame_skip=int(cfg.get("frame_skip", 4)),
+        shuffle=(k == "train"), cil=True, drop_last=(k == "train"))
+        for k, v in splits.items()}
+    model = BranchedCILPolicy(n_commands=int(cfg.get("n_commands", 4)),
+                              dtype=_dtype(cfg))
+    frames, speed, command = model.example_input(1, rcfg.height, rcfg.width)
+    loss = cil_loss_fn(float(cfg.get("speed_weight", 0.1)))
+    return _fit(cfg, "bc_cil", model, (frames, speed, command), loss, loaders)
+
+
+@experiment("hpo")
+def hpo(cfg, num_samples: int = 4, **kw):
+    """Working replacement for the reference's broken Ray Tune path
+    (ray_trainer.py:39-53): random-search trials over the BC recipe."""
+    from carla_imitation_learning_tpu.parallel.hpo import tune_run
+
+    cfg_c = cfg.copy()
+    cfg_c["camera"] = "camera"
+    _maybe_synthesize(cfg_c, "camera")
+    loaders = pipe.sequential_train_val_test_iterator(cfg_c)
+    from carla_imitation_learning_tpu.training.steps import (
+        make_eval_step, make_train_step,
+    )
+
+    def trainable(trial_cfg):
+        model = PolicyCNN(dtype=_dtype(cfg))
+        rng = jax.random.PRNGKey(int(trial_cfg.get("seed", 0)))
+        tx = make_optimizer({"LEARNING_RATE": trial_cfg["lr"],
+                             "gradient_clip_val": 0.5}, 1)
+        h = int(cfg.get("image_height", 256))
+        state = create_train_state(model, rng,
+                                   model.example_input(1, h, int(cfg.get("image_width", h))), tx)
+        step = make_train_step(bc_loss_fn, donate=False)
+        for epoch in range(int(trial_cfg.get("epochs", 2))):
+            for batch in loaders["train_dataloader"]:
+                rng, k = jax.random.split(rng)
+                state, _ = step(state, batch, k)
+        ev = make_eval_step(bc_loss_fn)
+        accs = [ev(state, b)["accuracy"] for b in loaders["val_dataloader"]]
+        return {"mean_accuracy": float(np.mean([float(a) for a in accs]))}
+
+    best, trials = tune_run(
+        trainable, space={"lr": (1e-4, 1e-2), "epochs": [2], "seed": [0, 1, 2, 3]},
+        num_samples=num_samples, metric="mean_accuracy", mode="max",
+        results_dir=str(Path(cfg["log_dir"]) / "hpo"))
+    return {"best_config": best.config, "best_metrics": best.metrics,
+            "n_trials": len(trials)}

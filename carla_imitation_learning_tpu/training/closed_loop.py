@@ -42,10 +42,6 @@ def control_from_discrete(action: jnp.ndarray) -> VehicleControl:
     return VehicleControl(steer=steer, throttle=throttle, brake=brake)
 
 
-def _init_framebuf(n_envs: int, frame_skip: int, h: int, w: int) -> jnp.ndarray:
-    return jnp.zeros((n_envs, frame_skip, h, w), jnp.float32)
-
-
 def make_rollout(
     params: SimParams,
     town: TownMap,
@@ -69,10 +65,31 @@ def make_rollout(
     sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))
     light_batch = jax.vmap(lambda s: traffic_light_state(params, town, s))
 
+    def nav_command(state: WorldState) -> jnp.ndarray:
+        """CIL-style navigation command from upcoming route curvature:
+        0=follow(lane) 1=left 2=right 3=straight (at the next junction)."""
+        from carla_imitation_learning_tpu.sim.town import route_point
+
+        _, yaw_now = route_point(town, state.ego_route, state.ego_s)
+        _, yaw_ahead = route_point(town, state.ego_route, state.ego_s + 15.0)
+        dyaw = jnp.mod(yaw_ahead - yaw_now + jnp.pi, 2 * jnp.pi) - jnp.pi
+        return jnp.where(jnp.abs(dyaw) < 0.15, 0,
+                         jnp.where(dyaw > 0, 1, 2)).astype(jnp.int32)
+
+    command_batch = jax.vmap(nav_command)
+
+    # policies may take (obs) or (obs, extras) with speed/command/sensor
+    import inspect
+
+    _policy_wants_extras = (
+        policy_fn is not None
+        and len(inspect.signature(policy_fn).parameters) >= 2
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n_envs",))
     def init_fn(rng, n_envs: int):
         states = jax.vmap(lambda k: reset_env(params, town, k))(
             jax.random.split(rng, n_envs))
-        framebuf = _init_framebuf(n_envs, frame_skip, rcfg.height, rcfg.width)
         # warm the frame buffer with the initial view
         gray0 = render_batch(states)["gray"]
         framebuf = jnp.repeat(gray0[:, None], frame_skip, axis=1)
@@ -92,7 +109,12 @@ def make_rollout(
             action = continuous_to_discrete(
                 expert.steer, expert.throttle, expert.brake).astype(jnp.int32)
         else:
-            action = policy_fn(obs).astype(jnp.int32)
+            if _policy_wants_extras:
+                extras = {"speed": states.ego_v, "command": command_batch(states),
+                          "sensor": sensor_batch(states)}
+                action = policy_fn(obs, extras).astype(jnp.int32)
+            else:
+                action = policy_fn(obs).astype(jnp.int32)
             control = control_from_discrete(action)
 
         from carla_imitation_learning_tpu.data.actions import continuous_to_discrete
@@ -101,10 +123,11 @@ def make_rollout(
 
         sensors = sensor_batch(states)
         traffic = light_batch(states)
+        command = command_batch(states)
         new_states, info = step_batch(states, control)
         out = {
             "gray": gray, "action": action, "expert_action": expert_action,
-            "sensor": sensors, "traffic": traffic,
+            "sensor": sensors, "traffic": traffic, "command": command,
             "collision": info["collision"], "offroad": info["offroad"],
             "done": info["done"], "speed": info["speed"],
             "red_light": info["red_light"],
@@ -180,6 +203,7 @@ def collect_dataset(
         actions=flat(traj["expert_action"]).astype(np.int32),
         traffic=flat(traj["traffic"]).astype(np.int32),
         sensors=flat(traj["sensor"]).astype(np.float32),
+        commands=flat(traj["command"]).astype(np.int32),
     )
     return store, state, traj
 

@@ -1,0 +1,23 @@
+"""Process-level JAX setup: persistent compilation cache.
+
+TPU compiles are 10s-100s of seconds (and this container routes them through
+a remote compile service); the persistent cache makes re-runs near-instant.
+Safe to call multiple times.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache = cache_dir or os.environ.get(
+        "TPUIL_COMPILE_CACHE", os.path.expanduser("~/.cache/tpuil_xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a requirement

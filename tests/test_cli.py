@@ -1,0 +1,88 @@
+"""CLI + experiment registry tests (tiny configs, synthetic data, CPU)."""
+
+import json
+
+import pytest
+
+from carla_imitation_learning_tpu.cli import main as cli_main
+
+TINY = [
+    "NUM_EPOCHS=1", "BATCH_SIZE=4", "synthetic_frames=60",
+    "image_height=64", "image_width=64", "compute_dtype=float32",
+    "trainer.num_sanity_val_steps=0",
+    "sim.n_envs=4", "sim.n_agents=3", "render.height=32", "render.width=32",
+    "render.max_triangles=256", "sim.town.blocks=2", "sim.town.n_buildings=6",
+    "sim.n_lights=4",
+]
+
+
+def _overrides(tmp_path, extra=()):
+    out = []
+    for o in TINY + [f"data_dir={tmp_path}/data/", f"log_dir={tmp_path}/logs"] + list(extra):
+        out += ["-o", o]
+    return out
+
+
+def test_cli_list(capsys):
+    assert cli_main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in ("bc", "bc_aux", "bc_raw_segment", "vae_pooled", "vae_leave_one_out",
+                 "test_eval", "split_folders", "collect_data", "closed_loop_eval",
+                 "dagger", "hpo", "bc_cil"):
+        assert name in out
+
+
+def test_cli_unknown_experiment():
+    assert cli_main(["run", "nope"]) == 2
+
+
+def test_cli_bc_end_to_end(tmp_path, capsys):
+    rc = cli_main(["run", "bc", "--json"] + _overrides(tmp_path))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert "camera" in result and "semantic" in result
+    assert result["camera"]["history"][-1]["val_loss"] > 0
+    assert result["camera"]["best_path"] is not None
+
+
+def test_cli_bc_aux(tmp_path, capsys):
+    rc = cli_main(["run", "bc_aux", "--json"] + _overrides(tmp_path))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert result["camera"]["history"][-1]["val_autopilot_action_loss"] > 0
+
+
+def test_cli_bc_raw_segment(tmp_path, capsys):
+    rc = cli_main(["run", "bc_raw_segment", "--json"] + _overrides(tmp_path))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert result["history"][-1]["train_loss"] > 0
+
+
+def test_cli_vae_pooled(tmp_path, capsys):
+    rc = cli_main(["run", "vae_pooled", "--json"] + _overrides(
+        tmp_path, ["image_size=[1,32,32]", "logs=['Log1','Log2']", "synthetic_frames=24"]))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert "val_kl_loss" in result["history"][-1]
+
+
+def test_cli_test_eval(tmp_path, capsys):
+    rc = cli_main(["run", "test_eval", "--json"] + _overrides(tmp_path))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert set(result["accuracy"]) == {"train", "val", "test"}
+
+
+def test_cli_hpo(tmp_path, capsys):
+    rc = cli_main(["run", "hpo", "--json"] + _overrides(tmp_path))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert result["n_trials"] == 4
+    assert "lr" in result["best_config"]
+
+
+@pytest.mark.slow
+def test_cli_dagger(tmp_path, capsys):
+    rc = cli_main(["run", "dagger", "--json"] + _overrides(tmp_path))
+    assert rc == 0

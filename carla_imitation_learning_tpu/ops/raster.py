@@ -3,18 +3,22 @@
 Kernel design (see pallas guide: VPU is 8×128):
 - grid = image tile rows; each program rasterizes a (TILE_ROWS, W) pixel tile
   held in VMEM, with a per-tile z-buffer in VMEM scratch.
-- per-triangle coefficients (edge rows, depth numerator, color, class, screen
-  bbox — 20 floats) are packed into one (T, 20) SMEM-resident table: the
-  per-triangle loop reads *scalars* from SMEM (what SMEM is for) and evaluates
-  edge functions as (TILE_ROWS, W) vector FMAs on the VPU.
-- scalar bbox-vs-tile culling wraps the vector work in @pl.when, so triangles
-  that don't touch the tile cost ~6 scalar ops — with ~500 triangles and 16
-  tiles, >80% of the work is skipped.
+- per-triangle coefficients (edge rows, depth numerator, color, class — 16
+  floats) are packed into one (T, 16) SMEM-resident table; the per-triangle
+  loop reads *scalars* from SMEM (what SMEM is for) and evaluates edge
+  functions as (TILE_ROWS, W) vector FMAs on the VPU.
+- **tile compaction**: XLA precomputes, per tile row, the index list of
+  triangles whose screen bbox intersects that row band, nearest-first. The
+  kernel's fori_loop runs only over that list (dynamic trip count), so empty
+  sky tiles cost ~nothing and ground tiles touch only local geometry.
+  ``max_tris_per_tile`` bounds the list; overflow drops the FARTHEST
+  triangles (nearest-first ordering makes this visually safe).
 - the whole image batch is vmapped over the kernel (pallas lifts vmap into an
   extra grid dimension), so one launch renders the fleet.
 
 Outputs match render.jax_raster.rasterize_jax exactly (same math, same
-sky/shading applied outside the kernel).
+sky/shading applied outside the kernel) whenever no triangles overflow
+``max_tris_per_tile``.
 """
 
 from __future__ import annotations
@@ -30,24 +34,41 @@ from carla_imitation_learning_tpu.render.camera import TriangleSetup
 from carla_imitation_learning_tpu.render.jax_raster import SKY_HORIZON, SKY_TOP
 
 TILE_ROWS = 8
-PACK_WIDTH = 20  # 9 edge + 3 znum + 3 rgb + 1 class + 4 bbox
+PACK_WIDTH = 16  # 9 edge + 3 znum + 3 rgb + 1 class
 
 
 def pack_setup(setup: TriangleSetup) -> jnp.ndarray:
-    """TriangleSetup → (T, 20) f32 table. Invalid triangles get all-zero rows
+    """TriangleSetup → (T, 16) f32 table. Invalid triangles get all-zero rows
     (zero edges never pass the strict-sign inside test)."""
     flat = jnp.concatenate([
         setup.edges.reshape(setup.edges.shape[0], 9),
         setup.znum,
         setup.colors,
         setup.classes[:, None].astype(jnp.float32),
-        setup.bbox,
     ], axis=-1)
     return jnp.where(setup.valid[:, None], flat, 0.0)
 
 
-def _raster_kernel(tris_ref, sem_ref, rgb_ref, depth_ref, zbuf, *, height, width,
-                   n_tris, near, far):
+def tile_lists(setup: TriangleSetup, height: int, k: int):
+    """Per tile row: nearest-first indices of intersecting triangles.
+
+    → (idx (R, k) int32, count (R, 1) int32). Pure XLA (vectorized compare +
+    one small argsort per row) — runs fused ahead of the kernel launch.
+    """
+    n_rows = height // TILE_ROWS
+    ymin = setup.bbox[:, 2]
+    ymax = setup.bbox[:, 3]
+    row_lo = (jnp.arange(n_rows, dtype=jnp.float32) * TILE_ROWS)[:, None]
+    row_hi = row_lo + TILE_ROWS
+    hit = (ymax[None, :] >= row_lo) & (ymin[None, :] <= row_hi) & setup.valid[None, :]
+    score = jnp.where(hit, setup.zmin[None, :], jnp.inf)  # nearest-first
+    idx = jnp.argsort(score, axis=1)[:, :k].astype(jnp.int32)
+    count = jnp.minimum(hit.sum(axis=1), k).astype(jnp.int32)[:, None]
+    return idx, count
+
+
+def _raster_kernel(tris_ref, idx_ref, count_ref, sem_ref, rgb_ref, depth_ref,
+                   zbuf, *, width, near, far):
     r = pl.program_id(0)
     y0 = (r * TILE_ROWS).astype(jnp.float32)
 
@@ -61,44 +82,32 @@ def _raster_kernel(tris_ref, sem_ref, rgb_ref, depth_ref, zbuf, *, height, width
     sem_ref[:] = jnp.zeros((TILE_ROWS, width), jnp.int32)  # sky
     rgb_ref[:] = jnp.zeros((3, TILE_ROWS, width), jnp.float32)
 
-    def body(t, _):
-        # scalar coefficient reads from SMEM
-        xmin, xmax = tris_ref[t, 16], tris_ref[t, 17]
-        ymin, ymax = tris_ref[t, 18], tris_ref[t, 19]
-        hit_tile = jnp.logical_and(
-            jnp.logical_and(xmax >= 0.0, xmin <= width),
-            jnp.logical_and(ymax >= y0, ymin <= y0 + TILE_ROWS),
+    def body(k, _):
+        t = idx_ref[r, k]
+        e0 = tris_ref[t, 0] * px + tris_ref[t, 1] * py + tris_ref[t, 2]
+        e1 = tris_ref[t, 3] * px + tris_ref[t, 4] * py + tris_ref[t, 5]
+        e2 = tris_ref[t, 6] * px + tris_ref[t, 7] * py + tris_ref[t, 8]
+        inside = jnp.logical_or(
+            jnp.logical_and(jnp.logical_and(e0 > 0, e1 > 0), e2 > 0),
+            jnp.logical_and(jnp.logical_and(e0 < 0, e1 < 0), e2 < 0),
         )
-        # degenerate (padded/invalid) rows have all-zero bboxes AND edges; the
-        # zero edges fail the strict inside test, so no extra check needed.
-
-        @pl.when(hit_tile)
-        def _():
-            e0 = tris_ref[t, 0] * px + tris_ref[t, 1] * py + tris_ref[t, 2]
-            e1 = tris_ref[t, 3] * px + tris_ref[t, 4] * py + tris_ref[t, 5]
-            e2 = tris_ref[t, 6] * px + tris_ref[t, 7] * py + tris_ref[t, 8]
-            inside = jnp.logical_or(
-                jnp.logical_and(jnp.logical_and(e0 > 0, e1 > 0), e2 > 0),
-                jnp.logical_and(jnp.logical_and(e0 < 0, e1 < 0), e2 < 0),
-            )
-            den = e0 + e1 + e2
-            den = jnp.where(den == 0.0, 1e-9, den)
-            z = (tris_ref[t, 9] * px + tris_ref[t, 10] * py + tris_ref[t, 11]) / den
-            ok = jnp.logical_and(inside, jnp.logical_and(z > near, z < zbuf[:]))
-            zbuf[:] = jnp.where(ok, z, zbuf[:])
-            sem_ref[:] = jnp.where(ok, jnp.int32(tris_ref[t, 15]), sem_ref[:])
-            rgb_ref[0] = jnp.where(ok, tris_ref[t, 12], rgb_ref[0])
-            rgb_ref[1] = jnp.where(ok, tris_ref[t, 13], rgb_ref[1])
-            rgb_ref[2] = jnp.where(ok, tris_ref[t, 14], rgb_ref[2])
-
+        den = e0 + e1 + e2
+        den = jnp.where(den == 0.0, 1e-9, den)
+        z = (tris_ref[t, 9] * px + tris_ref[t, 10] * py + tris_ref[t, 11]) / den
+        ok = jnp.logical_and(inside, jnp.logical_and(z > near, z < zbuf[:]))
+        zbuf[:] = jnp.where(ok, z, zbuf[:])
+        sem_ref[:] = jnp.where(ok, jnp.int32(tris_ref[t, 15]), sem_ref[:])
+        rgb_ref[0] = jnp.where(ok, tris_ref[t, 12], rgb_ref[0])
+        rgb_ref[1] = jnp.where(ok, tris_ref[t, 13], rgb_ref[1])
+        rgb_ref[2] = jnp.where(ok, tris_ref[t, 14], rgb_ref[2])
         return 0
 
-    jax.lax.fori_loop(0, n_tris, body, 0)
+    jax.lax.fori_loop(0, count_ref[r, 0], body, 0)
     depth_ref[:] = zbuf[:]
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "near", "far",
-                                             "interpret"))
+                                             "interpret", "max_tris_per_tile"))
 def rasterize_pallas(
     setup: TriangleSetup,
     height: int,
@@ -106,20 +115,29 @@ def rasterize_pallas(
     near: float = 0.5,
     far: float = 300.0,
     interpret: bool = False,
+    max_tris_per_tile: int | None = None,
 ):
     """→ (rgb (H,W,3), sem (H,W) i32, depth (H,W)) — jax_raster-compatible."""
     tris = pack_setup(setup)
     n_tris = tris.shape[0]
+    k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
+    idx, count = tile_lists(setup, height, k)
     assert height % TILE_ROWS == 0, f"height {height} % {TILE_ROWS} != 0"
-    grid = (height // TILE_ROWS,)
+    n_rows = height // TILE_ROWS
+    grid = (n_rows,)
 
-    kernel = functools.partial(_raster_kernel, height=height, width=width,
-                               n_tris=n_tris, near=near, far=far)
+    kernel = functools.partial(_raster_kernel, width=width, near=near, far=far)
     sem, rgb_p, depth = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((n_tris, PACK_WIDTH), lambda r: (0, 0),
-                               memory_space=pltpu.SMEM)],
+        in_specs=[
+            pl.BlockSpec((n_tris, PACK_WIDTH), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_rows, k), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_rows, 1), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
         out_specs=(
             pl.BlockSpec((TILE_ROWS, width), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
@@ -135,7 +153,7 @@ def rasterize_pallas(
         ),
         scratch_shapes=[pltpu.VMEM((TILE_ROWS, width), jnp.float32)],
         interpret=interpret,
-    )(tris)
+    )(tris, idx, count)
 
     rgb = jnp.transpose(rgb_p, (1, 2, 0))
     # same post-pass as jax_raster: sky background + distance shading

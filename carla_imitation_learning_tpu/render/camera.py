@@ -49,6 +49,7 @@ class TriangleSetup(struct.PyTreeNode):
     classes: jnp.ndarray  # (T,)
     valid: jnp.ndarray   # (T,) bool — non-degenerate and not fully behind
     bbox: jnp.ndarray    # (T, 4) screen-space xmin, xmax, ymin, ymax (conservative)
+    zmin: jnp.ndarray    # (T,) nearest camera depth (tile-cull priority)
 
 
 def project_triangles(
@@ -99,4 +100,5 @@ def project_triangles(
     bbox = jnp.stack([xmin, xmax, ymin, ymax], axis=-1)
 
     return TriangleSetup(edges=edges, znum=znum, colors=colors,
-                         classes=classes, valid=valid, bbox=bbox)
+                         classes=classes, valid=valid, bbox=bbox,
+                         zmin=jnp.min(z, axis=1))

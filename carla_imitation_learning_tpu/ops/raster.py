@@ -37,38 +37,57 @@ TILE_ROWS = 8
 PACK_WIDTH = 16  # 9 edge + 3 znum + 3 rgb + 1 class
 
 
-def pack_setup(setup: TriangleSetup) -> jnp.ndarray:
+LUMA_W = jnp.asarray([0.299, 0.587, 0.114])  # reference imitation_dataset.py:121
+
+
+def pack_setup(setup: TriangleSetup, luma_only: bool = False) -> jnp.ndarray:
     """TriangleSetup → (T, 16) f32 table. Invalid triangles get all-zero rows
-    (zero edges never pass the strict-sign inside test)."""
+    (zero edges never pass the strict-sign inside test). With ``luma_only``
+    the color slots carry the precomputed luminance (policy rollouts need
+    only the grayscale channel — the inner loop then writes 1 plane, not 3)."""
+    colors = setup.colors
+    if luma_only:
+        luma = colors @ LUMA_W
+        colors = jnp.stack([luma, luma, luma], axis=-1)
     flat = jnp.concatenate([
         setup.edges.reshape(setup.edges.shape[0], 9),
         setup.znum,
-        setup.colors,
+        colors,
         setup.classes[:, None].astype(jnp.float32),
     ], axis=-1)
     return jnp.where(setup.valid[:, None], flat, 0.0)
 
 
-def tile_lists(setup: TriangleSetup, height: int, k: int):
+def tile_lists(setup: TriangleSetup, height: int, k: int, width: int | None = None,
+               far: float = 300.0):
     """Per tile row: nearest-first indices of intersecting triangles.
 
     → (idx (R, k) int32, count (R, 1) int32). Pure XLA (vectorized compare +
     one small argsort per row) — runs fused ahead of the kernel launch.
+    Screen-x and far-plane culls apply globally (the bands span full width).
     """
     n_rows = height // TILE_ROWS
-    ymin = setup.bbox[:, 2]
-    ymax = setup.bbox[:, 3]
+    n_tris = setup.bbox.shape[0]
+    xmin, xmax = setup.bbox[:, 0], setup.bbox[:, 1]
+    ymin, ymax = setup.bbox[:, 2], setup.bbox[:, 3]
+    onscreen = setup.valid & (setup.zmin < far)
+    if width is not None:
+        onscreen &= (xmax >= 0.0) & (xmin <= width)
     row_lo = (jnp.arange(n_rows, dtype=jnp.float32) * TILE_ROWS)[:, None]
     row_hi = row_lo + TILE_ROWS
-    hit = (ymax[None, :] >= row_lo) & (ymin[None, :] <= row_hi) & setup.valid[None, :]
-    score = jnp.where(hit, setup.zmin[None, :], jnp.inf)  # nearest-first
-    idx = jnp.argsort(score, axis=1)[:, :k].astype(jnp.int32)
+    hit = (ymax[None, :] >= row_lo) & (ymin[None, :] <= row_hi) & onscreen[None, :]
     count = jnp.minimum(hit.sum(axis=1), k).astype(jnp.int32)[:, None]
+    # nearest-first ordering: hits sort ahead of misses, and overflow beyond k
+    # drops the FARTHEST triangles. (A cumsum-scatter compaction was measured
+    # 1.8× slower end-to-end on v5e — TPU scatters serialize; sort stays.)
+    score = jnp.where(hit, setup.zmin[None, :], jnp.inf)
+    idx = jnp.argsort(score, axis=1)[:, :k].astype(jnp.int32)
+    _ = n_tris
     return idx, count
 
 
 def _raster_kernel(tris_ref, idx_ref, count_ref, sem_ref, rgb_ref, depth_ref,
-                   zbuf, *, width, near, far):
+                   zbuf, *, width, near, far, n_channels=3):
     r = pl.program_id(0)
     y0 = (r * TILE_ROWS).astype(jnp.float32)
 
@@ -80,7 +99,7 @@ def _raster_kernel(tris_ref, idx_ref, count_ref, sem_ref, rgb_ref, depth_ref,
 
     zbuf[:] = jnp.full((TILE_ROWS, width), far, jnp.float32)
     sem_ref[:] = jnp.zeros((TILE_ROWS, width), jnp.int32)  # sky
-    rgb_ref[:] = jnp.zeros((3, TILE_ROWS, width), jnp.float32)
+    rgb_ref[:] = jnp.zeros((n_channels, TILE_ROWS, width), jnp.float32)
 
     def body(k, _):
         t = idx_ref[r, k]
@@ -97,9 +116,8 @@ def _raster_kernel(tris_ref, idx_ref, count_ref, sem_ref, rgb_ref, depth_ref,
         ok = jnp.logical_and(inside, jnp.logical_and(z > near, z < zbuf[:]))
         zbuf[:] = jnp.where(ok, z, zbuf[:])
         sem_ref[:] = jnp.where(ok, jnp.int32(tris_ref[t, 15]), sem_ref[:])
-        rgb_ref[0] = jnp.where(ok, tris_ref[t, 12], rgb_ref[0])
-        rgb_ref[1] = jnp.where(ok, tris_ref[t, 13], rgb_ref[1])
-        rgb_ref[2] = jnp.where(ok, tris_ref[t, 14], rgb_ref[2])
+        for c in range(n_channels):
+            rgb_ref[c] = jnp.where(ok, tris_ref[t, 12 + c], rgb_ref[c])
         return 0
 
     jax.lax.fori_loop(0, count_ref[r, 0], body, 0)
@@ -118,16 +136,59 @@ def rasterize_pallas(
     max_tris_per_tile: int | None = None,
 ):
     """→ (rgb (H,W,3), sem (H,W) i32, depth (H,W)) — jax_raster-compatible."""
-    tris = pack_setup(setup)
+    rgb_p, sem, depth = _rasterize_core(setup, height, width, near, far,
+                                        interpret, max_tris_per_tile, 3,
+                                        luma_only=False)
+    rgb = jnp.transpose(rgb_p, (1, 2, 0))
+    # same post-pass as jax_raster: sky background + distance shading
+    hit = depth < far
+    t = (jnp.arange(height, dtype=jnp.float32) / max(height - 1, 1))[:, None, None]
+    sky = SKY_TOP * (1 - t) + SKY_HORIZON * t
+    rgb = jnp.where(hit[..., None], rgb, sky)
+    shade = jnp.where(hit, 1.0 / (1.0 + 0.004 * depth), 1.0)
+    return rgb * shade[..., None], sem, depth
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "near", "far",
+                                             "interpret", "max_tris_per_tile"))
+def rasterize_pallas_luma(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    near: float = 0.5,
+    far: float = 300.0,
+    interpret: bool = False,
+    max_tris_per_tile: int | None = None,
+):
+    """Grayscale fast path: → (gray (H,W), sem (H,W) i32, depth (H,W)).
+
+    gray equals luminance(rgb) of the full path bit-for-bit up to fp rounding
+    (luma is pre-dotted per triangle; sky/shade applied to the scalar)."""
+    luma_p, sem, depth = _rasterize_core(setup, height, width, near, far,
+                                         interpret, max_tris_per_tile, 1,
+                                         luma_only=True)
+    gray = luma_p[0]
+    hit = depth < far
+    t = (jnp.arange(height, dtype=jnp.float32) / max(height - 1, 1))[:, None]
+    sky_luma = (SKY_TOP @ LUMA_W) * (1 - t) + (SKY_HORIZON @ LUMA_W) * t
+    gray = jnp.where(hit, gray, sky_luma)
+    shade = jnp.where(hit, 1.0 / (1.0 + 0.004 * depth), 1.0)
+    return gray * shade, sem, depth
+
+
+def _rasterize_core(setup, height, width, near, far, interpret,
+                    max_tris_per_tile, n_channels, luma_only):
+    tris = pack_setup(setup, luma_only=luma_only)
     n_tris = tris.shape[0]
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
-    idx, count = tile_lists(setup, height, k)
+    idx, count = tile_lists(setup, height, k, width=width, far=far)
     assert height % TILE_ROWS == 0, f"height {height} % {TILE_ROWS} != 0"
     n_rows = height // TILE_ROWS
     grid = (n_rows,)
 
-    kernel = functools.partial(_raster_kernel, width=width, near=near, far=far)
-    sem, rgb_p, depth = pl.pallas_call(
+    kernel = functools.partial(_raster_kernel, width=width, near=near, far=far,
+                               n_channels=n_channels)
+    sem, chan_p, depth = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -141,25 +202,17 @@ def rasterize_pallas(
         out_specs=(
             pl.BlockSpec((TILE_ROWS, width), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_ROWS, width), lambda r: (0, r, 0),
+            pl.BlockSpec((n_channels, TILE_ROWS, width), lambda r: (0, r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_ROWS, width), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((height, width), jnp.int32),
-            jax.ShapeDtypeStruct((3, height, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_channels, height, width), jnp.float32),
             jax.ShapeDtypeStruct((height, width), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((TILE_ROWS, width), jnp.float32)],
         interpret=interpret,
     )(tris, idx, count)
-
-    rgb = jnp.transpose(rgb_p, (1, 2, 0))
-    # same post-pass as jax_raster: sky background + distance shading
-    hit = depth < far
-    t = (jnp.arange(height, dtype=jnp.float32) / max(height - 1, 1))[:, None, None]
-    sky = SKY_TOP * (1 - t) + SKY_HORIZON * t
-    rgb = jnp.where(hit[..., None], rgb, sky)
-    shade = jnp.where(hit, 1.0 / (1.0 + 0.004 * depth), 1.0)
-    return rgb * shade[..., None], sem, depth
+    return chan_p, sem, depth

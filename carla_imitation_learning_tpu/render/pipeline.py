@@ -30,6 +30,8 @@ class RenderConfig:
     near: float = 0.5
     far: float = 300.0
     backend: str = "jax"  # 'jax' | 'pallas'
+    rgb: bool = True      # False → grayscale-only fast path (pallas backend)
+    semantic: bool = True
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -37,7 +39,8 @@ class RenderConfig:
         return cls(height=int(r.height), width=int(r.width),
                    fov_deg=float(r.fov_deg), max_triangles=int(r.max_triangles),
                    near=float(r.near), far=float(r.far),
-                   backend=backend or str(r.get("backend", "jax")))
+                   backend=backend or str(r.get("backend", "jax")),
+                   rgb=bool(r.get("rgb", True)), semantic=bool(r.get("semantic", True)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig):
@@ -45,9 +48,16 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig):
     static = geo.build_static_scene(town)
 
     if rcfg.backend == "pallas":
-        from carla_imitation_learning_tpu.ops.raster import rasterize_pallas as raster
+        if rcfg.rgb:
+            from carla_imitation_learning_tpu.ops.raster import rasterize_pallas as raster
+            luma_raster = None
+        else:
+            from carla_imitation_learning_tpu.ops.raster import (
+                rasterize_pallas_luma as luma_raster,
+            )
+            raster = None
     else:
-        raster = None
+        raster = luma_raster = None
 
     def render(state: WorldState):
         phases = agent_lib.light_phases(
@@ -61,6 +71,11 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig):
         cam = camera_from_ego(state.ego_pos, state.ego_yaw)
         setup = project_triangles(tris, colors, classes, cam,
                                   rcfg.width, rcfg.height, rcfg.fov_deg, rcfg.near)
+        if luma_raster is not None:  # grayscale fast path (policy rollouts)
+            gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,
+                                           near=rcfg.near, far=rcfg.far)
+            return {"semantic": sem, "gray": gray, "depth": depth,
+                    "semantic_rgb": semantic_to_rgb(sem)}
         if raster is not None:
             rgb, sem, depth = raster(setup, rcfg.height, rcfg.width,
                                      near=rcfg.near, far=rcfg.far)

@@ -112,8 +112,13 @@ def _nearest_s_update(town: TownMap, state: WorldState) -> jnp.ndarray:
 
 
 def step_env(params: SimParams, town: TownMap, state: WorldState,
-             control: VehicleControl):
-    """One sim tick → (new_state, info). Auto-resets on done."""
+             control: VehicleControl, fresh: WorldState | None = None):
+    """One sim tick → (new_state, info). Auto-resets on done.
+
+    ``fresh`` optionally supplies the reset state (e.g. picked from a
+    precomputed spawn pool — see make_batched_env); when None it is sampled
+    here with the per-env PRNG (5 threefry splits per env per step, which
+    dominates the fleet sim cost at scale)."""
     phases = agent_lib.light_phases(
         town, state.t.astype(jnp.float32) * params.dt,
         params.light_green, params.light_yellow, params.light_red)
@@ -151,9 +156,10 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
     mid = mid.replace(ego_s=_nearest_s_update(town, mid))
 
     # auto-reset: branchless select between continued and fresh state
-    reset_rng, next_rng = jax.random.split(jax.random.fold_in(state.rng, state.t))
-    fresh = reset_env(params, town, reset_rng)
-    fresh = fresh.replace(rng=next_rng)
+    if fresh is None:
+        reset_rng, next_rng = jax.random.split(jax.random.fold_in(state.rng, state.t))
+        fresh = reset_env(params, town, reset_rng)
+        fresh = fresh.replace(rng=next_rng)
     new_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(done, a, b), fresh, mid)  # done is scalar: broadcasts
 
@@ -217,15 +223,37 @@ def traffic_light_state(params: SimParams, town: TownMap, state: WorldState):
                                      stop_distance=15.0).astype(jnp.int32)
 
 
-def make_batched_env(params: SimParams, town: TownMap):
+def make_spawn_pool(params: SimParams, town: TownMap, rng, size: int = 1024
+                    ) -> WorldState:
+    """Precomputed reset states; auto-resets gather from this pool instead of
+    re-running the PRNG-heavy reset_env every step."""
+    return jax.vmap(lambda k: reset_env(params, town, k))(jax.random.split(rng, size))
+
+
+def pick_fresh(pool: WorldState, state: WorldState) -> WorldState:
+    """Deterministic per-env, per-episode pool pick (pure gather, no PRNG)."""
+    size = pool.t.shape[0]
+    salt = state.rng[..., 0].astype(jnp.uint32) if state.rng.ndim else state.rng
+    idx = (salt + state.t.astype(jnp.uint32)) % jnp.uint32(size)
+    return jax.tree_util.tree_map(lambda a: a[idx], pool)
+
+
+def make_batched_env(params: SimParams, town: TownMap, spawn_pool: int = 0):
     """vmapped reset/step closures over the env axis (shard with NamedSharding
-    on the leading dim for multi-chip fleets)."""
+    on the leading dim for multi-chip fleets). ``spawn_pool > 0`` enables the
+    pooled fast reset path."""
+    pool = (make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), spawn_pool)
+            if spawn_pool else None)
 
     def reset_batch(rng, n_envs: int):
         return jax.vmap(lambda k: reset_env(params, town, k))(
             jax.random.split(rng, n_envs))
 
     def step_batch(states: WorldState, controls: VehicleControl):
-        return jax.vmap(lambda s, c: step_env(params, town, s, c))(states, controls)
+        if pool is None:
+            return jax.vmap(lambda s, c: step_env(params, town, s, c))(states, controls)
+        fresh = jax.vmap(lambda s: pick_fresh(pool, s))(states)
+        return jax.vmap(lambda s, c, f: step_env(params, town, s, c, f))(
+            states, controls, fresh)
 
     return reset_batch, step_batch

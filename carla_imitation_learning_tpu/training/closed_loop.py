@@ -58,9 +58,17 @@ def make_rollout(
     gray frames (T,B,H,W), actions (T,B), sensors (T,B,3), traffic (T,B),
     info scalars. carry = (states, framebuf).
     """
+    import dataclasses as _dc
+
+    if rcfg.backend == "pallas" and rcfg.rgb:
+        # rollouts only consume the grayscale channel — use the luma fast path
+        rcfg = _dc.replace(rcfg, rgb=False)
     render = make_renderer(params, town, rcfg)
     render_batch = jax.vmap(render)
-    step_batch = jax.vmap(lambda s, c: step_env(params, town, s, c))
+    from carla_imitation_learning_tpu.sim.world import make_spawn_pool, pick_fresh
+
+    spawn_pool = make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024)
+    step_batch = jax.vmap(lambda s, c, f: step_env(params, town, s, c, f))
     expert_batch = jax.vmap(lambda s: autopilot_control(params, town, s))
     sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))
     light_batch = jax.vmap(lambda s: traffic_light_state(params, town, s))
@@ -124,9 +132,11 @@ def make_rollout(
         sensors = sensor_batch(states)
         traffic = light_batch(states)
         command = command_batch(states)
-        new_states, info = step_batch(states, control)
+        fresh = jax.vmap(lambda s: pick_fresh(spawn_pool, s))(states)
+        new_states, info = step_batch(states, control, fresh)
+        gray_u8 = jnp.clip(gray * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
         out = {
-            "gray": gray, "action": action, "expert_action": expert_action,
+            "gray": gray_u8, "action": action, "expert_action": expert_action,
             "sensor": sensors, "traffic": traffic, "command": command,
             "collision": info["collision"], "offroad": info["offroad"],
             "done": info["done"], "speed": info["speed"],
@@ -188,7 +198,7 @@ def collect_dataset(
     def flat(x):
         return np.asarray(jnp.swapaxes(x, 0, 1).reshape((-1,) + x.shape[2:]))
 
-    frames_u8 = np.clip(flat(traj["gray"]) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    frames_u8 = flat(traj["gray"])  # already uint8 from the rollout
     state = StateLog(
         steer=flat(traj["steer"]).astype(np.float64),
         throttle=flat(traj["throttle"]).astype(np.float64),

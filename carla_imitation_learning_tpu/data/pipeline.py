@@ -195,7 +195,13 @@ class DeviceDataset:
         self.n_samples = n_samples
         # Device-resident packed arrays (replicated under a mesh; batches are
         # sharded by sharding the index vector).
-        device_put = (lambda a: jax.device_put(a, sharding.replicate())) if sharding is not None else jnp.asarray
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(sharding.mesh, PartitionSpec())
+            device_put = lambda a: jax.device_put(a, replicated)  # noqa: E731
+        else:
+            device_put = jnp.asarray
         self.frames = device_put(store.frames)
         self.actions = device_put(store.actions.astype(np.int32))
         self.traffic = device_put(store.traffic.astype(np.int32))
@@ -258,9 +264,11 @@ def _loaders_from_stores(cfg, stores: dict[str, FrameStore], aux: bool, frame_sk
             shuffle=(shuffle and split == "train"), seed=seed, aux=aux,
             # train drops the remainder for a single static shape; eval splits
             # keep the partial final batch (torch DataLoader default) so small
-            # val/test splits still produce metrics.
+            # val/test splits still produce metrics. Only train batches are
+            # sharded (partial eval batches may not divide the mesh).
             drop_last=(split == "train"),
-            dtype=str(cfg.get("compute_dtype_input", "float32")), sharding=sharding,
+            dtype=str(cfg.get("compute_dtype_input", "float32")),
+            sharding=(sharding if split == "train" else None),
             label_offset=label_offset,
         )
     return out

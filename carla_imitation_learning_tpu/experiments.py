@@ -77,14 +77,28 @@ def _trainer_bits(cfg, name: str):
     return trainer, ckpt
 
 
-def _fit(cfg, name, model, example, loss_fn, loaders):
+def _fit(cfg, name, model, example, loss_fn, loaders, mesh=None):
     """Shared fit plumbing: smoke forward → optimizer → Trainer.fit
     (mirrors each reference block's net→loaders→Lightning shape,
-    train.py:119-129)."""
+    train.py:119-129). With a mesh, params are replicated and batches arrive
+    sharded on 'data' (loaders carry the sharding), so the jit'd step runs
+    data-parallel with XLA-inserted gradient psum."""
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     spe = max(1, len(loaders["train_dataloader"]))
     tx = make_optimizer(cfg, steps_per_epoch=spe)
     state = create_train_state(model, rng, example, tx)
+    resume = cfg.get("resume_checkpoint")
+    if resume:
+        from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
+
+        restored = restore_pytree(resume, {"params": state.params,
+                                           "opt_state": state.opt_state,
+                                           "step": state.step})
+        state = state.replace(**restored)
+    if mesh is not None:
+        from carla_imitation_learning_tpu.parallel.mesh import shard_train_state
+
+        state = shard_train_state(mesh, state)
     trainer, ckpt = _trainer_bits(cfg, name)
     result = trainer.fit(state, loss_fn, loaders, rng,
                          max_epochs=int(cfg.get("NUM_EPOCHS",
@@ -128,18 +142,22 @@ def split_folders(cfg, **kw):
 @experiment("bc")
 def behavior_cloning(cfg, cameras=("camera", "semantic"), **kw):
     """Reference train.py:93-129: ConvNet1 BC per camera type."""
+    from carla_imitation_learning_tpu.parallel.mesh import batch_sharding, maybe_mesh
+
+    mesh = maybe_mesh(cfg, batch_size=int(cfg["BATCH_SIZE"]))
+    sharding = batch_sharding(mesh) if mesh is not None else None
     results = {}
     for camera in cameras:
         cfg_c = cfg.copy()
         cfg_c["camera"] = camera
         _maybe_synthesize(cfg_c, camera)
-        loaders = pipe.sequential_train_val_test_iterator(cfg_c)
+        loaders = pipe.sequential_train_val_test_iterator(cfg_c, sharding=sharding)
         model = PolicyCNN(obs_size=int(cfg["obs_size"]),
                           n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
         example = model.example_input(1, int(cfg.get("image_height", 256)),
                                       int(cfg.get("image_width", 256)))
         results[camera] = _fit(cfg_c, f"imitation_{camera}", model, example,
-                               bc_loss_fn, loaders)
+                               bc_loss_fn, loaders, mesh=mesh)
     return results
 
 

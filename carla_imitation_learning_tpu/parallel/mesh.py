@@ -60,6 +60,19 @@ def shard_train_state(mesh: Mesh, state):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), state)
 
 
+def maybe_mesh(cfg=None, batch_size: int | None = None) -> Mesh | None:
+    """Mesh when >1 device is visible and the global batch divides evenly
+    across them (or cfg forces mesh.enabled); else None — single-chip runs
+    skip sharding entirely."""
+    forced = bool(cfg.get_dotted("mesh.enabled", False)) if cfg is not None else False
+    n = jax.device_count()
+    if n <= 1 and not forced:
+        return None
+    if batch_size is not None and batch_size % n != 0 and not forced:
+        return None
+    return make_mesh(cfg)
+
+
 def multihost_initialize(**kwargs) -> None:
     """Multi-host runtime init (replaces Ray's DistributedTrainableCreator,
     reference ray_trainer.py:41-45). No-op when single-process."""

@@ -48,6 +48,7 @@ def make_rollout(
     rcfg: RenderConfig,
     policy_fn: Callable | None,
     frame_skip: int = 4,
+    mesh=None,
 ):
     """Build (init_fn, rollout_fn).
 
@@ -95,13 +96,24 @@ def make_rollout(
     )
 
     @functools.partial(jax.jit, static_argnames=("n_envs",))
-    def init_fn(rng, n_envs: int):
+    def _init(rng, n_envs: int):
         states = jax.vmap(lambda k: reset_env(params, town, k))(
             jax.random.split(rng, n_envs))
         # warm the frame buffer with the initial view
         gray0 = render_batch(states)["gray"]
         framebuf = jnp.repeat(gray0[:, None], frame_skip, axis=1)
         return states, framebuf
+
+    def init_fn(rng, n_envs: int):
+        carry = _init(rng, n_envs)
+        if mesh is not None:
+            # shard the env axis over the mesh; the scan keeps these shardings,
+            # so the whole fleet rollout runs SPMD with no resharding
+            from carla_imitation_learning_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(mesh)
+            carry = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), carry)
+        return carry
 
     def one_step(carry, _):
         states, framebuf = carry
@@ -156,10 +168,11 @@ def make_rollout(
 def evaluate_policy(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 200,
-    frame_skip: int = 4,
+    frame_skip: int = 4, mesh=None,
 ) -> dict:
     """Driving metrics for a policy (or the expert when policy_fn is None)."""
-    init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip)
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
+                                       mesh=mesh)
     carry = init_fn(rng, n_envs)
     _, traj = rollout_fn(carry, n_steps)
     steps = n_envs * n_steps

@@ -330,8 +330,67 @@ def collect_data(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
         Image.fromarray(store.frames[i]).save(out_dir / f"{i + 1}.png")
     fl.save_state_csv(data_dir / "raw" / log / "state.csv", state_log)
     fl.save_state_csv(data_dir / "raw" / "state.csv", state_log)
+    # also write the packed native framestore (mmap zero-copy training tier)
+    packed = None
+    try:
+        from carla_imitation_learning_tpu.native import save_framestore
+
+        packed = str(data_dir / "raw" / log / "frames.tpuilfs")
+        save_framestore(packed, store)
+    except Exception:
+        packed = None
     return {"frames": len(store), "log": str(data_dir / "raw" / log),
+            "framestore": packed,
             "action_histogram": stats_lib.action_histogram(store.actions).tolist()}
+
+
+@experiment("bc_streaming")
+def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2, **kw):
+    """BC over the NATIVE streaming tier: data is collected on-device, written
+    to a packed framestore file, then trained via the C++ mmap reader with
+    multi-threaded host window prefetch — the path for datasets beyond HBM."""
+    from carla_imitation_learning_tpu.native import (
+        NativeFrameStore, PrefetchReader, save_framestore,
+    )
+    from carla_imitation_learning_tpu.training.steps import make_train_step
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    store, _, _ = cl.collect_dataset(params, town, rcfg, rng, n_envs, n_steps)
+    path = Path(cfg["log_dir"]) / "stream.tpuilfs"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    save_framestore(path, store)
+
+    nfs = NativeFrameStore(path)
+    reader = PrefetchReader(nfs, batch=int(cfg.get("BATCH_SIZE", 64)),
+                            frame_skip=int(cfg.get("frame_skip", 4)),
+                            n_threads=4, shuffle=True,
+                            seed=int(cfg.get("seed", 0)))
+    model = PolicyCNN(dtype=_dtype(cfg))
+    tx = make_optimizer(cfg, steps_per_epoch=len(reader))
+    state = create_train_state(
+        model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+    step = make_train_step(bc_loss_fn, donate=False)
+    last = {}
+    import time as _time
+
+    t0 = _time.perf_counter()
+    n_images = 0
+    for _ in range(epochs):
+        for frames, labels in reader:
+            x = jnp.transpose(jnp.asarray(frames), (0, 2, 3, 1)).astype(jnp.float32) / 255.0  # NHWC
+            y = jnp.asarray(labels)
+            rng, k = jax.random.split(rng)
+            state, last = step(state, (x, y), k)
+            n_images += x.shape[0]
+    jax.block_until_ready(last["loss"])
+    wall = _time.perf_counter() - t0
+    nfs.close()
+    return {"frames": len(store), "epochs": epochs,
+            "final_loss": float(last["loss"]),
+            "final_accuracy": float(last["accuracy"]),
+            "images_per_sec_streaming": n_images / wall,
+            "framestore": str(path)}
 
 
 @experiment("closed_loop_eval")
@@ -476,3 +535,73 @@ def hpo(cfg, num_samples: int = 4, **kw):
         results_dir=str(Path(cfg["log_dir"]) / "hpo"))
     return {"best_config": best.config, "best_metrics": best.metrics,
             "n_trials": len(trials)}
+
+
+@experiment("hpo_vmap")
+def hpo_vmap(cfg, lrs=(3e-4, 1e-3, 3e-3, 1e-2), epochs: int = 2, **kw):
+    """Vectorized HPO: ALL learning-rate trials of the BC recipe train inside
+    ONE jit program (vmap over the trial axis) — the TPU-native answer to Ray
+    Tune's process-per-trial parallelism (reference ray_trainer.py:49-53).
+    Small nets batch their trials onto the MXU together."""
+    import optax
+
+    from carla_imitation_learning_tpu.parallel.hpo import vmap_sweep
+    from carla_imitation_learning_tpu.training.losses import accuracy, cross_entropy
+
+    cfg_c = cfg.copy()
+    cfg_c["camera"] = "camera"
+    _maybe_synthesize(cfg_c, "camera")
+    loaders = pipe.sequential_train_val_test_iterator(cfg_c)
+    train_ds = loaders["train_dataloader"]
+    val_ds = loaders["val_dataloader"]
+
+    # materialize the epoch as stacked device batches (fixed shapes for fori)
+    order = np.arange(train_ds.n_samples)
+    nb = max(1, train_ds.n_samples // train_ds.batch_size)
+    batches = [train_ds.make_batch(order[i * train_ds.batch_size:
+                                         (i + 1) * train_ds.batch_size])
+               for i in range(nb)]
+    bx = jnp.stack([b[0] for b in batches])  # (nb, B, H, W, C)
+    by = jnp.stack([b[1] for b in batches])
+    vx, vy = val_ds.make_batch(np.arange(min(val_ds.n_samples, 64)))
+
+    model = PolicyCNN(obs_size=int(cfg["obs_size"]),
+                      n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
+    make_tx = optax.inject_hyperparams(optax.adam)
+
+    def init_fn(rng, lr):
+        params = model.init(rng, bx[0])["params"]
+        return {"params": params, "opt": make_tx(learning_rate=lr).init(params)}
+
+    def train_fn(state, lr):
+        tx = make_tx(learning_rate=lr)
+
+        def step(carry, xs):
+            params, opt = carry
+            x, y = xs
+
+            def loss_fn(p):
+                return cross_entropy(model.apply({"params": p}, x), y)
+
+            grads = jax.grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt), None
+
+        params, opt = state["params"], state["opt"]
+        for _ in range(epochs):
+            (params, opt), _ = jax.lax.scan(step, (params, opt), (bx, by))
+        val_logits = model.apply({"params": params}, vx)
+        return {"params": params, "opt": opt}, {
+            "mean_accuracy": accuracy(val_logits, vy),
+            "val_loss": cross_entropy(val_logits, vy),
+        }
+
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    lr_arr = jnp.asarray(lrs, jnp.float32)
+    states, metrics = vmap_sweep(init_fn, train_fn, lr_arr, rng)
+    accs = [float(a) for a in metrics["mean_accuracy"]]
+    best_i = int(np.argmax(accs))
+    return {"lrs": [float(v) for v in lrs], "accuracies": accs,
+            "val_losses": [float(v) for v in metrics["val_loss"]],
+            "best_lr": float(lrs[best_i]), "n_trials": len(lrs),
+            "note": "all trials trained in one jit program (vmap axis)"}

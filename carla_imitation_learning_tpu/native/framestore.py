@@ -171,9 +171,10 @@ class NativeFrameStore:
 class PrefetchReader:
     """Threaded window-batch iterator over a NativeFrameStore.
 
-    Yields (frames f32 (B, frame_skip, H, W) in [0,1], labels i32 (B,)) with
-    the sequential-window label contract; C++ workers gather ahead of the
-    training loop.
+    Yields (frames uint8 (B, frame_skip, H, W), labels i32 (B,)) with the
+    sequential-window label contract; C++ workers memcpy-gather ahead of the
+    training loop. Normalize on device (x.astype(f32)/255) — shipping uint8
+    keeps host work and H2D traffic 4× smaller.
     """
 
     def __init__(self, store: NativeFrameStore, batch: int, frame_skip: int = 4,
@@ -194,7 +195,7 @@ class PrefetchReader:
             raise RuntimeError("fs_reader_create failed (store too small?)")
         n_batches = lib.fs_reader_n_batches(reader)
         frames = np.empty((self.batch, self.frame_skip, self._store.h, self._store.w),
-                          np.float32)
+                          np.uint8)
         labels = np.empty((self.batch,), np.int32)
         try:
             for _ in range(n_batches):

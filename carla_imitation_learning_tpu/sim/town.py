@@ -153,13 +153,23 @@ def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
 
 def route_point(town: TownMap, route_idx, s):
     """Position + tangent yaw on route ``route_idx`` at arclength ``s``
-    (wrapped). Pure gather + lerp — vmap/jit friendly."""
+    (wrapped). Pure gathers — vmap/jit friendly.
+
+    Routes are uniformly resampled, so the segment index is ~s/total·P; chord
+    shortening at polygon corners perturbs it by at most one segment, which a
+    branchless ±1 correction fixes. This replaces a binary-search
+    (searchsorted) per query — the sim fleet issues ~30 queries/env/step."""
     total = town.route_total[route_idx]
     s = jnp.mod(s, total)
     arclen = town.route_arclen[route_idx]  # (P,)
     pts = town.routes[route_idx]  # (P,2)
-    i = jnp.clip(jnp.searchsorted(arclen, s, side="right") - 1, 0, pts.shape[0] - 1)
-    nxt = (i + 1) % pts.shape[0]
+    n = pts.shape[0]
+    i0 = jnp.clip((s / total * n).astype(jnp.int32), 0, n - 1)
+    # correct to the true bracketing segment: arclen[i] <= s < arclen[i+1]
+    up = (i0 + 1 < n) & (s >= arclen[jnp.minimum(i0 + 1, n - 1)])
+    down = s < arclen[i0]
+    i = jnp.clip(i0 + up.astype(jnp.int32) - down.astype(jnp.int32), 0, n - 1)
+    nxt = (i + 1) % n
     p0, p1 = pts[i], pts[nxt]
     seg = p1 - p0
     seg_len = jnp.linalg.norm(seg) + 1e-9

@@ -69,6 +69,12 @@ class Trainer:
         self.limit_train_batches = tcfg.get("limit_train_batches", 1.0)
         self.limit_val_batches = tcfg.get("limit_val_batches", 1.0)
         self.profiler = SimpleProfiler() if tcfg.get("profiler") == "simple" else None
+        self.trace_dir = (str(tcfg.get("trace_dir", "")) or None) \
+            if tcfg.get("profiler") == "trace" else None
+        # failure detection: on a non-finite train loss, restore the last good
+        # checkpointed state instead of continuing to train on garbage
+        self.restore_on_nan = bool(tcfg.get("restore_on_nan", True))
+        self.nan_events = 0
         self.logger = logger
         self.callbacks = list(callbacks)
         self.ckpt = checkpoint_manager
@@ -104,7 +110,18 @@ class Trainer:
                     break
                 eval_step(state, batch)
 
+        if self.trace_dir:
+            import jax.profiler as jprof
+
+            jprof.start_trace(self.trace_dir)
         t_start = time.perf_counter()
+
+        def snapshot(s):
+            # the train step donates its input state — the restore point must
+            # own fresh buffers or rollback hands back donated (freed) memory
+            return jax.tree_util.tree_map(jnp.copy, s) if self.restore_on_nan else s
+
+        last_good = snapshot(state)  # failure-detection restore point
         for epoch in range(max_epochs):
             train_metrics: list[dict] = []
             nb = _limit(len(train_loader), self.limit_train_batches)
@@ -120,6 +137,18 @@ class Trainer:
                 train_metrics.append(metrics)
                 timer.tick()
             epoch_row = {f"train_{k}": v for k, v in _mean_metrics(train_metrics).items()}
+
+            # failure detection: non-finite training loss → roll back to the
+            # last good state (one host sync per epoch, not per step)
+            import math
+
+            if self.restore_on_nan and not math.isfinite(
+                    epoch_row.get("train_loss", 0.0)):
+                self.nan_events += 1
+                state = snapshot(last_good)
+                epoch_row["nan_rollback"] = 1.0
+            else:
+                last_good = snapshot(state)
 
             if val_loader is not None:
                 val_metrics: list[dict] = []
@@ -151,6 +180,10 @@ class Trainer:
             self._callback("on_epoch_end", state=state, epoch=epoch, metrics=epoch_row,
                            loaders=loaders)
 
+        if self.trace_dir:
+            import jax.profiler as jprof
+
+            jprof.stop_trace()
         elapsed = time.perf_counter() - t_start
         throughput = {
             "steps_per_sec": timer.steps / max(elapsed, 1e-9),

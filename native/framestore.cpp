@@ -140,7 +140,7 @@ void fs_close(void* handle) {
 // ---------------------------------------------------------------------------
 
 struct Batch {
-  std::vector<float> frames;
+  std::vector<uint8_t> frames;  // raw uint8 windows — normalize on device
   std::vector<int32_t> labels;
 };
 
@@ -173,8 +173,8 @@ struct Reader {
       for (int i = 0; i < batch; ++i) {
         int64_t sample = order[(b * batch + i) % n_samples];
         const uint8_t* src = store->frames + (size_t)sample * h * w;
-        float* dst = out.frames.data() + (size_t)i * fsz;
-        for (size_t k = 0; k < fsz; ++k) dst[k] = src[k] * (1.0f / 255.0f);
+        // raw window copy (4x less host work + H2D than f32; device divides)
+        std::memcpy(out.frames.data() + (size_t)i * fsz, src, fsz);
         out.labels[i] = store->actions[sample + frame_skip];
       }
       std::unique_lock<std::mutex> lock(mu);
@@ -214,9 +214,9 @@ void* fs_reader_create(void* handle, int batch, int frame_skip, int n_threads,
 
 int64_t fs_reader_n_batches(void* reader) { return ((Reader*)reader)->n_batches; }
 
-// Pops one ready batch into caller buffers. Returns 0 on success, 1 when the
-// epoch is exhausted.
-int fs_reader_next(void* reader, float* frames_out, int32_t* labels_out) {
+// Pops one ready batch into caller buffers (frames: uint8). Returns 0 on
+// success, 1 when the epoch is exhausted.
+int fs_reader_next(void* reader, uint8_t* frames_out, int32_t* labels_out) {
   auto* r = (Reader*)reader;
   std::unique_lock<std::mutex> lock(r->mu);
   r->cv_pop.wait(lock, [&] {
@@ -229,7 +229,7 @@ int fs_reader_next(void* reader, float* frames_out, int32_t* labels_out) {
   r->queue.pop_front();
   r->cv_push.notify_one();
   lock.unlock();
-  std::memcpy(frames_out, b.frames.data(), b.frames.size() * 4);
+  std::memcpy(frames_out, b.frames.data(), b.frames.size());
   std::memcpy(labels_out, b.labels.data(), b.labels.size() * 4);
   return 0;
 }

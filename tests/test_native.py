@@ -45,10 +45,10 @@ def test_prefetch_matches_window_contract(packed):
     assert len(batches) == (50 - 4) // 8
     frames, labels = batches[0]
     assert frames.shape == (8, 4, 32, 32)
-    # sequential order: sample k = frames[k:k+4]/255, label = action[k+4]
+    assert frames.dtype == np.uint8
+    # sequential order: sample k = frames[k:k+4], label = action[k+4]
     for k in range(8):
-        np.testing.assert_allclose(
-            frames[k], store.frames[k:k + 4].astype(np.float32) / 255.0, atol=1e-6)
+        np.testing.assert_array_equal(frames[k], store.frames[k:k + 4])
         assert labels[k] == store.actions[k + 4]
     nfs.close()
 

@@ -246,6 +246,47 @@ class DeviceDataset:
             yield self.make_batch(order[b * self.batch_size:(b + 1) * self.batch_size])
 
 
+class SequenceDataset:
+    """(frames_seq (B, T, H, W, 1), actions_seq (B, T)) batches for latent
+    world-model training (reports/Results.xlsx plan). Window starts respect
+    ``episode_len`` boundaries when given (env-major collected streams)."""
+
+    def __init__(self, store: FrameStore, batch_size: int, seq_len: int = 8,
+                 episode_len: int | None = None, shuffle: bool = True,
+                 seed: int = 0):
+        self.store = store
+        self.batch_size = batch_size
+        self.seq_len = seq_len
+        self._rng = np.random.default_rng(seed)
+        self.shuffle = shuffle
+        n = len(store)
+        starts = np.arange(n - seq_len)
+        if episode_len:
+            keep = (starts % episode_len) <= episode_len - seq_len
+            starts = starts[keep]
+        if len(starts) == 0:
+            raise ValueError(f"no length-{seq_len} sequences in store of {n}")
+        self.starts = starts
+        self.frames = jnp.asarray(store.frames)
+        self.actions = jnp.asarray(store.actions.astype(np.int32))
+
+    def __len__(self) -> int:
+        return max(1, len(self.starts) // self.batch_size)
+
+    def make_batch(self, idx: np.ndarray):
+        idx = jnp.asarray(idx, jnp.int32)
+        gather = idx[:, None] + jnp.arange(self.seq_len)[None, :]  # (B, T)
+        frames = self.frames[gather].astype(jnp.float32) / 255.0
+        return frames[..., None], self.actions[gather]
+
+    def __iter__(self):
+        order = self.starts.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for b in range(len(self)):
+            yield self.make_batch(order[b * self.batch_size:(b + 1) * self.batch_size])
+
+
 # ---------------------------------------------------------------------------
 # Iterator factories, mirroring the reference's public API
 # (imitation_dataset.py:197-314). Each returns the same dict shape:

@@ -537,6 +537,69 @@ def hpo(cfg, num_samples: int = 4, **kw):
             "n_trials": len(trials)}
 
 
+@experiment("world_model")
+def world_model(cfg, n_envs: int = 16, n_steps: int = 128, seq_len: int = 8,
+                z_size: int = 64, rnn: str = "lstm", image_loss: str = "mse",
+                **kw):
+    """Latent world model (Encoder→RNN→Decoder) on on-device rollout data —
+    the design in the reference's reports/figures/combined_archiecture.pdf."""
+    from carla_imitation_learning_tpu.models.world_model import LatentWorldModel
+    from carla_imitation_learning_tpu.training.losses import world_model_loss_fn
+
+    # config overrides (CLI: -o wm_z_size=128 -o wm_rnn=gru -o wm_image_loss=ms_ssim)
+    z_size = int(cfg.get("wm_z_size", z_size))
+    rnn = str(cfg.get("wm_rnn", rnn))
+    image_loss = str(cfg.get("wm_image_loss", image_loss))
+    seq_len = int(cfg.get("wm_seq_len", seq_len))
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    store, _, _ = cl.collect_dataset(params, town, rcfg, rng, n_envs, n_steps)
+    # env-major streams: hold out the last env stream for validation so splits
+    # and episode boundaries stay aligned
+    n = len(store)
+    split = (n_envs - 1) * n_steps if n_envs > 1 else int(0.9 * n)
+    mk = lambda s, sh: pipe.SequenceDataset(  # noqa: E731
+        s, batch_size=int(cfg.get("wm_batch", 16)), seq_len=seq_len,
+        episode_len=n_steps, shuffle=sh, seed=int(cfg.get("seed", 0)))
+    loaders = {
+        "train_dataloader": mk(store.slice(0, split), True),
+        "val_dataloader": mk(store.slice(split, n), False),
+    }
+    model = LatentWorldModel(
+        z_size=int(kw.get("wm_z_size", z_size)), rnn=rnn,
+        n_actions=int(cfg.get("n_actions", 9)),
+        height=rcfg.height, width=rcfg.width, dtype=_dtype(cfg))
+    loss = world_model_loss_fn(image_loss=image_loss)
+    return _fit(cfg, f"world_model_{rnn}_{z_size}_{image_loss}", model,
+                model.example_input(1, seq_len), loss, loaders)
+
+
+@experiment("world_model_sweep")
+def world_model_sweep(cfg, n_envs: int = 16, n_steps: int = 128,
+                      z_sizes=(64, 128, 512), rnns=("lstm", "gru"),
+                      losses=("mse", "ms_ssim"), **kw):
+    """The reference's HPO plan, executed: Latent Size × RNN Unit × Loss grid
+    (reports/Results.xlsx sheet1 — the reference only ever recorded the plan)."""
+    from carla_imitation_learning_tpu.parallel.hpo import grid_space, tune_run
+
+    def trainable(trial):
+        r = world_model(cfg, n_envs=n_envs, n_steps=n_steps,
+                        z_size=trial["z"], rnn=trial["rnn"],
+                        image_loss=trial["loss"])
+        h = r["history"][-1]
+        return {"val_loss": h.get("val_loss", float("inf")),
+                "val_recon_loss": h.get("val_recon_loss", float("inf"))}
+
+    space = {"z": list(z_sizes), "rnn": list(rnns), "loss": list(losses)}
+    best, trials = tune_run(trainable, trial_configs=grid_space(space),
+                            metric="val_loss", mode="min",
+                            results_dir=str(Path(cfg["log_dir"]) / "wm_sweep"))
+    return {"best_config": best.config, "best_metrics": best.metrics,
+            "n_trials": len(trials),
+            "table": [{**t.config, **t.metrics} for t in trials]}
+
+
 @experiment("hpo_vmap")
 def hpo_vmap(cfg, lrs=(3e-4, 1e-3, 3e-3, 1e-2), epochs: int = 2, **kw):
     """Vectorized HPO: ALL learning-rate trials of the BC recipe train inside

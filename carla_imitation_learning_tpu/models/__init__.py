@@ -10,6 +10,7 @@ from carla_imitation_learning_tpu.models.cnn import PolicyCNN, DualStreamCNN  # 
 from carla_imitation_learning_tpu.models.vae import ConvVAE  # noqa: F401
 from carla_imitation_learning_tpu.models.aux import AuxNet  # noqa: F401
 from carla_imitation_learning_tpu.models.cil import BranchedCILPolicy  # noqa: F401
+from carla_imitation_learning_tpu.models.world_model import LatentWorldModel  # noqa: F401
 
 MODEL_REGISTRY = {
     "policy_cnn": PolicyCNN,
@@ -17,4 +18,5 @@ MODEL_REGISTRY = {
     "conv_vae": ConvVAE,
     "aux_net": AuxNet,
     "branched_cil": BranchedCILPolicy,
+    "latent_world_model": LatentWorldModel,
 }

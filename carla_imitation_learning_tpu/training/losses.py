@@ -79,6 +79,36 @@ def aux_loss_fn(recon_weight: float = 0.0, traffic_weight: float = 0.0,
     return loss_fn
 
 
+def world_model_loss_fn(recon_weight: float = 1.0, latent_weight: float = 1.0,
+                        pred_image_weight: float = 1.0, image_loss: str = "mse"):
+    """Latent world-model loss (reference reports/figures architecture:
+    reconstruction + predicted-latent + predicted-image terms; image term
+    selectable MSE or MS-SSIM per the Results.xlsx sweep plan)."""
+
+    def image_term(a, b):
+        if image_loss == "ms_ssim":
+            from carla_imitation_learning_tpu.ops.ssim import ms_ssim_loss
+
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+            return ms_ssim_loss(flat(a), flat(b))
+        return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+
+    def loss_fn(params, apply_fn, batch, rng=None):
+        frames, actions = batch  # (B, T, H, W, C), (B, T)
+        recon, z, z_pred, frames_pred = apply_fn({"params": params}, frames, actions)
+        recon_loss = image_term(recon, frames)
+        latent_loss = jnp.mean(
+            (z_pred - jax.lax.stop_gradient(z[:, 1:])) ** 2)
+        pred_image_loss = image_term(frames_pred, frames[:, 1:])
+        loss = (recon_weight * recon_loss + latent_weight * latent_loss
+                + pred_image_weight * pred_image_loss)
+        return loss, {"loss": loss, "recon_loss": recon_loss,
+                      "latent_pred_loss": latent_loss,
+                      "image_pred_loss": pred_image_loss}
+
+    return loss_fn
+
+
 def cil_loss_fn(speed_weight: float = 0.1):
     def loss_fn(params, apply_fn, batch, rng=None):
         frames, speed, command, y = batch

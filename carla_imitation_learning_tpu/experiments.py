@@ -537,6 +537,30 @@ def hpo(cfg, num_samples: int = 4, **kw):
             "n_trials": len(trials)}
 
 
+@experiment("collect_multicamera")
+def collect_multicamera_data(cfg, n_envs: int = 8, n_steps: int = 128, **kw):
+    """Write a multi-camera raw log (camera + FL/FR/SL/SR/RR views) in the
+    reference's exact VAE data contract — the full CARLA rig replacement."""
+    from PIL import Image
+
+    cameras = tuple(kw.get("cameras", ("camera", "FL", "FR", "SL", "SR", "RR")))
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    frames, state_log = cl.collect_multicamera(
+        params, town, rcfg, rng, cameras=cameras, n_envs=n_envs, n_steps=n_steps)
+    data_dir = Path(cfg["data_dir"])
+    log = kw.get("log_name", "SimLog1")
+    for cam, arr in frames.items():
+        out = data_dir / "raw" / log / cam
+        out.mkdir(parents=True, exist_ok=True)
+        for i in range(len(arr)):
+            Image.fromarray(arr[i]).save(out / f"{i + 1}.png")
+    fl.save_state_csv(data_dir / "raw" / log / "state.csv", state_log)
+    fl.save_state_csv(data_dir / "raw" / "state.csv", state_log)
+    return {"cameras": list(frames), "frames_per_camera": len(state_log),
+            "log": str(data_dir / "raw" / log)}
+
+
 @experiment("world_model")
 def world_model(cfg, n_envs: int = 16, n_steps: int = 128, seq_len: int = 8,
                 z_size: int = 64, rnn: str = "lstm", image_loss: str = "mse",

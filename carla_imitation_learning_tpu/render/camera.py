@@ -28,15 +28,34 @@ class Camera(struct.PyTreeNode):
     down: jnp.ndarray     # (3,) unit (image y grows downward)
 
 
+# CARLA-style rig: the reference's camera names (configs/model/vae.yaml:4
+# FL/FR/RR/SL/SR; train.py:97 camera/semantic; :135 camera_sFOV).
+# (yaw offset from heading in degrees, fov override or None).
+CAMERA_PRESETS = {
+    "camera": (0.0, None),        # forward dashboard
+    "semantic": (0.0, None),      # same pose; semantic output channel
+    "camera_sFOV": (0.0, 60.0),   # narrow field of view
+    "FL": (45.0, None),           # front-left
+    "FR": (-45.0, None),          # front-right
+    "SL": (90.0, None),           # side-left
+    "SR": (-90.0, None),          # side-right
+    "RR": (180.0, None),          # rear
+}
+
+
 def camera_from_ego(ego_pos: jnp.ndarray, ego_yaw: jnp.ndarray,
-                    height: float = 1.6, forward_offset: float = 0.5) -> Camera:
-    """Dashboard camera: at the ego, looking along its heading, horizon level."""
-    c, s = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
+                    height: float = 1.6, forward_offset: float = 0.5,
+                    yaw_offset_deg: float = 0.0) -> Camera:
+    """Rig camera: mounted at the ego, looking along heading + yaw offset,
+    horizon level."""
+    yaw = ego_yaw + jnp.deg2rad(yaw_offset_deg)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    ch, sh = jnp.cos(ego_yaw), jnp.sin(ego_yaw)
     forward = jnp.stack([c, s, jnp.zeros_like(c)], -1)
     right = jnp.stack([s, -c, jnp.zeros_like(c)], -1)
     down = jnp.array([0.0, 0.0, -1.0])
-    pos = jnp.concatenate([ego_pos + forward_offset * forward[:2],
-                           jnp.array([height])])
+    mount = ego_pos + forward_offset * jnp.stack([ch, sh], -1)  # on the body
+    pos = jnp.concatenate([mount, jnp.array([height])])
     return Camera(pos=pos, forward=forward, right=right, down=down)
 
 

@@ -43,8 +43,16 @@ class RenderConfig:
                    rgb=bool(r.get("rgb", True)), semantic=bool(r.get("semantic", True)))
 
 
-def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig):
-    """→ render(state) -> {'rgb','semantic','gray','depth'} for ONE env."""
+def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
+                  camera: str = "camera"):
+    """→ render(state) -> {'rgb','semantic','gray','depth'} for ONE env.
+
+    ``camera`` selects a rig preset (render.camera.CAMERA_PRESETS): the
+    reference's forward/semantic/narrow-FOV/side/rear views."""
+    from carla_imitation_learning_tpu.render.camera import CAMERA_PRESETS
+
+    yaw_off, fov_override = CAMERA_PRESETS.get(camera, (0.0, None))
+    fov = fov_override or rcfg.fov_deg
     static = geo.build_static_scene(town)
 
     if rcfg.backend == "pallas":
@@ -68,9 +76,10 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig):
         tris, colors, classes = geo.assemble_scene(
             static, town.lights_pos, phases, agents_pos, agents_yaw,
             rcfg.max_triangles)
-        cam = camera_from_ego(state.ego_pos, state.ego_yaw)
+        cam = camera_from_ego(state.ego_pos, state.ego_yaw,
+                              yaw_offset_deg=yaw_off)
         setup = project_triangles(tris, colors, classes, cam,
-                                  rcfg.width, rcfg.height, rcfg.fov_deg, rcfg.near)
+                                  rcfg.width, rcfg.height, fov, rcfg.near)
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,
                                            near=rcfg.near, far=rcfg.far)

@@ -231,6 +231,63 @@ def collect_dataset(
     return store, state, traj
 
 
+def collect_multicamera(
+    params: SimParams, town: TownMap, rcfg: RenderConfig, rng,
+    cameras=("camera", "FL", "FR", "SL", "SR", "RR"),
+    n_envs: int = 8, n_steps: int = 128,
+):
+    """Expert rollouts rendered from a full CARLA-style camera rig.
+
+    → (frames: {camera: (B·T, H, W) uint8}, state_log) — the multi-camera raw
+    log the reference's VAE paths consume (vae_dataset.py:90-92 FL/FR/RR/SL/SR).
+    One sim trajectory, re-rendered per view inside a single jit'd scan.
+    """
+    import functools as _ft
+
+    from carla_imitation_learning_tpu.data.frame_log import StateLog
+
+    renders = {c: jax.vmap(make_renderer(params, town, rcfg, camera=c))
+               for c in cameras}
+    step_batch = jax.vmap(lambda s, c: step_env(params, town, s, c))
+    expert_batch = jax.vmap(lambda s: autopilot_control(params, town, s))
+    sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))
+    light_batch = jax.vmap(lambda s: traffic_light_state(params, town, s))
+
+    def one_step(states, _):
+        views = {c: jnp.clip(r(states)["gray"] * 255.0 + 0.5, 0, 255
+                             ).astype(jnp.uint8) for c, r in renders.items()}
+        expert = expert_batch(states)
+        sensors = sensor_batch(states)
+        traffic = light_batch(states)
+        new_states, _info = step_batch(states, expert)
+        return new_states, {"views": views, "steer": expert.steer,
+                            "throttle": expert.throttle, "brake": expert.brake,
+                            "sensor": sensors, "traffic": traffic}
+
+    @_ft.partial(jax.jit, static_argnames=("n_steps",))
+    def run(states, n_steps: int):
+        return jax.lax.scan(one_step, states, None, length=n_steps)
+
+    states = jax.vmap(lambda k: reset_env(params, town, k))(
+        jax.random.split(rng, n_envs))
+    _, traj = run(states, n_steps)
+
+    def flat(x):
+        return np.asarray(jnp.swapaxes(x, 0, 1).reshape((-1,) + x.shape[2:]))
+
+    frames = {c: flat(v) for c, v in traj["views"].items()}
+    state_log = StateLog(
+        steer=flat(traj["steer"]).astype(np.float64),
+        throttle=flat(traj["throttle"]).astype(np.float64),
+        brake=flat(traj["brake"]).astype(np.float64),
+        trafficlight=flat(traj["traffic"]).astype(np.float64),
+        current_steer=flat(traj["sensor"])[:, 0].astype(np.float64),
+        speed_long=flat(traj["sensor"])[:, 1].astype(np.float64),
+        speed=flat(traj["sensor"])[:, 2].astype(np.float64),
+    )
+    return frames, state_log
+
+
 def dagger_iteration(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable, rng, n_envs: int = 16, n_steps: int = 256,

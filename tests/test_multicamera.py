@@ -1,0 +1,69 @@
+"""Multi-camera rig: per-view rendering + VAE-contract collection."""
+
+import numpy as np
+
+import jax
+
+from carla_imitation_learning_tpu.render import RenderConfig, make_renderer
+from carla_imitation_learning_tpu.render.camera import CAMERA_PRESETS
+from carla_imitation_learning_tpu.sim import SimParams, make_town, reset_env
+from carla_imitation_learning_tpu.training.closed_loop import collect_multicamera
+
+TOWN = make_town(blocks=2, n_buildings=8, n_lights=4)
+PARAMS = SimParams(n_agents=4)
+RCFG = RenderConfig(32, 32, max_triangles=256, backend="jax")
+
+
+def test_presets_cover_reference_cameras():
+    # reference camera names: configs/model/vae.yaml:4 + train.py:97,:135
+    for name in ("camera", "semantic", "camera_sFOV", "FL", "FR", "RR", "SL", "SR"):
+        assert name in CAMERA_PRESETS
+
+
+def test_views_differ_by_camera(rng):
+    state = reset_env(PARAMS, TOWN, jax.random.PRNGKey(2))
+    grays = {}
+    for cam in ("camera", "SL", "RR"):
+        out = make_renderer(PARAMS, TOWN, RCFG, camera=cam)(state)
+        grays[cam] = np.asarray(out["gray"])
+    assert not np.allclose(grays["camera"], grays["SL"])
+    assert not np.allclose(grays["camera"], grays["RR"])
+    # narrow FOV zooms: its view differs from the default-FOV forward view
+    out_s = make_renderer(PARAMS, TOWN, RCFG, camera="camera_sFOV")(state)
+    assert not np.allclose(grays["camera"], np.asarray(out_s["gray"]))
+
+
+def test_collect_multicamera_contract(tmp_path):
+    frames, state_log = collect_multicamera(
+        PARAMS, TOWN, RCFG, jax.random.PRNGKey(0),
+        cameras=("camera", "SL"), n_envs=2, n_steps=10)
+    assert set(frames) == {"camera", "SL"}
+    assert frames["camera"].shape == (20, 32, 32)
+    assert frames["camera"].dtype == np.uint8
+    assert len(state_log) == 20
+    assert not np.array_equal(frames["camera"], frames["SL"])
+
+
+def test_multicamera_feeds_vae_pipeline(tmp_path):
+    """End-to-end: collect rig data → write the raw-log contract → the VAE
+    iterator consumes the SL camera directly."""
+    from carla_imitation_learning_tpu import compose
+    from carla_imitation_learning_tpu.experiments import collect_multicamera_data
+    from carla_imitation_learning_tpu.data import vae_data
+
+    cfg = compose("config", overrides=[
+        "sim.n_agents=3", "sim.town.blocks=2", "sim.town.n_buildings=6",
+        "sim.n_lights=4", "render.height=32", "render.width=32",
+        "render.max_triangles=256", "render.backend=jax",
+        "BATCH_SIZE=4", "image_size=[1,32,32]",
+        f"data_dir={tmp_path}/data/", f"log_dir={tmp_path}/logs",
+    ])
+    r = collect_multicamera_data(cfg, n_envs=2, n_steps=8,
+                                 cameras=("SL",), log_name="SimLog1")
+    assert r["frames_per_camera"] == 16
+    cfg2 = cfg.copy()
+    cfg2["camera"] = "SL"
+    cfg2["train_logs"] = ["SimLog1"]
+    loaders = vae_data.train_val_test_iterator(cfg2, "pooled_data")
+    x = next(iter(loaders["train_dataloader"]))
+    assert x.shape[1:] == (32, 32, 1)

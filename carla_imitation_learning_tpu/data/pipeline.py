@@ -223,10 +223,9 @@ class DeviceDataset:
             self._rng.shuffle(order)
         return order
 
-    def make_batch(self, idx: np.ndarray):
-        idx = jnp.asarray(idx, dtype=jnp.int32)
-        if self._idx_sharding is not None:
-            idx = jax.device_put(idx, self._idx_sharding)
+    def pure_batch(self, idx):
+        """Batch from a traced index vector — jit/scan-safe (used by the
+        fused-epoch trainer: the whole epoch runs as one lax.scan)."""
         x = gather_windows(self.frames, idx, self.frame_skip, self.dtype)
         y = self.actions[idx + self.label_offset]
         if self.cil:
@@ -238,6 +237,12 @@ class DeviceDataset:
         sensor = self.sensors[idx + self.label_offset]
         traffic = self.traffic[idx + self.label_offset]
         return (x, sensor), jnp.stack([traffic, y], axis=-1)
+
+    def make_batch(self, idx: np.ndarray):
+        idx = jnp.asarray(idx, dtype=jnp.int32)
+        if self._idx_sharding is not None:
+            idx = jax.device_put(idx, self._idx_sharding)
+        return self.pure_batch(idx)
 
     def __iter__(self) -> Iterator:
         order = self.epoch_indices()

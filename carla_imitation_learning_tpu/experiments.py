@@ -144,6 +144,8 @@ def behavior_cloning(cfg, cameras=("camera", "semantic"), **kw):
     """Reference train.py:93-129: ConvNet1 BC per camera type."""
     from carla_imitation_learning_tpu.parallel.mesh import batch_sharding, maybe_mesh
 
+    cameras = tuple(cfg.get("bc_cameras", cameras))  # CLI: -o bc_cameras=['camera']
+
     mesh = maybe_mesh(cfg, batch_size=int(cfg["BATCH_SIZE"]))
     sharding = batch_sharding(mesh) if mesh is not None else None
     results = {}
@@ -188,7 +190,6 @@ def behavior_cloning_raw_segment(cfg, **kw):
     cfg_c = cfg.copy()
     _maybe_synthesize(cfg_c, "camera")
     raw = pipe._sequential_stores(cfg_c)
-    cfg_s = cfg_c.copy()
     # semantic stream shares the split; frames come from the 'semantic' camera
     sem_dir = Path(cfg["data_dir"]) / "raw" / cfg["train_logs"][0] / "semantic"
     sem_frames = fl.FrameLog(sem_dir).read_all_gray_u8() if sem_dir.is_dir() else None
@@ -196,7 +197,6 @@ def behavior_cloning_raw_segment(cfg, **kw):
     class ZipLoader:
         def __init__(self, base: pipe.DeviceDataset, seg_frames):
             self.base = base
-            h, w = base.store.height, base.store.width
             seg = seg_frames if seg_frames is not None else base.store.frames
             self.seg = jnp.asarray(seg[:len(base.store)])
             self.batch_size = base.batch_size

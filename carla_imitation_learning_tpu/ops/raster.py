@@ -3,8 +3,8 @@
 Kernel design (see pallas guide: VPU is 8×128):
 - grid = image tile rows; each program rasterizes a (TILE_ROWS, W) pixel tile
   held in VMEM, with a per-tile z-buffer in VMEM scratch.
-- per-triangle coefficients (edge rows, depth numerator, color, class — 16
-  floats) are packed into one (T, 16) SMEM-resident table; the per-triangle
+- per-triangle coefficients (edge rows, depth numerator, color, class, zmin —
+  17 floats) are packed into one (T, 16) SMEM-resident table; the per-triangle
   loop reads *scalars* from SMEM (what SMEM is for) and evaluates edge
   functions as (TILE_ROWS, W) vector FMAs on the VPU.
 - **tile compaction**: XLA precomputes, per tile row, the index list of
@@ -41,7 +41,7 @@ LUMA_W = jnp.asarray([0.299, 0.587, 0.114])  # reference imitation_dataset.py:12
 
 
 def pack_setup(setup: TriangleSetup, luma_only: bool = False) -> jnp.ndarray:
-    """TriangleSetup → (T, 16) f32 table. Invalid triangles get all-zero rows
+    """TriangleSetup → (T, 17) f32 table. Invalid triangles get all-zero rows
     (zero edges never pass the strict-sign inside test). With ``luma_only``
     the color slots carry the precomputed luminance (policy rollouts need
     only the grayscale channel — the inner loop then writes 1 plane, not 3)."""
@@ -68,7 +68,6 @@ def tile_lists(setup: TriangleSetup, height: int, k: int, width: int | None = No
     Screen-x and far-plane culls apply globally (the bands span full width).
     """
     n_rows = height // TILE_ROWS
-    n_tris = setup.bbox.shape[0]
     xmin, xmax = setup.bbox[:, 0], setup.bbox[:, 1]
     ymin, ymax = setup.bbox[:, 2], setup.bbox[:, 3]
     onscreen = setup.valid & (setup.zmin < far)
@@ -83,7 +82,6 @@ def tile_lists(setup: TriangleSetup, height: int, k: int, width: int | None = No
     # 1.8× slower end-to-end on v5e — TPU scatters serialize; sort stays.)
     score = jnp.where(hit, setup.zmin[None, :], jnp.inf)
     idx = jnp.argsort(score, axis=1)[:, :k].astype(jnp.int32)
-    _ = n_tris
     return idx, count
 
 

@@ -21,6 +21,7 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from carla_imitation_learning_tpu.training.steps import (
     TrainState, make_eval_step, make_train_step,
@@ -49,8 +50,11 @@ def _limit(n_batches: int, limit) -> int:
 def _mean_metrics(metric_list: list[dict]) -> dict:
     if not metric_list:
         return {}
-    stacked = {k: jnp.stack([m[k] for m in metric_list]) for k in metric_list[0]}
-    return {k: float(jnp.mean(v)) for k, v in stacked.items()}
+    # one batched device→host transfer, then host-side means: per-scalar jnp
+    # ops here would each cost a device dispatch (200× slower on a tunneled
+    # TPU: 145ms vs 0.7ms per epoch for 25 steps × 4 metrics)
+    host = jax.device_get(metric_list)
+    return {k: float(np.mean([m[k] for m in host])) for k in metric_list[0]}
 
 
 class Trainer:
@@ -98,6 +102,18 @@ class Trainer:
         eval_step = make_eval_step(loss_fn)
         train_loader = loaders["train_dataloader"]
         val_loader = loaders.get("val_dataloader")
+        # fused-epoch fast path: whole epoch as one lax.scan (one device
+        # dispatch per epoch); needs a traceable batch fn and no per-step
+        # profiling
+        fused_epoch = fused_eval = None
+        if self.profiler is None and hasattr(train_loader, "pure_batch"):
+            from carla_imitation_learning_tpu.training.steps import (
+                make_fused_epoch, make_fused_eval,
+            )
+
+            fused_epoch = make_fused_epoch(loss_fn, train_loader.pure_batch)
+            if val_loader is not None and hasattr(val_loader, "pure_batch"):
+                fused_eval = make_fused_eval(loss_fn, val_loader.pure_batch)
         max_epochs = max_epochs or self.max_epochs
         history: list[dict] = []
         timer = StepTimer(items_per_step=getattr(train_loader, "batch_size", 0))
@@ -116,27 +132,47 @@ class Trainer:
             jprof.start_trace(self.trace_dir)
         t_start = time.perf_counter()
 
+        _copy = jax.jit(lambda s: jax.tree_util.tree_map(jnp.copy, s))
+
         def snapshot(s):
             # the train step donates its input state — the restore point must
-            # own fresh buffers or rollback hands back donated (freed) memory
-            return jax.tree_util.tree_map(jnp.copy, s) if self.restore_on_nan else s
+            # own fresh buffers or rollback hands back donated (freed) memory.
+            # (jitted: one dispatch for the whole pytree, not one per leaf)
+            return _copy(s) if self.restore_on_nan else s
 
         last_good = snapshot(state)  # failure-detection restore point
         for epoch in range(max_epochs):
-            train_metrics: list[dict] = []
             nb = _limit(len(train_loader), self.limit_train_batches)
-            for i, batch in enumerate(train_loader):
-                if i >= nb:
-                    break
-                rng, step_rng = jax.random.split(rng)
-                if self.profiler:
-                    with self.profiler.phase("train_step"):
+            if fused_epoch is not None:
+                bsz = train_loader.batch_size
+                order = train_loader.epoch_indices()[:nb * bsz].astype("int32")
+                order = order.reshape(nb, bsz)
+                order_dev = jnp.asarray(order)
+                sh = getattr(train_loader, "_idx_sharding", None)
+                if sh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    order_dev = jax.device_put(
+                        order_dev, NamedSharding(sh.mesh, PartitionSpec(None, *sh.spec)))
+                state, rng, stacked = fused_epoch(state, order_dev, rng)
+                host = jax.device_get(stacked)
+                train_mean = {k: float(np.mean(v)) for k, v in host.items()}
+                timer.tick(nb)
+            else:
+                train_metrics: list[dict] = []
+                for i, batch in enumerate(train_loader):
+                    if i >= nb:
+                        break
+                    rng, step_rng = jax.random.split(rng)
+                    if self.profiler:
+                        with self.profiler.phase("train_step"):
+                            state, metrics = train_step(state, batch, step_rng)
+                    else:
                         state, metrics = train_step(state, batch, step_rng)
-                else:
-                    state, metrics = train_step(state, batch, step_rng)
-                train_metrics.append(metrics)
-                timer.tick()
-            epoch_row = {f"train_{k}": v for k, v in _mean_metrics(train_metrics).items()}
+                    train_metrics.append(metrics)
+                    timer.tick()
+                train_mean = _mean_metrics(train_metrics)
+            epoch_row = {f"train_{k}": v for k, v in train_mean.items()}
 
             # failure detection: non-finite training loss → roll back to the
             # last good state (one host sync per epoch, not per step)
@@ -151,17 +187,36 @@ class Trainer:
                 last_good = snapshot(state)
 
             if val_loader is not None:
-                val_metrics: list[dict] = []
                 nvb = _limit(len(val_loader), self.limit_val_batches)
-                for i, batch in enumerate(val_loader):
-                    if i >= nvb:
-                        break
-                    if self.profiler:
-                        with self.profiler.phase("val_step"):
+                vb = getattr(val_loader, "batch_size", 0)
+                n_full = (min(nvb * vb, getattr(val_loader, "n_samples", 0)) // vb
+                          if vb else 0)
+                if fused_eval is not None and n_full >= 1:
+                    vorder = val_loader.epoch_indices()[:n_full * vb].astype("int32")
+                    stacked = fused_eval(state, jnp.asarray(vorder.reshape(n_full, vb)))
+                    host = jax.device_get(stacked)
+                    # partial final batch (drop_last=False parity) via one step
+                    rem = val_loader.epoch_indices()[n_full * vb:nvb * vb]
+                    vals = {k: list(np.asarray(v)) for k, v in host.items()}
+                    if len(rem):
+                        tail = eval_step(state, val_loader.make_batch(rem))
+                        tail = jax.device_get(tail)
+                        for k in vals:
+                            vals[k].append(tail[k])
+                    epoch_row.update({f"val_{k}": float(np.mean(v))
+                                      for k, v in vals.items()})
+                else:
+                    val_metrics: list[dict] = []
+                    for i, batch in enumerate(val_loader):
+                        if i >= nvb:
+                            break
+                        if self.profiler:
+                            with self.profiler.phase("val_step"):
+                                val_metrics.append(eval_step(state, batch))
+                        else:
                             val_metrics.append(eval_step(state, batch))
-                    else:
-                        val_metrics.append(eval_step(state, batch))
-                epoch_row.update({f"val_{k}": v for k, v in _mean_metrics(val_metrics).items()})
+                    epoch_row.update(
+                        {f"val_{k}": v for k, v in _mean_metrics(val_metrics).items()})
 
             epoch_row["epoch"] = epoch
             history.append(epoch_row)

@@ -105,3 +105,45 @@ def make_eval_step(loss_fn):
 @functools.partial(jax.jit, static_argnames=("apply_fn",))
 def predict_step(apply_fn, params, x):
     return jnp.argmax(apply_fn({"params": params}, x), axis=-1)
+
+
+def make_fused_epoch(loss_fn, pure_batch: Callable, donate: bool = True):
+    """Whole-epoch runner: lax.scan over batch index rows inside ONE jit.
+
+    Per-step dispatch costs vanish (one launch per epoch instead of one per
+    batch — on a tunneled TPU that is the difference between ~50ms and ~0 per
+    step). ``pure_batch(idx) -> batch`` must be traceable (DeviceDataset
+    provides it). Returns epoch(state, order (nb, B) i32, rng) →
+    (state, stacked metrics pytree (nb, ...))."""
+
+    def epoch(state: TrainState, order, rng):
+        def body(carry, idx):
+            st, r = carry
+            r, k = jax.random.split(r)
+
+            def wrapped(params):
+                return loss_fn(params, st.apply_fn, pure_batch(idx), k)
+
+            (_, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(st.params)
+            return (st.apply_gradients(grads), r), metrics
+
+        (state, rng), metrics = jax.lax.scan(body, (state, rng), order)
+        return state, rng, metrics
+
+    return jax.jit(epoch, donate_argnums=(0,) if donate else ())
+
+
+def make_fused_eval(loss_fn, pure_batch: Callable):
+    """Eval counterpart of make_fused_epoch: scan the metric passes of a full
+    split in one dispatch. Returns eval(state, order (nb, B)) → stacked
+    metrics."""
+
+    def run(state: TrainState, order):
+        def body(_, idx):
+            _, metrics = loss_fn(state.params, state.apply_fn, pure_batch(idx), None)
+            return 0, metrics
+
+        _, metrics = jax.lax.scan(body, 0, order)
+        return metrics
+
+    return jax.jit(run)

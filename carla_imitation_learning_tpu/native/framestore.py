@@ -18,18 +18,25 @@ _lock = threading.Lock()
 _lib_handle = None
 
 
-def build_library(force: bool = False) -> Path | None:
-    """Compile the shared library once (g++ -O3); cached across runs."""
-    if _LIB.exists() and not force and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
-        return _LIB
+def build_library(force: bool = False, tsan: bool = False) -> Path | None:
+    """Compile the shared library once (g++ -O3); cached across runs.
+
+    ``tsan=True`` builds a ThreadSanitizer instrumented variant (race
+    detection for the multi-threaded prefetcher — the only mutable shared
+    state in the framework; the JAX side is pure/functional)."""
+    lib = _LIB_DIR / ("libframestore_tsan.so" if tsan else "libframestore.so")
+    if lib.exists() and not force and lib.stat().st_mtime >= _SRC.stat().st_mtime:
+        return lib
     if not _SRC.exists():
         return None
     _LIB_DIR.mkdir(parents=True, exist_ok=True)
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", str(_SRC), "-o", str(_LIB)]
+           "-pthread", str(_SRC), "-o", str(lib)]
+    if tsan:
+        cmd[1:1] = ["-fsanitize=thread", "-g"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-        return _LIB
+        return lib
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
 

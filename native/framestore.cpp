@@ -244,3 +244,41 @@ void fs_reader_destroy(void* reader) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Self-test entry (built only for the sanitizer harness):
+//   g++ -fsanitize=thread -DFS_TEST_MAIN framestore.cpp -o fs_tsan_test
+// Exercises writer + multi-threaded reader under contention; ThreadSanitizer
+// reports any data race in the queue/semaphore logic.
+// ---------------------------------------------------------------------------
+#ifdef FS_TEST_MAIN
+#include <cstdlib>
+
+int main() {
+  const int64_t n = 200, h = 16, w = 16;
+  std::vector<uint8_t> frames(n * h * w);
+  std::vector<int32_t> actions(n), traffic(n), commands(n);
+  std::vector<float> sensors(n * 3);
+  for (int64_t i = 0; i < n; ++i) actions[i] = (int32_t)(i % 9);
+  const char* path = "/tmp/fs_tsan_test.bin";
+  if (fs_write(path, frames.data(), actions.data(), traffic.data(),
+               sensors.data(), commands.data(), n, h, w) != 0) return 2;
+  void* s = fs_open(path);
+  if (!s) return 3;
+  for (int round = 0; round < 3; ++round) {
+    void* r = fs_reader_create(s, /*batch=*/8, /*frame_skip=*/4,
+                               /*n_threads=*/4, /*shuffle=*/1,
+                               /*seed=*/round, /*max_queue=*/2);
+    if (!r) return 4;
+    std::vector<uint8_t> fbuf(8 * 4 * h * w);
+    std::vector<int32_t> lbuf(8);
+    int64_t got = 0;
+    while (fs_reader_next(r, fbuf.data(), lbuf.data()) == 0) ++got;
+    if (got != fs_reader_n_batches(r)) { fs_reader_destroy(r); return 5; }
+    fs_reader_destroy(r);
+  }
+  fs_close(s);
+  std::remove(path);
+  return 0;
+}
+#endif

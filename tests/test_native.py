@@ -79,3 +79,20 @@ def test_reader_reusable(packed):
     n2 = sum(1 for _ in reader)  # fresh epoch each __iter__
     assert n1 == n2 == len(reader)
     nfs.close()
+
+
+def test_thread_sanitizer_clean(tmp_path):
+    """Race detection: the threaded prefetcher runs clean under TSan
+    (the only mutable shared state in the framework — JAX code is pure)."""
+    import subprocess
+    from carla_imitation_learning_tpu.native.framestore import _SRC
+
+    exe = tmp_path / "fs_tsan_test"
+    build = subprocess.run(
+        ["g++", "-fsanitize=thread", "-g", "-O1", "-std=c++17", "-pthread",
+         "-DFS_TEST_MAIN", str(_SRC), "-o", str(exe)],
+        capture_output=True, text=True)
+    assert build.returncode == 0, build.stderr
+    run = subprocess.run([str(exe)], capture_output=True, text=True, timeout=120)
+    assert run.returncode == 0, (run.stdout, run.stderr)
+    assert "ThreadSanitizer" not in run.stderr, run.stderr

@@ -41,9 +41,15 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "bench":
-        import bench  # repo-root bench.py when run from the repo
+        import importlib.util
+        from pathlib import Path
 
-        bench.main()
+        # repo-root bench.py, resolved relative to the package (cwd-agnostic)
+        path = Path(__file__).resolve().parents[1] / "bench.py"
+        spec = importlib.util.spec_from_file_location("tpuil_bench", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
         return 0
 
     from carla_imitation_learning_tpu import compose

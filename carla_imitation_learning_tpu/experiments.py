@@ -158,8 +158,15 @@ def behavior_cloning(cfg, cameras=("camera", "semantic"), **kw):
                           n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
         example = model.example_input(1, int(cfg.get("image_height", 256)),
                                       int(cfg.get("image_width", 256)))
+        loss = bc_loss_fn
+        if bool(cfg.get("augment", False)):  # BASELINE config #3
+            from carla_imitation_learning_tpu.training.losses import (
+                bc_augmented_loss_fn,
+            )
+
+            loss = bc_augmented_loss_fn()
         results[camera] = _fit(cfg_c, f"imitation_{camera}", model, example,
-                               bc_loss_fn, loaders, mesh=mesh)
+                               loss, loaders, mesh=mesh)
     return results
 
 

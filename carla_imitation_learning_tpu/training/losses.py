@@ -38,6 +38,26 @@ def bc_loss_fn(params, apply_fn, batch, rng=None):
     return loss, {"loss": loss, "accuracy": accuracy(logits, y)}
 
 
+def bc_augmented_loss_fn(crop: bool = True, flip: bool = True, jitter: bool = True,
+                         noise: bool = True):
+    """BC loss with fused on-device augmentation ahead of the model
+    (BASELINE config #3): crop-resize, brightness/contrast, gaussian noise,
+    and horizontal flip WITH the matching steer-class relabel. Augmentation
+    runs inside the same jit as the train step (and the fused epoch scan)."""
+    from carla_imitation_learning_tpu.ops.augment import augment_batch
+
+    def loss_fn(params, apply_fn, batch, rng=None):
+        x, y = batch
+        if rng is not None:  # eval passes rng=None → no augmentation
+            x, y = augment_batch(rng, x, y, crop=crop, flip=flip,
+                                 jitter=jitter, noise=noise)
+        logits = apply_fn({"params": params}, x)
+        loss = cross_entropy(logits, y)
+        return loss, {"loss": loss, "accuracy": accuracy(logits, y)}
+
+    return loss_fn
+
+
 def dual_stream_loss_fn(params, apply_fn, batch, rng=None):
     """(x_raw, x_seg, y) batch for DualStreamCNN (reference train.py:205-239)."""
     x, x_seg, y = batch

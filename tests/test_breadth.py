@@ -146,3 +146,19 @@ def test_callbacks(tmp_path, rng):
     best.on_epoch_end(FakeTrainer(), None, 1, {"val_loss": 1.0, "val_accuracy": 0.2}, None)
     assert best.best["best_val_loss"] == 1.0
     assert best.best["best_val_accuracy"] == 0.3
+
+
+def test_bc_with_augmentation_experiment(tmp_path):
+    """BASELINE config #3: BC with fused on-device augmentation trains."""
+    from carla_imitation_learning_tpu import compose
+    from carla_imitation_learning_tpu.experiments import behavior_cloning
+
+    cfg = compose("config", overrides=[
+        "model=imitation", "NUM_EPOCHS=1", "BATCH_SIZE=8", "synthetic_frames=60",
+        "image_height=64", "image_width=64", "compute_dtype=float32",
+        "trainer.num_sanity_val_steps=0", "augment=true",
+        f"data_dir={tmp_path}/data/", f"log_dir={tmp_path}/logs",
+    ])
+    r = behavior_cloning(cfg, cameras=("camera",))
+    h = r["camera"]["history"][-1]
+    assert np.isfinite(h["train_loss"]) and np.isfinite(h["val_loss"])

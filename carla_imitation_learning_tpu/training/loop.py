@@ -16,6 +16,7 @@ one jnp.stack/mean per epoch — a single host sync per epoch, not per step.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from typing import Any, Callable, Sequence
 
@@ -176,8 +177,6 @@ class Trainer:
 
             # failure detection: non-finite training loss → roll back to the
             # last good state (one host sync per epoch, not per step)
-            import math
-
             if self.restore_on_nan and not math.isfinite(
                     epoch_row.get("train_loss", 0.0)):
                 self.nan_events += 1

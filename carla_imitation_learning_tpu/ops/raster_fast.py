@@ -1,0 +1,231 @@
+"""Fast grayscale Pallas rasterizer for policy rollouts.
+
+Same tile-loop skeleton as ops/raster.py (per-band SMEM triangle lists,
+dynamic trip count) but restructured to cut the per-triangle-pass work from
+~35 VPU ops to ~24 and the number of passes by exact band culling:
+
+- **Packed z|luma key**: each candidate packs its depth (top 20 bits of the
+  f32 bit pattern — positive floats compare correctly as int32) and a 12-bit
+  quantized luminance into one int32; visibility is a single running ``min``.
+  This removes the z-buffer scratch, the semantic plane, and two of the three
+  select chains of the exact kernel.
+- **Approximate-reciprocal depth** (``pl.reciprocal(approx=True)``): the
+  perspective divide is the most expensive VPU op in the loop; rollout
+  rendering tolerates ~2^-12 relative depth error (depth is quantized to 11
+  mantissa bits by the key packing anyway).
+- **min/max inside test**: ``(min3 > 0) | (max3 < 0)`` — 7 ops for the
+  sign-agreement test instead of 11.
+- **Exact corner culling in the tile lists** (``tile_lists_fast``): edge
+  functions are affine, so their extrema over a band rectangle sit at its
+  corners. A band can be skipped when one edge is strictly positive over the
+  whole rect while another is strictly negative — no pixel can then pass the
+  same-sign test. This matters because triangles with a vertex behind the eye
+  get a conservative full-screen bbox (render/camera.py:109-118) and would
+  otherwise enter EVERY band's list.
+
+Outputs only the grayscale plane (the policy observation,
+imitation_dataset.py:115-122 contract). Accuracy vs the exact kernel:
+12-bit luma quantization + approx-reciprocal depth ordering — validated by
+tests/test_raster_fast.py. Exact paths (RGB, semantic, parity) stay on
+ops/raster.py.
+
+Reference note: this renderer implements the camera-frame generation the
+reference system outsourced to CARLA's C++ server (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from carla_imitation_learning_tpu.ops.raster import LUMA_W, TILE_ROWS
+from carla_imitation_learning_tpu.render.camera import TriangleSetup
+from carla_imitation_learning_tpu.render.jax_raster import SKY_HORIZON, SKY_TOP
+
+LUMA_BITS = 12
+LUMA_MASK = (1 << LUMA_BITS) - 1
+KEY_MASK = ~LUMA_MASK  # keeps sign+exponent+11 mantissa bits of the f32 depth
+MISS_KEY = np.int32(0x7FFFFFFF)
+FAST_PACK_WIDTH = 13   # 9 edge + 3 znum + 1 luma key
+
+
+def _pack_key_const(z: float) -> int:
+    """Static int32 key for a positive depth (luma bits zero)."""
+    return int(np.float32(z).view(np.int32)) & KEY_MASK
+
+
+def pack_setup_fast(setup: TriangleSetup) -> jnp.ndarray:
+    """TriangleSetup → (T, 13) f32 SMEM table: edge rows, znum row, and the
+    12-bit quantized luminance (stored as a float; the kernel converts the
+    scalar). Invalid triangles get all-zero rows (never pass the inside test).
+    """
+    luma = setup.colors @ LUMA_W
+    lum_q = jnp.clip(jnp.round(luma * LUMA_MASK), 0, LUMA_MASK)
+    flat = jnp.concatenate([
+        setup.edges.reshape(setup.edges.shape[0], 9),
+        setup.znum,
+        lum_q[:, None],
+    ], axis=-1)
+    return jnp.where(setup.valid[:, None], flat, 0.0)
+
+
+def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
+                    far: float = 300.0):
+    """Per tile row band: nearest-first indices of triangles that can actually
+    cover a pixel in the band.
+
+    Beyond the bbox test of ops/raster.tile_lists, adds the exact corner cull:
+    for the band rect [0,W]×[ylo,yhi], each affine edge function attains its
+    extrema at rect corners; if some edge is >0 over the whole rect while
+    another is <0 over the whole rect, no pixel can have all-same-sign edges,
+    so the triangle is dropped from this band. → (idx (R,k) i32, count (R,1)).
+    """
+    n_rows = height // TILE_ROWS
+    xmin, xmax = setup.bbox[:, 0], setup.bbox[:, 1]
+    ymin, ymax = setup.bbox[:, 2], setup.bbox[:, 3]
+    onscreen = setup.valid & (setup.zmin < far)
+    onscreen &= (xmax >= 0.0) & (xmin <= width)
+    row_lo = (jnp.arange(n_rows, dtype=jnp.float32) * TILE_ROWS)[:, None]
+    row_hi = row_lo + TILE_ROWS
+    hit = (ymax[None, :] >= row_lo) & (ymin[None, :] <= row_hi) & onscreen[None, :]
+
+    # corner cull: e(x,y) = a·x + b·y + c over x∈[0,W], y∈[ylo,yhi]
+    a = setup.edges[..., 0]  # (T, 3)
+    b = setup.edges[..., 1]
+    c = setup.edges[..., 2]
+    ax_min = jnp.minimum(a * width, 0.0)[None]          # (1, T, 3)
+    ax_max = jnp.maximum(a * width, 0.0)[None]
+    # (R, 1, 1) band y extents against (1, T, 3) coefficients
+    ylo = row_lo[:, :, None]                            # (R, 1, 1)
+    yhi = row_hi[:, :, None]
+    by_min = jnp.minimum(b[None] * ylo, b[None] * yhi)  # (R, T, 3)
+    by_max = jnp.maximum(b[None] * ylo, b[None] * yhi)
+    emin = ax_min + by_min + c[None]
+    emax = ax_max + by_max + c[None]
+    has_pos = jnp.any(emin > 0.0, axis=-1)              # (R, T)
+    has_neg = jnp.any(emax < 0.0, axis=-1)
+    hit &= ~(has_pos & has_neg)
+
+    count = jnp.minimum(hit.sum(axis=1), k).astype(jnp.int32)[:, None]
+    # Compaction: the packed-key min in the kernel is order-independent, so
+    # hits only need to be *grouped*, not sorted nearest-first. One u32 sort
+    # of (miss-flag << 16 | index) is ~2× cheaper than the f32-key argsort
+    # (no payload lanes). Nearest-first only matters for cap overflow, where
+    # zmin rank (a single shared per-image argsort) substitutes when capped.
+    n_tris = hit.shape[1]
+    if k < n_tris:
+        rank = jnp.argsort(jnp.argsort(setup.zmin)).astype(jnp.uint32)
+        packed = jnp.where(hit, rank[None, :] << 16, jnp.uint32(0xFFFF0000))
+        packed = packed | jax.lax.broadcasted_iota(jnp.uint32, hit.shape, 1)
+        idx = (jnp.sort(packed, axis=1)[:, :k] & 0xFFFF).astype(jnp.int32)
+    else:
+        packed = jnp.where(hit, jnp.uint32(0), jnp.uint32(0x80000000))
+        packed = packed | jax.lax.broadcasted_iota(jnp.uint32, hit.shape, 1)
+        idx = (jnp.sort(packed, axis=1) & 0xFFFF).astype(jnp.int32)
+    return idx, count
+
+
+def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
+                 height, sky_top_l, sky_hor_l):
+    r = pl.program_id(0)
+    y0 = (r * TILE_ROWS).astype(jnp.float32)
+
+    py_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, width), 0)
+    px = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, width), 1).astype(jnp.float32) + 0.5
+    py = py_i.astype(jnp.float32) + y0 + 0.5
+
+    far_key = _pack_key_const(far)
+
+    def tri_pass(t, kmin):
+        e0 = tris_ref[t, 0] * px + (tris_ref[t, 1] * py + tris_ref[t, 2])
+        e1 = tris_ref[t, 3] * px + (tris_ref[t, 4] * py + tris_ref[t, 5])
+        e2 = tris_ref[t, 6] * px + (tris_ref[t, 7] * py + tris_ref[t, 8])
+        znp_ = tris_ref[t, 9] * px + (tris_ref[t, 10] * py + tris_ref[t, 11])
+        lo = jnp.minimum(jnp.minimum(e0, e1), e2)
+        hi = jnp.maximum(jnp.maximum(e0, e1), e2)
+        inside = jnp.logical_or(lo > 0.0, hi < 0.0)
+        den = e0 + e1 + e2
+        z = znp_ * pl.reciprocal(den, approx=True)
+        ok = jnp.logical_and(inside, z > near)
+        bits = jax.lax.bitcast_convert_type(z, jnp.int32)
+        lum_i = tris_ref[t, 12].astype(jnp.int32)  # scalar (SMEM)
+        key = jnp.bitwise_or(jnp.bitwise_and(bits, KEY_MASK), lum_i)
+        return jnp.minimum(kmin, jnp.where(ok, key, MISS_KEY))
+
+    # 2-wide unroll: unlike a z-buffer select chain, packed-key candidates are
+    # independent until the final min, so adjacent triangles' latency chains
+    # overlap. Tail overshoot (count odd / beyond-count entries) is safe: list
+    # tails hold non-hit or invalid triangles, which produce no passing pixels.
+    def body(j, kmin):
+        a = tri_pass(idx_ref[r, 2 * j], kmin0)
+        b = tri_pass(idx_ref[r, 2 * j + 1], kmin0)
+        return jnp.minimum(kmin, jnp.minimum(a, b))
+
+    kmin0 = jnp.full((TILE_ROWS, width), MISS_KEY, jnp.int32)
+    kmin = jax.lax.fori_loop(0, (count_ref[r, 0] + 1) // 2, body, kmin0)
+
+    hit = kmin < far_key
+    depth = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(kmin, KEY_MASK), jnp.float32)
+    luma = jnp.bitwise_and(kmin, LUMA_MASK).astype(jnp.float32) * (1.0 / LUMA_MASK)
+    shade = pl.reciprocal(1.0 + 0.004 * depth, approx=True)
+    t_sky = (py - 0.5) * (1.0 / max(height - 1, 1))
+    sky = sky_top_l * (1.0 - t_sky) + sky_hor_l * t_sky
+    out_ref[:] = jnp.where(hit, luma * shade, sky)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "near", "far",
+                                             "interpret", "max_tris_per_tile"))
+def rasterize_luma_fast(
+    setup: TriangleSetup,
+    height: int,
+    width: int,
+    near: float = 0.5,
+    far: float = 300.0,
+    interpret: bool = False,
+    max_tris_per_tile: int | None = None,
+):
+    """→ gray (H, W) f32 in [0,1] — the policy observation channel only.
+
+    Equals rasterize_pallas_luma's gray output up to 12-bit luma quantization
+    and approx-reciprocal depth rounding. ``max_tris_per_tile`` caps each
+    band's nearest-first list (overflow drops the farthest triangles).
+    """
+    tris = pack_setup_fast(setup)
+    n_tris = tris.shape[0]
+    k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
+    idx, count = tile_lists_fast(setup, height, k, width=width, far=far)
+    if k % 2:  # the 2-wide unrolled loop may overshoot to the next multiple
+        idx = jnp.pad(idx, ((0, 0), (0, 1)))
+        k += 1
+    assert height % TILE_ROWS == 0, f"height {height} % {TILE_ROWS} != 0"
+    n_rows = height // TILE_ROWS
+
+    kernel = functools.partial(
+        _fast_kernel, width=width, near=near, far=far, height=height,
+        sky_top_l=float(np.asarray(SKY_TOP) @ np.asarray(LUMA_W)),
+        sky_hor_l=float(np.asarray(SKY_HORIZON) @ np.asarray(LUMA_W)))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec((n_tris, FAST_PACK_WIDTH), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_rows, k), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_rows, 1), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_ROWS, width), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
+        interpret=interpret,
+    )(tris, idx, count)
+    return out

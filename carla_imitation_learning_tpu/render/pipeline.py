@@ -32,6 +32,9 @@ class RenderConfig:
     backend: str = "jax"  # 'jax' | 'pallas'
     rgb: bool = True      # False → grayscale-only fast path (pallas backend)
     semantic: bool = True
+    fast: bool = False    # grayscale-ONLY rollout kernel (ops/raster_fast.py):
+                          # packed z|luma key, approx-reciprocal depth, corner
+                          # -culled tile lists; no semantic/depth planes
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -40,7 +43,8 @@ class RenderConfig:
                    fov_deg=float(r.fov_deg), max_triangles=int(r.max_triangles),
                    near=float(r.near), far=float(r.far),
                    backend=backend or str(r.get("backend", "jax")),
-                   rgb=bool(r.get("rgb", True)), semantic=bool(r.get("semantic", True)))
+                   rgb=bool(r.get("rgb", True)), semantic=bool(r.get("semantic", True)),
+                   fast=bool(r.get("fast", False)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
@@ -55,8 +59,14 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
     fov = fov_override or rcfg.fov_deg
     static = geo.build_static_scene(town)
 
+    fast_raster = None
     if rcfg.backend == "pallas":
-        if rcfg.rgb:
+        if rcfg.fast and not rcfg.rgb:
+            from carla_imitation_learning_tpu.ops.raster_fast import (
+                rasterize_luma_fast as fast_raster,
+            )
+            raster = luma_raster = None
+        elif rcfg.rgb:
             from carla_imitation_learning_tpu.ops.raster import rasterize_pallas as raster
             luma_raster = None
         else:
@@ -80,6 +90,10 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
                               yaw_offset_deg=yaw_off)
         setup = project_triangles(tris, colors, classes, cam,
                                   rcfg.width, rcfg.height, fov, rcfg.near)
+        if fast_raster is not None:  # rollout kernel: gray plane ONLY
+            gray = fast_raster(setup, rcfg.height, rcfg.width,
+                               near=rcfg.near, far=rcfg.far)
+            return {"gray": gray}
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,
                                            near=rcfg.near, far=rcfg.far)

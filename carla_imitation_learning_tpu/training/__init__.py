@@ -21,5 +21,7 @@ from carla_imitation_learning_tpu.training.steps import (  # noqa: F401
     make_optimizer,
     make_train_step,
     make_eval_step,
+    make_fused_epoch,
+    make_fused_eval,
 )
 from carla_imitation_learning_tpu.training.loop import Trainer, FitResult  # noqa: F401

@@ -37,6 +37,21 @@ from carla_imitation_learning_tpu.sim.world import (
 from carla_imitation_learning_tpu.sim.town import TownMap
 
 
+def update_framebuf(framebuf: jnp.ndarray, gray: jnp.ndarray,
+                    just_reset: jnp.ndarray) -> jnp.ndarray:
+    """Slide the per-env frame window; envs that auto-reset on the previous
+    step get their window REFILLED with the fresh view so observations never
+    blend frames across an episode boundary (the reference's windows are
+    single-stream by construction, imitation_dataset.py:115-131).
+
+    framebuf (B, fs, H, W), gray (B, H, W), just_reset (B,) bool."""
+    frame_skip = framebuf.shape[1]
+    return jnp.where(
+        just_reset[:, None, None, None],
+        jnp.repeat(gray[:, None], frame_skip, axis=1),
+        jnp.concatenate([framebuf[:, 1:], gray[:, None]], axis=1))
+
+
 def control_from_discrete(action: jnp.ndarray) -> VehicleControl:
     steer, throttle, brake = discrete_to_continuous(action)
     return VehicleControl(steer=steer, throttle=throttle, brake=brake)
@@ -61,9 +76,10 @@ def make_rollout(
     """
     import dataclasses as _dc
 
-    if rcfg.backend == "pallas" and rcfg.rgb:
-        # rollouts only consume the grayscale channel — use the luma fast path
-        rcfg = _dc.replace(rcfg, rgb=False)
+    if rcfg.backend == "pallas" and (rcfg.rgb or not rcfg.fast):
+        # rollouts only consume the grayscale channel — use the fast rollout
+        # kernel (ops/raster_fast.py: packed z|luma key, corner-culled lists)
+        rcfg = _dc.replace(rcfg, rgb=False, fast=True)
     render = make_renderer(params, town, rcfg)
     render_batch = jax.vmap(render)
     from carla_imitation_learning_tpu.sim.world import make_spawn_pool, pick_fresh
@@ -102,7 +118,7 @@ def make_rollout(
         # warm the frame buffer with the initial view
         gray0 = render_batch(states)["gray"]
         framebuf = jnp.repeat(gray0[:, None], frame_skip, axis=1)
-        return states, framebuf
+        return states, framebuf, jnp.zeros((n_envs,), bool)
 
     def init_fn(rng, n_envs: int):
         carry = _init(rng, n_envs)
@@ -116,9 +132,9 @@ def make_rollout(
         return carry
 
     def one_step(carry, _):
-        states, framebuf = carry
+        states, framebuf, just_reset = carry
         gray = render_batch(states)["gray"]  # (B,H,W)
-        framebuf = jnp.concatenate([framebuf[:, 1:], gray[:, None]], axis=1)
+        framebuf = update_framebuf(framebuf, gray, just_reset)
         obs = jnp.transpose(framebuf, (0, 2, 3, 1))  # NHWC for the policy
 
         expert = expert_batch(states)
@@ -156,7 +172,7 @@ def make_rollout(
             "steer": control.steer, "throttle": control.throttle,
             "brake": control.brake,
         }
-        return (new_states, framebuf), out
+        return (new_states, framebuf, info["done"]), out
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def rollout_fn(carry, n_steps: int):
@@ -197,8 +213,9 @@ def collect_dataset(
     With policy_fn=None this is expert data collection (the on-device
     equivalent of the reference's CARLA autopilot logging). With a policy it
     is the DAgger aggregation step: the POLICY drives, the EXPERT labels.
-    Episode boundaries are respected: windows never cross a reset (frames are
-    laid out env-major, and the caller stacks within env streams).
+    Episode boundaries are respected: frames are laid out env-major and
+    ``store.starts`` marks every env-stream start and auto-reset, which
+    DeviceDataset uses to never sample a window across a boundary.
     """
     from carla_imitation_learning_tpu.data.frame_log import StateLog
     from carla_imitation_learning_tpu.data.pipeline import FrameStore
@@ -221,12 +238,19 @@ def collect_dataset(
         speed_long=flat(traj["sensor"])[:, 1].astype(np.float64),
         speed=flat(traj["sensor"])[:, 2].astype(np.float64),
     )
+    # episode starts: each env stream's first frame + the frame after every
+    # auto-reset, so datasets never sample a window across a boundary
+    done_flat = flat(traj["done"]).astype(bool)
+    starts = np.zeros(n_envs * n_steps, bool)
+    starts[::n_steps] = True
+    starts[1:] |= done_flat[:-1]
     store = FrameStore(
         frames=frames_u8,
         actions=flat(traj["expert_action"]).astype(np.int32),
         traffic=flat(traj["traffic"]).astype(np.int32),
         sensors=flat(traj["sensor"]).astype(np.float32),
         commands=flat(traj["command"]).astype(np.int32),
+        starts=starts,
     )
     return store, state, traj
 

@@ -1,0 +1,108 @@
+"""Fast rollout rasterizer (ops/raster_fast.py) correctness.
+
+Parity contract: rasterize_luma_fast == rasterize_pallas_luma's gray plane up
+to 12-bit luma quantization + approx-reciprocal depth ordering. On CPU both
+kernels run interpret=True; the compiled-kernel parity on real TPU is asserted
+by bench.py::assert_kernel_parity before every timing run.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_imitation_learning_tpu.ops.raster import rasterize_pallas_luma, tile_lists
+from carla_imitation_learning_tpu.ops.raster_fast import (
+    rasterize_luma_fast, tile_lists_fast,
+)
+from carla_imitation_learning_tpu.render import geometry as geo
+from carla_imitation_learning_tpu.render.camera import (
+    camera_from_ego, project_triangles,
+)
+from carla_imitation_learning_tpu.sim import SimParams, make_town
+from carla_imitation_learning_tpu.sim import agents as agent_lib
+from carla_imitation_learning_tpu.sim.world import reset_env
+
+H = W = 64
+TOWN = make_town(blocks=2, n_buildings=6, n_lights=2)
+PARAMS = SimParams(n_agents=3)
+STATIC = geo.build_static_scene(TOWN)
+
+
+def make_setup(seed: int):
+    st = reset_env(PARAMS, TOWN, jax.random.PRNGKey(seed))
+    phases = agent_lib.light_phases(
+        TOWN, st.t.astype(jnp.float32) * PARAMS.dt,
+        PARAMS.light_green, PARAMS.light_yellow, PARAMS.light_red)
+    ap, ay = agent_lib.agent_positions(TOWN, st.agents_route, st.agents_s)
+    tris, colors, classes = geo.assemble_scene(
+        STATIC, TOWN.lights_pos, phases, ap, ay, 256)
+    cam = camera_from_ego(st.ego_pos, st.ego_yaw)
+    return project_triangles(tris, colors, classes, cam, W, H, 90.0, 0.5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fast_matches_exact_luma(seed):
+    setup = make_setup(seed)
+    g_exact, _, _ = rasterize_pallas_luma(setup, H, W, interpret=True)
+    g_fast = rasterize_luma_fast(setup, H, W, interpret=True)
+    d = np.abs(np.asarray(g_exact) - np.asarray(g_fast))
+    assert d.mean() < 2e-3, f"mean diff {d.mean()}"
+    # small, isolated disagreements allowed: 12-bit luma + approx-recip depth
+    assert (d > 2 / 255).mean() < 0.01, f"{(d > 2/255).mean():.3%} pixels off"
+
+
+def test_corner_cull_sound_and_effective():
+    """The corner cull must only drop triangles that cannot produce pixels
+    (identical image), and it must actually shrink the per-band lists."""
+    total_old = total_new = 0
+    for seed in range(3):
+        setup = make_setup(seed)
+        _, c_old = tile_lists(setup, H, setup.zmin.shape[0], width=W)
+        _, c_new = tile_lists_fast(setup, H, setup.zmin.shape[0], width=W)
+        assert int((c_new <= c_old).all())
+        total_old += int(c_old.sum())
+        total_new += int(c_new.sum())
+    assert total_new < total_old  # eye-crossing tris no longer hit every band
+
+
+def test_cap_keeps_nearest():
+    """max_tris_per_tile overflow must drop the FARTHEST triangles: the capped
+    image may lose far detail but near geometry must be identical."""
+    setup = make_setup(0)
+    g_full = rasterize_luma_fast(setup, H, W, interpret=True)
+    g_cap = rasterize_luma_fast(setup, H, W, interpret=True, max_tris_per_tile=64)
+    # lower half of the image is near-field ground/road — must be unaffected
+    d = np.abs(np.asarray(g_full[H // 2:]) - np.asarray(g_cap[H // 2:]))
+    assert (d > 2 / 255).mean() < 0.02
+
+
+def test_framebuf_resets_on_done():
+    from carla_imitation_learning_tpu.training.closed_loop import update_framebuf
+
+    B, fs = 3, 4
+    old = jnp.arange(B * fs * 2 * 2, dtype=jnp.float32).reshape(B, fs, 2, 2)
+    fresh = jnp.full((B, 2, 2), 99.0)
+    just_reset = jnp.array([False, True, False])
+    out = update_framebuf(old, fresh, just_reset)
+    # env 1 reset: every slot holds ONLY the fresh view
+    assert bool((out[1] == 99.0).all())
+    # envs 0/2 slide: oldest dropped, newest appended, middle preserved
+    np.testing.assert_allclose(np.asarray(out[0, :-1]), np.asarray(old[0, 1:]))
+    assert bool((out[0, -1] == 99.0).all())
+    np.testing.assert_allclose(np.asarray(out[2, :-1]), np.asarray(old[2, 1:]))
+
+
+def test_rollout_uses_reset_flag():
+    """make_rollout's carry must thread the just-reset flag end to end."""
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.training.closed_loop import make_rollout
+
+    rcfg = RenderConfig(32, 32, max_triangles=192, backend="jax")
+    init_fn, rollout_fn = make_rollout(PARAMS, TOWN, rcfg, policy_fn=None)
+    carry = init_fn(jax.random.PRNGKey(0), 4)
+    assert len(carry) == 3 and carry[2].dtype == jnp.bool_
+    carry, traj = rollout_fn(carry, 3)
+    # the carried flag equals the last step's done mask
+    np.testing.assert_array_equal(np.asarray(carry[2]),
+                                  np.asarray(traj["done"][-1]).astype(bool))

@@ -49,6 +49,11 @@ class FrameStore:
     traffic: np.ndarray
     sensors: np.ndarray
     commands: np.ndarray | None = None  # (N,) CIL navigation commands, optional
+    # (N,) bool, True where a frame BEGINS a new episode/stream (env stream
+    # starts, auto-resets, aggregation-round boundaries). None = one single
+    # uninterrupted stream (the reference's per-log layout). DeviceDataset
+    # uses this to never sample a window that crosses a boundary.
+    starts: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.frames)
@@ -127,10 +132,39 @@ class FrameStore:
         return cls.from_arrays(gray, state)
 
     def slice(self, start: int, stop: int) -> "FrameStore":
+        starts = None
+        if self.starts is not None:
+            starts = self.starts[start:stop].copy()
+            if len(starts):
+                starts[0] = True
         return FrameStore(
             self.frames[start:stop], self.actions[start:stop],
             self.traffic[start:stop], self.sensors[start:stop],
             None if self.commands is None else self.commands[start:stop],
+            starts,
+        )
+
+    @classmethod
+    def concat(cls, stores: list["FrameStore"]) -> "FrameStore":
+        """Concatenate stores (e.g. DAgger aggregation rounds), marking each
+        store's first frame as an episode start so windows never straddle an
+        aggregation boundary."""
+        starts = []
+        for s in stores:
+            st = (s.starts.copy() if s.starts is not None
+                  else np.zeros(len(s), bool))
+            if len(st):
+                st[0] = True
+            starts.append(st)
+        any_cmd = all(s.commands is not None for s in stores)
+        return cls(
+            frames=np.concatenate([s.frames for s in stores]),
+            actions=np.concatenate([s.actions for s in stores]),
+            traffic=np.concatenate([s.traffic for s in stores]),
+            sensors=np.concatenate([s.sensors for s in stores]),
+            commands=(np.concatenate([s.commands for s in stores])
+                      if any_cmd else None),
+            starts=np.concatenate(starts),
         )
 
 
@@ -187,12 +221,29 @@ class DeviceDataset:
         # imitation_dataset.py:124-131: x = frames[k:k+4], y = y[k+4]);
         # single-frame paths label the same frame (LargeTorchDataset :77-84).
         self.label_offset = frame_skip if label_offset is None else label_offset
-        n_samples = len(store) - max(frame_skip - 1, self.label_offset)
-        if n_samples <= 0:
+        span = max(frame_skip - 1, self.label_offset)
+        n_starts = len(store) - span
+        if n_starts <= 0:
             raise ValueError(
                 f"store with {len(store)} frames too small for frame_skip={frame_skip}"
             )
-        self.n_samples = n_samples
+        # Valid window starts: the window AND its label must lie within one
+        # episode — no episode boundary strictly inside (i, i+span]. The
+        # reference's windows are single-stream by construction
+        # (imitation_dataset.py:115-131); collected/aggregated stores mark
+        # their stream/reset boundaries in store.starts.
+        if store.starts is not None and span > 0:
+            starts = np.asarray(store.starts, bool)
+            crosses = np.zeros(n_starts, bool)
+            for d in range(1, span + 1):
+                crosses |= starts[d:d + n_starts]
+            valid = np.nonzero(~crosses)[0].astype(np.int32)
+            if len(valid) == 0:
+                raise ValueError("no episode is long enough for a full window")
+        else:
+            valid = np.arange(n_starts, dtype=np.int32)
+        self.n_samples = len(valid)
+        self._all_valid = len(valid) == n_starts
         # Device-resident packed arrays (replicated under a mesh; batches are
         # sharded by sharding the index vector).
         if sharding is not None:
@@ -202,6 +253,9 @@ class DeviceDataset:
             device_put = lambda a: jax.device_put(a, replicated)  # noqa: E731
         else:
             device_put = jnp.asarray
+        # sample index → frame start index (identity when every start is
+        # valid; a tiny device gather otherwise, fused into the batch gather)
+        self._valid_starts = None if self._all_valid else device_put(valid)
         self.frames = device_put(store.frames)
         self.actions = device_put(store.actions.astype(np.int32))
         self.traffic = device_put(store.traffic.astype(np.int32))
@@ -224,8 +278,11 @@ class DeviceDataset:
         return order
 
     def pure_batch(self, idx):
-        """Batch from a traced index vector — jit/scan-safe (used by the
-        fused-epoch trainer: the whole epoch runs as one lax.scan)."""
+        """Batch from a traced SAMPLE-index vector in [0, n_samples) —
+        jit/scan-safe (used by the fused-epoch trainer: the whole epoch runs
+        as one lax.scan). Sample indices map to episode-valid window starts."""
+        if self._valid_starts is not None:
+            idx = self._valid_starts[idx]
         x = gather_windows(self.frames, idx, self.frame_skip, self.dtype)
         y = self.actions[idx + self.label_offset]
         if self.cil:
@@ -258,7 +315,8 @@ class SequenceDataset:
 
     def __init__(self, store: FrameStore, batch_size: int, seq_len: int = 8,
                  episode_len: int | None = None, shuffle: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, sharding=None):
+        self._sharding = sharding
         self.store = store
         self.batch_size = batch_size
         self.seq_len = seq_len
@@ -272,14 +330,23 @@ class SequenceDataset:
         if len(starts) == 0:
             raise ValueError(f"no length-{seq_len} sequences in store of {n}")
         self.starts = starts
-        self.frames = jnp.asarray(store.frames)
-        self.actions = jnp.asarray(store.actions.astype(np.int32))
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(sharding.mesh, PartitionSpec())
+            self.frames = jax.device_put(store.frames, rep)
+            self.actions = jax.device_put(store.actions.astype(np.int32), rep)
+        else:
+            self.frames = jnp.asarray(store.frames)
+            self.actions = jnp.asarray(store.actions.astype(np.int32))
 
     def __len__(self) -> int:
         return max(1, len(self.starts) // self.batch_size)
 
     def make_batch(self, idx: np.ndarray):
         idx = jnp.asarray(idx, jnp.int32)
+        if self._sharding is not None:
+            idx = jax.device_put(idx, self._sharding)
         gather = idx[:, None] + jnp.arange(self.seq_len)[None, :]  # (B, T)
         frames = self.frames[gather].astype(jnp.float32) / 255.0
         return frames[..., None], self.actions[gather]

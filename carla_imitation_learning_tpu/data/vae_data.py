@@ -28,13 +28,14 @@ class ImageDataset:
     """Unlabeled image iterator over a packed (N, H, W) uint8 array."""
 
     def __init__(self, frames: np.ndarray, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False, sharding=None):
         self.frames = jnp.asarray(frames)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
         self.n = len(frames)
+        self._sharding = sharding  # batch sharding over the mesh 'data' axis
 
     def __len__(self) -> int:
         if self.drop_last and self.n >= self.batch_size:
@@ -45,10 +46,15 @@ class ImageDataset:
         order = np.arange(self.n)
         if self.shuffle:
             self._rng.shuffle(order)
+        import jax
+
         for b in range(len(self)):
             idx = jnp.asarray(order[b * self.batch_size:(b + 1) * self.batch_size])
             x = self.frames[idx].astype(jnp.float32) / 255.0
-            yield x[..., None]  # (B, H, W, 1)
+            x = x[..., None]  # (B, H, W, 1)
+            if self._sharding is not None:
+                x = jax.device_put(x, self._sharding)
+            yield x
 
 
 def _camera_dir(data_dir: Path, log: str, camera: str, image_size) -> Path:
@@ -93,9 +99,11 @@ def get_leave_out_data(cfg, camera: str) -> dict[str, np.ndarray]:
     return {"train": frames[train_id], "val": frames[val_id], "test": test}
 
 
-def train_val_test_iterator(cfg, data_split_type: str = "pooled_data") -> dict:
+def train_val_test_iterator(cfg, data_split_type: str = "pooled_data",
+                            sharding=None) -> dict:
     """Public factory mirroring reference vae_dataset.train_val_test_iterator
-    (vae_dataset.py:42-83)."""
+    (vae_dataset.py:42-83). ``sharding`` batch-shards training batches over
+    the mesh 'data' axis (the uniform gpus= treatment of reference train.py)."""
     camera = cfg["camera"] if isinstance(cfg["camera"], str) else cfg["camera"][0]
     get_data = {"pooled_data": get_pooled_data,
                 "leave_one_out_data": get_leave_out_data}
@@ -103,7 +111,8 @@ def train_val_test_iterator(cfg, data_split_type: str = "pooled_data") -> dict:
     bs = int(cfg["BATCH_SIZE"])
     seed = int(cfg.get("seed", 0))
     return {
-        "train_dataloader": ImageDataset(data["train"], bs, shuffle=True, seed=seed),
+        "train_dataloader": ImageDataset(data["train"], bs, shuffle=True,
+                                         seed=seed, sharding=sharding),
         "val_dataloader": ImageDataset(data["val"], bs),
         "test_dataloader": ImageDataset(data["test"], bs),
     }

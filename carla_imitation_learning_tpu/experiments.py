@@ -48,9 +48,43 @@ EXPERIMENTS = {}
 
 
 def experiment(name):
+    """Register an experiment. The wrapper lifts every keyword default onto
+    the config: a TOP-LEVEL cfg key with the same name as a kwarg overrides
+    the python default (explicit call-site kwargs still win), so presets
+    (configs/experiment/*.yaml) and ``-o n_envs=64`` CLI overrides reach every
+    knob — the reference's experiment-override scheme
+    (configs/experiment/exp_example_*.yaml), minus the source editing."""
+    import functools
+    import inspect
+
     def deco(fn):
-        EXPERIMENTS[name] = fn
-        return fn
+        sig = inspect.signature(fn)
+        knobs = [p for p in sig.parameters.values()
+                 if p.default is not inspect.Parameter.empty
+                 and p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)]
+
+        @functools.wraps(fn)
+        def wrapper(cfg, *args, **kwargs):
+            for p in knobs:
+                if p.name in kwargs:
+                    continue
+                v = cfg.get(p.name) if hasattr(cfg, "get") else None
+                if v is None:
+                    continue
+                d = p.default
+                if isinstance(d, bool):
+                    v = bool(v)
+                elif isinstance(d, int):
+                    v = int(v)
+                elif isinstance(d, float):
+                    v = float(v)
+                elif isinstance(d, tuple):
+                    v = tuple(v) if isinstance(v, (list, tuple)) else (v,)
+                kwargs[p.name] = v
+            return fn(cfg, *args, **kwargs)
+
+        EXPERIMENTS[name] = wrapper
+        return wrapper
 
     return deco
 
@@ -75,6 +109,16 @@ def _trainer_bits(cfg, name: str):
     trainer = Trainer(cfg, logger=logger, callbacks=callbacks,
                       checkpoint_manager=ckpt, name=name)
     return trainer, ckpt
+
+
+def _mesh_bits(cfg, batch_size: int | None = None):
+    """(mesh, batch_sharding) for data-parallel experiments — the uniform
+    treatment the reference gives every block via `gpus=` (train.py:57-237).
+    Returns (None, None) on single-chip runs."""
+    from carla_imitation_learning_tpu.parallel.mesh import batch_sharding, maybe_mesh
+
+    mesh = maybe_mesh(cfg, batch_size=batch_size or int(cfg.get("BATCH_SIZE", 64)))
+    return mesh, (batch_sharding(mesh) if mesh is not None else None)
 
 
 def _fit(cfg, name, model, example, loss_fn, loaders, mesh=None):
@@ -142,12 +186,8 @@ def split_folders(cfg, **kw):
 @experiment("bc")
 def behavior_cloning(cfg, cameras=("camera", "semantic"), **kw):
     """Reference train.py:93-129: ConvNet1 BC per camera type."""
-    from carla_imitation_learning_tpu.parallel.mesh import batch_sharding, maybe_mesh
-
     cameras = tuple(cfg.get("bc_cameras", cameras))  # CLI: -o bc_cameras=['camera']
-
-    mesh = maybe_mesh(cfg, batch_size=int(cfg["BATCH_SIZE"]))
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    mesh, sharding = _mesh_bits(cfg)
     results = {}
     for camera in cameras:
         cfg_c = cfg.copy()
@@ -173,12 +213,14 @@ def behavior_cloning(cfg, cameras=("camera", "semantic"), **kw):
 @experiment("bc_aux")
 def behavior_cloning_aux(cfg, cameras=("camera",), **kw):
     """Reference train.py:131-165: AuxNet multi-task (recon+traffic+action)."""
+    mesh, sharding = _mesh_bits(cfg)
     results = {}
     for camera in cameras:
         cfg_c = cfg.copy()
         cfg_c["camera"] = camera
         _maybe_synthesize(cfg_c, camera)
-        loaders = pipe.sequential_aux_train_val_test_iterator(cfg_c)
+        loaders = pipe.sequential_aux_train_val_test_iterator(cfg_c,
+                                                              sharding=sharding)
         model = AuxNet(obs_size=int(cfg["obs_size"]),
                        n_actions=int(cfg["n_actions"]),
                        n_traffic_classes=int(cfg.get("n_traffic_classes", 2)),
@@ -187,7 +229,8 @@ def behavior_cloning_aux(cfg, cameras=("camera",), **kw):
                            float(cfg.get("aux_traffic_weight", 0.0)),
                            float(cfg.get("aux_action_weight", 1.0)))
         results[camera] = _fit(cfg_c, f"imitation_aux_{camera}", model,
-                               (model.example_input(1),), loss, loaders)
+                               (model.example_input(1),), loss, loaders,
+                               mesh=mesh)
     return results
 
 
@@ -200,6 +243,8 @@ def behavior_cloning_raw_segment(cfg, **kw):
     # semantic stream shares the split; frames come from the 'semantic' camera
     sem_dir = Path(cfg["data_dir"]) / "raw" / cfg["train_logs"][0] / "semantic"
     sem_frames = fl.FrameLog(sem_dir).read_all_gray_u8() if sem_dir.is_dir() else None
+
+    mesh, sharding = _mesh_bits(cfg)
 
     class ZipLoader:
         def __init__(self, base: pipe.DeviceDataset, seg_frames):
@@ -216,7 +261,10 @@ def behavior_cloning_raw_segment(cfg, **kw):
             for b in range(len(self.base)):
                 idx = order[b * self.base.batch_size:(b + 1) * self.base.batch_size]
                 x, y = self.base.make_batch(idx)
-                xs = pipe.gather_windows(self.seg, jnp.asarray(idx, jnp.int32),
+                sidx = jnp.asarray(idx, jnp.int32)
+                if self.base._idx_sharding is not None:
+                    sidx = jax.device_put(sidx, self.base._idx_sharding)
+                xs = pipe.gather_windows(self.seg, sidx,
                                          self.base.frame_skip, self.base.dtype)
                 yield x, xs, y
 
@@ -225,12 +273,13 @@ def behavior_cloning_raw_segment(cfg, **kw):
                         ("test", "test_dataloader")):
         base = pipe.DeviceDataset(raw[split], int(cfg["BATCH_SIZE"]),
                                   frame_skip=int(cfg["frame_skip"]),
-                                  drop_last=(split == "train"))
+                                  drop_last=(split == "train"),
+                                  sharding=(sharding if split == "train" else None))
         loaders[name] = ZipLoader(base, sem_frames)
     model = DualStreamCNN(obs_size=int(cfg["obs_size"]),
                           n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
     return _fit(cfg_c, "imitation_raw_segment", model, model.example_input(1),
-                dual_stream_loss_fn, loaders)
+                dual_stream_loss_fn, loaders, mesh=mesh)
 
 
 @experiment("vae_pooled")
@@ -240,8 +289,10 @@ def vae_pooled(cfg, **kw):
     cfg_c["camera"] = kw.get("camera", "SL")
     cfg_c["train_logs"] = cfg["logs"]
     _maybe_synthesize_vae(cfg_c)
-    loaders = vae_data.train_val_test_iterator(cfg_c, "pooled_data")
-    return _fit_vae(cfg_c, "vae_pooled", loaders)
+    mesh, sharding = _mesh_bits(cfg_c)
+    loaders = vae_data.train_val_test_iterator(cfg_c, "pooled_data",
+                                               sharding=sharding)
+    return _fit_vae(cfg_c, "vae_pooled", loaders, mesh=mesh)
 
 
 @experiment("vae_leave_one_out")
@@ -252,8 +303,10 @@ def vae_leave_one_out(cfg, **kw):
     cfg_c["train_logs"] = cfg["logs"][:-1]
     cfg_c["test_logs"] = cfg["logs"][-1:]
     _maybe_synthesize_vae(cfg_c)
-    loaders = vae_data.train_val_test_iterator(cfg_c, "leave_one_out_data")
-    return _fit_vae(cfg_c, "vae_leave_one_out", loaders)
+    mesh, sharding = _mesh_bits(cfg_c)
+    loaders = vae_data.train_val_test_iterator(cfg_c, "leave_one_out_data",
+                                               sharding=sharding)
+    return _fit_vae(cfg_c, "vae_leave_one_out", loaders, mesh=mesh)
 
 
 def _maybe_synthesize_vae(cfg):
@@ -269,13 +322,14 @@ def _maybe_synthesize_vae(cfg):
                                    seed=hash(log) % (2**31))
 
 
-def _fit_vae(cfg, name, loaders):
+def _fit_vae(cfg, name, loaders, mesh=None):
     h, w = int(cfg["image_size"][1]), int(cfg["image_size"][2])
     model = ConvVAE(channels=int(cfg["image_size"][0]), height=h, width=w,
                     z_size=int(cfg.get("z_size", 32)), dtype=_dtype(cfg))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     loss = vae_loss_fn(float(cfg["alpha"]), float(cfg["beta"]))
-    return _fit(cfg, name, model, (model.example_input(1), rng), loss, loaders)
+    return _fit(cfg, name, model, (model.example_input(1), rng), loss, loaders,
+                mesh=mesh)
 
 
 @experiment("test_eval")
@@ -306,7 +360,12 @@ def test_eval(cfg, checkpoint: str | None = None, **kw):
     out = Path(cfg["log_dir"]) / "predWlabels.npy"
     stats_lib.save_predictions(state.apply_fn, state.params,
                                loaders["val_dataloader"], str(out))
-    return {"accuracy": acc, "predictions_file": str(out)}
+    plot = stats_lib.sample_output_plot(
+        state.apply_fn, state.params, loaders["val_dataloader"],
+        str(Path(cfg["log_dir"]) / "sample_output.png"),
+        n_classes=int(cfg.get("n_actions", 9)))
+    return {"accuracy": acc, "predictions_file": str(out),
+            "sample_output_plot": str(plot)}
 
 
 def _sim_bits(cfg, backend: str | None = None):
@@ -417,10 +476,11 @@ def closed_loop_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
     def policy_fn(obs):
         return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
 
+    mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
-                                 n_envs=n_envs, n_steps=n_steps)
+                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
     expert = cl.evaluate_policy(params, town, rcfg, None, rng,
-                                n_envs=n_envs, n_steps=n_steps)
+                                n_envs=n_envs, n_steps=n_steps, mesh=mesh)
     return {"policy": metrics, "expert": expert}
 
 
@@ -432,11 +492,16 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
     from carla_imitation_learning_tpu.training.steps import make_train_step
 
     town, params, rcfg = _sim_bits(cfg)
+    mesh, sharding = _mesh_bits(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     model = PolicyCNN(dtype=_dtype(cfg))
     tx = make_optimizer(cfg, 1)
     state = create_train_state(
         model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+    if mesh is not None:
+        from carla_imitation_learning_tpu.parallel.mesh import shard_train_state
+
+        state = shard_train_state(mesh, state)
     step = make_train_step(bc_loss_fn, donate=False)
     stores = []
     history = []
@@ -453,16 +518,12 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
             store, _, _ = cl.dagger_iteration(params, town, rcfg, policy_fn, k,
                                               n_envs, n_steps)
         stores.append(store)
-        agg = pipe.FrameStore(
-            frames=np.concatenate([s.frames for s in stores]),
-            actions=np.concatenate([s.actions for s in stores]),
-            traffic=np.concatenate([s.traffic for s in stores]),
-            sensors=np.concatenate([s.sensors for s in stores]),
-            commands=np.concatenate([s.commands for s in stores]),
-        )
+        # concat marks round boundaries; per-round stores carry env-stream
+        # and reset boundaries → no training window ever crosses any of them
+        agg = pipe.FrameStore.concat(stores)
         ds = pipe.DeviceDataset(agg, int(cfg.get("BATCH_SIZE", 64)),
                                 frame_skip=int(cfg.get("frame_skip", 4)),
-                                shuffle=True, seed=rnd)
+                                shuffle=True, seed=rnd, sharding=sharding)
         last = {}
         for _ in range(epochs_per_round):
             for batch in ds:
@@ -475,7 +536,7 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
 
         rng, ek = jax.random.split(rng)
         m = cl.evaluate_policy(params, town, rcfg, policy_fn, ek,
-                               n_envs=min(n_envs, 32), n_steps=100)
+                               n_envs=min(n_envs, 32), n_steps=100, mesh=mesh)
         m["round"] = rnd
         m["train_loss"] = float(last.get("loss", float("nan")))
         m["dataset_frames"] = len(agg)
@@ -494,15 +555,18 @@ def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
     splits = {"train": store.slice(0, int(0.8 * n)),
               "val": store.slice(int(0.8 * n), int(0.9 * n)),
               "test": store.slice(int(0.9 * n), n)}
+    mesh, sharding = _mesh_bits(cfg)
     loaders = {f"{k}_dataloader": pipe.DeviceDataset(
         v, int(cfg.get("BATCH_SIZE", 64)), frame_skip=int(cfg.get("frame_skip", 4)),
-        shuffle=(k == "train"), cil=True, drop_last=(k == "train"))
+        shuffle=(k == "train"), cil=True, drop_last=(k == "train"),
+        sharding=(sharding if k == "train" else None))
         for k, v in splits.items()}
     model = BranchedCILPolicy(n_commands=int(cfg.get("n_commands", 4)),
                               dtype=_dtype(cfg))
     frames, speed, command = model.example_input(1, rcfg.height, rcfg.width)
     loss = cil_loss_fn(float(cfg.get("speed_weight", 0.1)))
-    return _fit(cfg, "bc_cil", model, (frames, speed, command), loss, loaders)
+    return _fit(cfg, "bc_cil", model, (frames, speed, command), loss, loaders,
+                mesh=mesh)
 
 
 @experiment("hpo")
@@ -590,12 +654,14 @@ def world_model(cfg, n_envs: int = 16, n_steps: int = 128, seq_len: int = 8,
     # and episode boundaries stay aligned
     n = len(store)
     split = (n_envs - 1) * n_steps if n_envs > 1 else int(0.9 * n)
-    mk = lambda s, sh: pipe.SequenceDataset(  # noqa: E731
+    mesh, sharding = _mesh_bits(cfg, batch_size=int(cfg.get("wm_batch", 16)))
+    mk = lambda s, sh, shard: pipe.SequenceDataset(  # noqa: E731
         s, batch_size=int(cfg.get("wm_batch", 16)), seq_len=seq_len,
-        episode_len=n_steps, shuffle=sh, seed=int(cfg.get("seed", 0)))
+        episode_len=n_steps, shuffle=sh, seed=int(cfg.get("seed", 0)),
+        sharding=shard)
     loaders = {
-        "train_dataloader": mk(store.slice(0, split), True),
-        "val_dataloader": mk(store.slice(split, n), False),
+        "train_dataloader": mk(store.slice(0, split), True, sharding),
+        "val_dataloader": mk(store.slice(split, n), False, None),
     }
     model = LatentWorldModel(
         z_size=int(kw.get("wm_z_size", z_size)), rnn=rnn,
@@ -603,7 +669,7 @@ def world_model(cfg, n_envs: int = 16, n_steps: int = 128, seq_len: int = 8,
         height=rcfg.height, width=rcfg.width, dtype=_dtype(cfg))
     loss = world_model_loss_fn(image_loss=image_loss)
     return _fit(cfg, f"world_model_{rnn}_{z_size}_{image_loss}", model,
-                model.example_input(1, seq_len), loss, loaders)
+                model.example_input(1, seq_len), loss, loaders, mesh=mesh)
 
 
 @experiment("world_model_sweep")

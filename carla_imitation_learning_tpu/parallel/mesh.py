@@ -73,12 +73,55 @@ def maybe_mesh(cfg=None, batch_size: int | None = None) -> Mesh | None:
     return make_mesh(cfg)
 
 
-def multihost_initialize(**kwargs) -> None:
-    """Multi-host runtime init (replaces Ray's DistributedTrainableCreator,
-    reference ray_trainer.py:41-45). No-op when single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+def multihost_initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> bool:
+    """Multi-process JAX runtime init — the TPU-native replacement for Ray's
+    ``DistributedTrainableCreator(num_workers, num_workers_per_host)``
+    (reference ray_trainer.py:41-45). Returns True when a multi-process
+    runtime is (now) initialized.
+
+    Resolution order, BEFORE touching any backend (calling
+    ``jax.process_count()`` first would initialize the local backend and turn
+    the subsequent ``jax.distributed.initialize`` into a silent no-op —
+    round-1's bug):
+
+    1. explicit ``coordinator_address``/``num_processes``/``process_id`` args;
+    2. cluster env vars JAX understands (``JAX_COORDINATOR_ADDRESS`` et al. /
+       TPU metadata), via argless ``jax.distributed.initialize()``;
+    3. otherwise: single-process — return False without initializing anything.
+
+    Raises RuntimeError when explicit args are given but initialization fails
+    (never swallows a real multi-host misconfiguration).
+    """
+    import os
+
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1  # already initialized (by a launcher)
+
+    explicit = coordinator_address is not None
+    env_driven = any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    if not explicit and not env_driven:
+        return False  # single-process dev run; leave the backend untouched
+
     try:
-        jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # single-host dev environment
+        if explicit:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id, **kwargs)
+        else:
+            jax.distributed.initialize(**kwargs)
+    except Exception as e:
+        raise RuntimeError(
+            f"multi-host initialization failed (coordinator="
+            f"{coordinator_address or os.environ.get('JAX_COORDINATOR_ADDRESS')}, "
+            f"num_processes={num_processes}, process_id={process_id}): {e}"
+        ) from e
+    return jax.process_count() > 1

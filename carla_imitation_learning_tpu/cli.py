@@ -18,7 +18,9 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     run_p = sub.add_parser("run", help="run a named experiment")
-    run_p.add_argument("experiment", help="experiment name (see 'tpuil list')")
+    run_p.add_argument("experiment", nargs="?", default=None,
+                       help="experiment name (see 'tpuil list'); may instead "
+                            "come from a preset: -o experiment=<preset>")
     run_p.add_argument("--config", default="config", help="root config name")
     run_p.add_argument("--override", "-o", action="append", default=[],
                        metavar="K=V", help="config override (group or dotted value)")
@@ -59,25 +61,36 @@ def main(argv=None) -> int:
 
     setup_jax()
 
-    if args.experiment not in EXPERIMENTS:
+    # resolve the experiment: positional arg, or an experiment preset
+    # (-o experiment=<name> merges configs/experiment/<name>.yaml, whose
+    # experiment_name selects the block — reference's exp_example_* scheme)
+    name = args.experiment
+    if name is None:
+        pre = compose(args.config, overrides=list(args.override))
+        name = pre.get("experiment_name")
+        if not name:
+            ColorPrint.print_warn(
+                "no experiment given: pass a name or -o experiment=<preset>")
+            return 2
+    if name not in EXPERIMENTS:
         ColorPrint.print_warn(
-            f"unknown experiment {args.experiment!r}; available: "
+            f"unknown experiment {name!r}; available: "
             f"{', '.join(sorted(EXPERIMENTS))}")
         return 2
 
     # experiment-appropriate default model group (reference composes
     # model=imitation for the BC blocks, train.py:95)
     overrides = list(args.override)
-    if args.experiment.startswith(("bc", "test", "hpo", "dagger", "closed", "collect")) \
+    if name.startswith(("bc", "test", "hpo", "dagger", "closed", "collect")) \
             and not any(o.startswith("model=") for o in overrides):
         overrides.insert(0, "model=imitation")
     cfg = compose(args.config, overrides=overrides)
 
-    ColorPrint.print_run(f"running experiment {args.experiment}")
+    ColorPrint.print_run(f"running experiment {name}")
     kw = {}
     if args.checkpoint:
         kw["checkpoint"] = args.checkpoint
-    result = EXPERIMENTS[args.experiment](cfg, **kw)
+    result = EXPERIMENTS[name](cfg, **kw)
 
     def scrub(x):
         if isinstance(x, dict):

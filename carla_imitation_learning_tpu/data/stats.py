@@ -72,6 +72,35 @@ def action_histogram(labels: np.ndarray, n_classes: int = 9) -> np.ndarray:
     return np.bincount(np.asarray(labels).astype(int), minlength=n_classes)
 
 
+def sample_output_plot(apply_fn, params, loader, out_path: str,
+                       n_classes: int = 9, head: int | None = None) -> Path:
+    """Predicted-vs-label action histogram PNG — the plot artifact of the
+    reference's ImitationAux.sample_output (imitation.py:205-235)."""
+    preds, labels = predictions_and_labels(apply_fn, params, loader, head)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.arange(n_classes)
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.bar(x - 0.2, action_histogram(labels, n_classes), width=0.4,
+           label="labels")
+    ax.bar(x + 0.2, action_histogram(preds, n_classes), width=0.4,
+           label="predicted")
+    ax.set_xlabel("discrete action class")
+    ax.set_ylabel("count")
+    ax.set_xticks(x)
+    ax.legend()
+    ax.set_title("action distribution: labels vs predictions")
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    return out
+
+
 def confusion_matrix(labels, preds, n_classes: int) -> np.ndarray:
     cm = np.zeros((n_classes, n_classes), dtype=np.int64)
     np.add.at(cm, (np.asarray(labels).astype(int), np.asarray(preds).astype(int)), 1)

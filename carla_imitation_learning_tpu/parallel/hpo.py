@@ -72,21 +72,36 @@ def tune_run(
     seed: int = 0,
     results_dir: str | None = None,
     checkpoint_fn: Callable[[int, dict], str] | None = None,
+    max_concurrent: int = 4,
 ) -> tuple[Trial, list[Trial]]:
     """Run trials of ``trainable(config) -> metrics`` and return (best, all).
 
     Mirrors the surface of reference ray_trainer.py:49-53 without the broken
     plumbing. ``trial_configs`` (explicit grid) overrides random sampling.
+    Trials run ``max_concurrent`` at a time on a thread pool (Ray ran 4
+    concurrent trials, ray_trainer.py:49-53) — concurrency overlaps each
+    trial's host-side work (tracing, data prep, metric fetches) while the
+    device interleaves their dispatched programs. Set ``max_concurrent=1``
+    for strictly sequential execution.
     """
     if trial_configs is None:
         if space is None:
             raise ValueError("need space or trial_configs")
         trial_configs = sample_space(space, num_samples, seed)
-    trials: list[Trial] = []
-    for i, tc in enumerate(trial_configs):
+
+    def run_one(i_tc):
+        i, tc = i_tc
         metrics = trainable(dict(tc))
         ckpt = checkpoint_fn(i, metrics) if checkpoint_fn else None
-        trials.append(Trial(i, dict(tc), dict(metrics), ckpt))
+        return Trial(i, dict(tc), dict(metrics), ckpt)
+
+    if max_concurrent > 1 and len(trial_configs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            trials = list(pool.map(run_one, enumerate(trial_configs)))
+    else:
+        trials = [run_one(x) for x in enumerate(trial_configs)]
     sign = -1.0 if mode == "max" else 1.0
     best = min(trials, key=lambda t: sign * float(t.metrics.get(metric, float("inf") * sign)))
     if results_dir:

@@ -35,12 +35,11 @@ class MetricLogger:
         self._csv_fields: list[str] = []
         self._tb = None
         if use_tensorboard:
-            try:  # torch's pure-python TB writer; optional
-                from torch.utils.tensorboard import SummaryWriter
+            # native torch-free event writer (utils/tb_writer.py) — files are
+            # byte-compatible with TensorBoard's loader
+            from carla_imitation_learning_tpu.utils.tb_writer import TBEventWriter
 
-                self._tb = SummaryWriter(str(self.log_dir))
-            except Exception:
-                self._tb = None
+            self._tb = TBEventWriter(str(self.log_dir))
         self._wandb = None
         if use_wandb:
             try:

@@ -86,3 +86,26 @@ def test_cli_hpo(tmp_path, capsys):
 def test_cli_dagger(tmp_path, capsys):
     rc = cli_main(["run", "dagger", "--json"] + _overrides(tmp_path))
     assert rc == 0
+
+
+def test_cli_experiment_preset(tmp_path, capsys):
+    """-o experiment=<preset> selects the block AND its knobs
+    (configs/experiment/*.yaml — the reference's exp_example_* scheme)."""
+    rc = cli_main(["run", "--json", "-o", "experiment=debug"]
+                  + _overrides(tmp_path, ["trainer.max_epochs=1", "NUM_EPOCHS=1"]))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert "camera" in result  # debug preset runs bc on the camera view
+
+
+def test_cli_no_experiment_given(tmp_path):
+    assert cli_main(["run", "-o", f"data_dir={tmp_path}/d"]) == 2
+
+
+def test_kwargs_from_cfg(tmp_path, capsys):
+    """Top-level cfg keys override experiment kwarg defaults (n_envs etc.)."""
+    rc = cli_main(["run", "closed_loop_eval", "--json"]
+                  + _overrides(tmp_path, ["n_envs=4", "n_steps=6"]))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert result["policy"]["env_steps"] == 24  # 4 envs x 6 steps, from cfg

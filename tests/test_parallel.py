@@ -96,3 +96,33 @@ def test_vmap_sweep(rng):
     losses = np.asarray(metrics["final_loss"])
     assert losses.shape == (3,)
     assert losses[2] < losses[0]  # bigger lr converges further on the bowl
+
+
+def test_tune_run_concurrent_trials():
+    """Trials overlap on the thread pool (Ray ran 4 concurrent trials,
+    reference ray_trainer.py:49-53)."""
+    import time
+
+    from carla_imitation_learning_tpu.parallel.hpo import tune_run
+
+    def trainable(config):
+        time.sleep(0.3)
+        return {"mean_accuracy": config["x"]}
+
+    t0 = time.perf_counter()
+    best, trials = tune_run(trainable, trial_configs=[{"x": i} for i in range(4)],
+                            max_concurrent=4)
+    wall = time.perf_counter() - t0
+    assert wall < 0.9, f"trials did not overlap: {wall:.2f}s"  # 4x0.3 serial
+    assert best.config["x"] == 3 and len(trials) == 4
+    # trial order is preserved regardless of completion order
+    assert [t.trial_id for t in trials] == [0, 1, 2, 3]
+
+
+def test_tune_run_sequential_mode():
+    from carla_imitation_learning_tpu.parallel.hpo import tune_run
+
+    best, trials = tune_run(lambda c: {"mean_accuracy": -c["x"]},
+                            trial_configs=[{"x": i} for i in range(3)],
+                            max_concurrent=1)
+    assert best.config["x"] == 0

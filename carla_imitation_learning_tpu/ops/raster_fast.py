@@ -74,6 +74,23 @@ def pack_setup_fast(setup: TriangleSetup) -> jnp.ndarray:
     return jnp.where(setup.valid[:, None], flat, 0.0)
 
 
+def compact_setup(setup: TriangleSetup, cap: int) -> TriangleSetup:
+    """Gather the valid triangles (nearest-first) into a ``cap``-row setup.
+
+    After backface culling, typically <25% of the padded triangle table is
+    live; every downstream cost — the per-band compaction sorts, the corner
+    -cull math, and the SMEM table — scales with the table size, so one
+    up-front argsort over the full table buys a ~(T/cap)× cut in all of them.
+    Overflow (more than ``cap`` valid triangles) drops the FARTHEST ones, the
+    same graceful degradation as the per-band ``max_tris_per_tile`` cap."""
+    order = jnp.argsort(jnp.where(setup.valid, setup.zmin, jnp.inf))[:cap]
+    take = lambda a: jnp.take(a, order, axis=0)  # noqa: E731
+    return TriangleSetup(
+        edges=take(setup.edges), znum=take(setup.znum),
+        colors=take(setup.colors), classes=take(setup.classes),
+        valid=take(setup.valid), bbox=take(setup.bbox), zmin=take(setup.zmin))
+
+
 def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
                     far: float = 300.0):
     """Per tile row band: nearest-first indices of triangles that can actually
@@ -181,7 +198,8 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "near", "far",
-                                             "interpret", "max_tris_per_tile"))
+                                             "interpret", "max_tris_per_tile",
+                                             "compact_cap"))
 def rasterize_luma_fast(
     setup: TriangleSetup,
     height: int,
@@ -190,13 +208,18 @@ def rasterize_luma_fast(
     far: float = 300.0,
     interpret: bool = False,
     max_tris_per_tile: int | None = None,
+    compact_cap: int | None = None,
 ):
     """→ gray (H, W) f32 in [0,1] — the policy observation channel only.
 
     Equals rasterize_pallas_luma's gray output up to 12-bit luma quantization
     and approx-reciprocal depth rounding. ``max_tris_per_tile`` caps each
-    band's nearest-first list (overflow drops the farthest triangles).
+    band's nearest-first list (overflow drops the farthest triangles);
+    ``compact_cap`` pre-gathers the valid triangles into a table that wide
+    (see compact_setup) before any per-band work.
     """
+    if compact_cap is not None and compact_cap < setup.valid.shape[0]:
+        setup = compact_setup(setup, compact_cap)
     tris = pack_setup_fast(setup)
     n_tris = tris.shape[0]
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)

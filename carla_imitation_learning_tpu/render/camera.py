@@ -80,6 +80,7 @@ def project_triangles(
     height: int,
     fov_deg: float = 90.0,
     near: float = 0.5,
+    cullable: jnp.ndarray | None = None,  # (T,) bool — backface-cull these
 ) -> TriangleSetup:
     rel = tris - cam.pos  # (T,3,3)
     x = rel @ cam.right   # (T,3) camera-right coords
@@ -105,6 +106,17 @@ def project_triangles(
     front = jnp.any(z > near, axis=1)
     degenerate = jnp.all(tris == 0.0, axis=(1, 2))  # padding
     valid = any_area & front & ~degenerate
+
+    if cullable is not None:
+        # Backface culling for closed solids (building/vehicle boxes): faces
+        # are wound with outward normals (geometry._box_tris), so a face whose
+        # plane puts the camera on its back side can never be seen — roughly
+        # half of every box's walls, and the roof whenever the camera is below
+        # it. Double-sided geometry (ground, roads, poles, light heads) must
+        # NOT be culled: pass cullable=False for those.
+        n = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        facing = jnp.einsum("tc,tc->t", n, -rel[:, 0]) > 0.0  # cam.pos - v0
+        valid &= facing | ~cullable
 
     # conservative screen bbox (for tile culling): vertices behind the eye
     # make the triangle's extent unbounded → clamp bbox to full screen then.

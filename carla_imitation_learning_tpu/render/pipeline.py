@@ -35,6 +35,8 @@ class RenderConfig:
     fast: bool = False    # grayscale-ONLY rollout kernel (ops/raster_fast.py):
                           # packed z|luma key, approx-reciprocal depth, corner
                           # -culled tile lists; no semantic/depth planes
+    active_cap: int | None = None  # fast path: pre-compact the valid tris to
+                                   # this table width (raster_fast.compact_setup)
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -44,7 +46,9 @@ class RenderConfig:
                    near=float(r.near), far=float(r.far),
                    backend=backend or str(r.get("backend", "jax")),
                    rgb=bool(r.get("rgb", True)), semantic=bool(r.get("semantic", True)),
-                   fast=bool(r.get("fast", False)))
+                   fast=bool(r.get("fast", False)),
+                   active_cap=(int(r["active_cap"]) if r.get("active_cap")
+                               else None))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
@@ -88,11 +92,17 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
             rcfg.max_triangles)
         cam = camera_from_ego(state.ego_pos, state.ego_yaw,
                               yaw_offset_deg=yaw_off)
+        # Buildings and vehicles are closed boxes with outward-wound faces →
+        # backface-cullable (cuts ~half their triangle passes in the
+        # rasterizer). Ground/roads/poles/light heads stay double-sided.
+        cullable = (classes == geo.SEM_BUILDING) | (classes == geo.SEM_VEHICLE)
         setup = project_triangles(tris, colors, classes, cam,
-                                  rcfg.width, rcfg.height, fov, rcfg.near)
+                                  rcfg.width, rcfg.height, fov, rcfg.near,
+                                  cullable=cullable)
         if fast_raster is not None:  # rollout kernel: gray plane ONLY
             gray = fast_raster(setup, rcfg.height, rcfg.width,
-                               near=rcfg.near, far=rcfg.far)
+                               near=rcfg.near, far=rcfg.far,
+                               compact_cap=rcfg.active_cap)
             return {"gray": gray}
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,

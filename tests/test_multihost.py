@@ -53,6 +53,10 @@ def test_two_process_cpu_cluster(tmp_path):
     path.write_text(script)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers configure their own device counts
+    # the worker script lives in tmp_path: put the repo root (the package's
+    # parent) on the path explicitly
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen([sys.executable, str(path), str(i)],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               env=env, text=True)

@@ -106,3 +106,26 @@ def test_rollout_uses_reset_flag():
     # the carried flag equals the last step's done mask
     np.testing.assert_array_equal(np.asarray(carry[2]),
                                   np.asarray(traj["done"][-1]).astype(bool))
+
+
+def test_compact_setup_exact_when_under_cap():
+    """Pre-compaction must be a no-op on the image whenever the live-triangle
+    count fits the cap, and must drop only the FARTHEST on overflow."""
+    from carla_imitation_learning_tpu.ops.raster_fast import compact_setup
+
+    setup = make_setup(0)
+    n_valid = int(np.asarray(setup.valid).sum())
+    cap = n_valid + 8
+    g_full = rasterize_luma_fast(setup, H, W, interpret=True)
+    g_cmp = rasterize_luma_fast(setup, H, W, interpret=True, compact_cap=cap)
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_cmp))
+    # compacted table keeps exactly the valid triangles, nearest-first
+    small = compact_setup(setup, cap)
+    assert int(np.asarray(small.valid).sum()) == n_valid
+    z = np.asarray(small.zmin)[np.asarray(small.valid)]
+    assert (np.diff(z) >= 0).all()
+    # overflow: near-field (lower image half) survives
+    g_over = rasterize_luma_fast(setup, H, W, interpret=True,
+                                 compact_cap=max(16, n_valid // 2))
+    d = np.abs(np.asarray(g_full[H // 2:]) - np.asarray(g_over[H // 2:]))
+    assert (d > 2 / 255).mean() < 0.02

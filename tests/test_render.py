@@ -124,3 +124,35 @@ def test_vmapped_batch_render():
     outs = jax.jit(jax.vmap(render))(states)
     assert outs["gray"].shape == (4, 32, 32)
     assert np.isfinite(np.asarray(outs["gray"])).all()
+
+
+def test_backface_culling_is_image_invariant():
+    """Backface-culling closed boxes (buildings/vehicles) must not change a
+    single pixel — every culled face is occluded by a front face of the same
+    box — while cutting the number of live triangles substantially."""
+    from carla_imitation_learning_tpu.render import geometry as geo
+    from carla_imitation_learning_tpu.sim import agents as agent_lib
+
+    town = make_town(blocks=3, n_buildings=24, n_lights=8)
+    params = SimParams(n_agents=8)
+    static = geo.build_static_scene(town)
+    for seed in range(4):
+        state = reset_env(params, town, jax.random.PRNGKey(seed))
+        phases = agent_lib.light_phases(
+            town, state.t.astype(jnp.float32) * params.dt,
+            params.light_green, params.light_yellow, params.light_red)
+        ap, ay = agent_lib.agent_positions(town, state.agents_route, state.agents_s)
+        tris, colors, classes = geo.assemble_scene(
+            static, town.lights_pos, phases, ap, ay, 512)
+        cam = camera_from_ego(state.ego_pos, state.ego_yaw)
+        cullable = (classes == SEM_BUILDING) | (classes == SEM_VEHICLE)
+        full = project_triangles(tris, colors, classes, cam, W, H, 90.0, 0.5)
+        culled = project_triangles(tris, colors, classes, cam, W, H, 90.0, 0.5,
+                                   cullable=cullable)
+        n_full = int(full.valid.sum())
+        n_culled = int(culled.valid.sum())
+        assert n_culled < n_full * 0.75, (n_full, n_culled)
+        rgb_a, sem_a, dep_a = rasterize_jax(full, H, W)
+        rgb_b, sem_b, dep_b = rasterize_jax(culled, H, W)
+        np.testing.assert_array_equal(np.asarray(sem_a), np.asarray(sem_b))
+        np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b))

@@ -16,6 +16,7 @@ New capabilities (BASELINE.json configs #2, #4, #5):
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import numpy as np
@@ -697,15 +698,11 @@ def world_model_sweep(cfg, n_envs: int = 16, n_steps: int = 128,
             "table": [{**t.config, **t.metrics} for t in trials]}
 
 
-@experiment("hpo_vmap")
-def hpo_vmap(cfg, lrs=(3e-4, 1e-3, 3e-3, 1e-2), epochs: int = 2, **kw):
-    """Vectorized HPO: ALL learning-rate trials of the BC recipe train inside
-    ONE jit program (vmap over the trial axis) — the TPU-native answer to Ray
-    Tune's process-per-trial parallelism (reference ray_trainer.py:49-53).
-    Small nets batch their trials onto the MXU together."""
+def _bc_vmap_trainable(cfg, epochs: int):
+    """(init_fn, train_fn) for per-trial BC training with a vmappable
+    learning-rate hyperparameter — shared by hpo_vmap and hpo_pbt."""
     import optax
 
-    from carla_imitation_learning_tpu.parallel.hpo import vmap_sweep
     from carla_imitation_learning_tpu.training.losses import accuracy, cross_entropy
 
     cfg_c = cfg.copy()
@@ -756,6 +753,18 @@ def hpo_vmap(cfg, lrs=(3e-4, 1e-3, 3e-3, 1e-2), epochs: int = 2, **kw):
             "val_loss": cross_entropy(val_logits, vy),
         }
 
+    return init_fn, train_fn
+
+
+@experiment("hpo_vmap")
+def hpo_vmap(cfg, lrs=(3e-4, 1e-3, 3e-3, 1e-2), epochs: int = 2, **kw):
+    """Vectorized HPO: ALL learning-rate trials of the BC recipe train inside
+    ONE jit program (vmap over the trial axis) — the TPU-native answer to Ray
+    Tune's process-per-trial parallelism (reference ray_trainer.py:49-53).
+    Small nets batch their trials onto the MXU together."""
+    from carla_imitation_learning_tpu.parallel.hpo import vmap_sweep
+
+    init_fn, train_fn = _bc_vmap_trainable(cfg, epochs)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     lr_arr = jnp.asarray(lrs, jnp.float32)
     states, metrics = vmap_sweep(init_fn, train_fn, lr_arr, rng)
@@ -765,3 +774,37 @@ def hpo_vmap(cfg, lrs=(3e-4, 1e-3, 3e-3, 1e-2), epochs: int = 2, **kw):
             "val_losses": [float(v) for v in metrics["val_loss"]],
             "best_lr": float(lrs[best_i]), "n_trials": len(lrs),
             "note": "all trials trained in one jit program (vmap axis)"}
+
+
+@experiment("hpo_pbt")
+def hpo_pbt(cfg, population: int = 8, generations: int = 4,
+            epochs_per_gen: int = 1, lr_range=(1e-4, 3e-2), **kw):
+    """Population Based Training of the BC recipe: the population trains as
+    one vmapped jit program per generation; truncation exploit/explore runs
+    on-device (parallel.hpo.pbt_run). Covers the scheduler tier of the
+    reference's Ray Tune surface (ray_trainer.py:49-53) the TPU way."""
+    from carla_imitation_learning_tpu.parallel.hpo import pbt_run
+
+    init_fn, train_fn = _bc_vmap_trainable(cfg, epochs_per_gen)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    lo, hi = float(lr_range[0]), float(lr_range[1])
+    h0 = jnp.exp(jax.random.uniform(
+        jax.random.fold_in(rng, 1), (int(population),),
+        minval=float(np.log(lo)), maxval=float(np.log(hi))))
+    states, h, hist = pbt_run(init_fn, train_fn, h0, rng,
+                              metric="mean_accuracy", mode="max",
+                              n_generations=int(generations))
+    last = hist[-1]
+    best_i = int(np.argmax(last["mean_accuracy"]))
+    out = {"population": int(population), "generations": int(generations),
+           "best_lr": float(np.asarray(h)[best_i]),
+           "best_accuracy": float(last["mean_accuracy"][best_i]),
+           "mean_accuracy_per_gen": [float(g["mean_accuracy"].mean()) for g in hist],
+           "final_lrs": [float(v) for v in np.asarray(h)]}
+    path = Path(cfg["log_dir"]) / "pbt_history.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(
+        [{k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in g.items()}
+         for g in hist], indent=1))
+    out["history_path"] = str(path)
+    return out

@@ -16,5 +16,5 @@ from carla_imitation_learning_tpu.parallel.mesh import (  # noqa: F401
     shard_train_state,
 )
 from carla_imitation_learning_tpu.parallel.hpo import (  # noqa: F401
-    Trial, tune_run, vmap_sweep,
+    Trial, pbt_run, tune_run, vmap_sweep,
 )

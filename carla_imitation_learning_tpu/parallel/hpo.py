@@ -127,3 +127,67 @@ def vmap_sweep(
     rngs = jax.random.split(rng, hparam_values.shape[0])
     states = jax.vmap(init_fn)(rngs, hparam_values)
     return jax.jit(jax.vmap(train_fn))(states, hparam_values)
+
+
+def pbt_run(
+    init_fn: Callable[[jax.Array, jnp.ndarray], Any],
+    train_fn: Callable[[Any, jnp.ndarray], tuple[Any, dict]],
+    hparam_init: jnp.ndarray,
+    rng: jax.Array,
+    metric: str = "score",
+    mode: str = "max",
+    n_generations: int = 5,
+    exploit_frac: float = 0.25,
+    perturb: tuple[float, float] = (0.8, 1.25),
+):
+    """Population Based Training over a vmapped population.
+
+    The whole population trains as ONE jit program per generation
+    (``jax.vmap(train_fn)``), then an on-device exploit/explore step replaces
+    the bottom ``exploit_frac`` of members with perturbed copies of the top:
+    truncation selection as in Jaderberg et al. 2017, but with zero host
+    round-trips inside a generation — ranking (argsort on the metric),
+    weight copying (one gather over the stacked pytree) and hyperparameter
+    perturbation (random ×0.8 / ×1.25) are all compiled. This supersedes the
+    reference's Ray Tune surface (ray_trainer.py:49-53) for schedules Ray
+    could only express with its PopulationBasedTraining scheduler.
+
+    init_fn(rng, h) -> state;  train_fn(state, h) -> (state, metrics) runs one
+    generation segment; ``hparam_init`` is (P,) or (P, K).
+
+    Returns (states, hparams, history) — history is a list of per-generation
+    {metric, hparams} numpy snapshots (host-fetched once per generation).
+    """
+    P = hparam_init.shape[0]
+    n_exploit = max(1, int(P * exploit_frac))
+    sign = 1.0 if mode == "max" else -1.0
+    states = jax.vmap(init_fn)(jax.random.split(rng, P), hparam_init)
+    seg = jax.jit(jax.vmap(train_fn))
+
+    @jax.jit
+    def exploit_explore(states, h, scores, key):
+        order = jnp.argsort(sign * scores)  # worst → best
+        src = jnp.arange(P, dtype=jnp.int32)
+        # bottom n copies from top n (pairing worst-i ← best-i)
+        src = src.at[order[:n_exploit]].set(order[P - n_exploit:])
+        replaced = src != jnp.arange(P)
+        states = jax.tree_util.tree_map(lambda x: jnp.take(x, src, axis=0), states)
+        h_src = jnp.take(h, src, axis=0)
+        factors = jnp.where(
+            jax.random.bernoulli(key, 0.5, h_src.shape),
+            perturb[1], perturb[0])
+        mask = replaced.reshape((P,) + (1,) * (h_src.ndim - 1))
+        return states, jnp.where(mask, h_src * factors, h_src)
+
+    h = jnp.asarray(hparam_init)
+    history = []
+    for g in range(n_generations):
+        rng, kseg, kex = jax.random.split(rng, 3)
+        states, metrics = seg(states, h)
+        scores = jnp.asarray(metrics[metric], jnp.float32)
+        history.append({"generation": g,
+                        metric: np.asarray(scores).copy(),
+                        "hparams": np.asarray(h).copy()})
+        if g < n_generations - 1:
+            states, h = exploit_explore(states, h, scores, kex)
+    return states, h, history

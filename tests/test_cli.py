@@ -109,3 +109,15 @@ def test_kwargs_from_cfg(tmp_path, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert result["policy"]["env_steps"] == 24  # 4 envs x 6 steps, from cfg
+
+
+def test_cli_hpo_pbt(tmp_path, capsys):
+    rc = cli_main(["run", "--json", "-o", "experiment=hpo_pbt",
+                   "-o", "population=4", "-o", "generations=2"]
+                  + _overrides(tmp_path))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert result["population"] == 4
+    assert len(result["mean_accuracy_per_gen"]) == 2
+    assert len(result["final_lrs"]) == 4
+    assert json.load(open(result["history_path"]))  # history artifact exists

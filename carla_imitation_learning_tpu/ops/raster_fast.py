@@ -13,8 +13,9 @@ dynamic trip count) but restructured to cut the per-triangle-pass work from
   perspective divide is the most expensive VPU op in the loop; rollout
   rendering tolerates ~2^-12 relative depth error (depth is quantized to 11
   mantissa bits by the key packing anyway).
-- **min/max inside test**: ``(min3 > 0) | (max3 < 0)`` — 7 ops for the
-  sign-agreement test instead of 11.
+- **min-only inside test**: edge rows are sign-normalized at projection time
+  (render/camera.py scales by sign(det)), so inside ⇔ ``min3 > 0`` — 5 ops
+  instead of 11 for the sign-agreement test.
 - **Exact corner culling in the tile lists** (``tile_lists_fast``): edge
   functions are affine, so their extrema over a band rectangle sit at its
   corners. A band can be skipped when one edge is strictly positive over the
@@ -98,9 +99,10 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
 
     Beyond the bbox test of ops/raster.tile_lists, adds the exact corner cull:
     for the band rect [0,W]×[ylo,yhi], each affine edge function attains its
-    extrema at rect corners; if some edge is >0 over the whole rect while
-    another is <0 over the whole rect, no pixel can have all-same-sign edges,
-    so the triangle is dropped from this band. → (idx (R,k) i32, count (R,1)).
+    extrema at rect corners. Edges are sign-normalized (camera.py: inside ⇔
+    all e_i > 0), so the triangle is dropped from the band whenever ANY edge
+    is strictly negative over the whole rect — a stronger and cheaper test
+    than the sign-agreement form. → (idx (R,k) i32, count (R,1)).
     """
     n_rows = height // TILE_ROWS
     xmin, xmax = setup.bbox[:, 0], setup.bbox[:, 1]
@@ -115,18 +117,13 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
     a = setup.edges[..., 0]  # (T, 3)
     b = setup.edges[..., 1]
     c = setup.edges[..., 2]
-    ax_min = jnp.minimum(a * width, 0.0)[None]          # (1, T, 3)
-    ax_max = jnp.maximum(a * width, 0.0)[None]
+    ax_max = jnp.maximum(a * width, 0.0)[None]          # (1, T, 3)
     # (R, 1, 1) band y extents against (1, T, 3) coefficients
     ylo = row_lo[:, :, None]                            # (R, 1, 1)
     yhi = row_hi[:, :, None]
-    by_min = jnp.minimum(b[None] * ylo, b[None] * yhi)  # (R, T, 3)
-    by_max = jnp.maximum(b[None] * ylo, b[None] * yhi)
-    emin = ax_min + by_min + c[None]
+    by_max = jnp.maximum(b[None] * ylo, b[None] * yhi)  # (R, T, 3)
     emax = ax_max + by_max + c[None]
-    has_pos = jnp.any(emin > 0.0, axis=-1)              # (R, T)
-    has_neg = jnp.any(emax < 0.0, axis=-1)
-    hit &= ~(has_pos & has_neg)
+    hit &= ~jnp.any(emax < 0.0, axis=-1)                # (R, T)
 
     count = jnp.minimum(hit.sum(axis=1), k).astype(jnp.int32)[:, None]
     # Compaction: the packed-key min in the kernel is order-independent, so
@@ -164,9 +161,10 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
         e1 = tris_ref[t, 3] * px + (tris_ref[t, 4] * py + tris_ref[t, 5])
         e2 = tris_ref[t, 6] * px + (tris_ref[t, 7] * py + tris_ref[t, 8])
         znp_ = tris_ref[t, 9] * px + (tris_ref[t, 10] * py + tris_ref[t, 11])
-        lo = jnp.minimum(jnp.minimum(e0, e1), e2)
-        hi = jnp.maximum(jnp.maximum(e0, e1), e2)
-        inside = jnp.logical_or(lo > 0.0, hi < 0.0)
+        # edges are sign-normalized at projection time (camera.py): inside the
+        # front-projected part ⇔ all e_i > 0, so min alone decides — the
+        # back-projection region of eye-crossing triangles lands all-negative.
+        inside = jnp.minimum(jnp.minimum(e0, e1), e2) > 0.0
         den = e0 + e1 + e2
         z = znp_ * pl.reciprocal(den, approx=True)
         ok = jnp.logical_and(inside, z > near)
@@ -241,6 +239,9 @@ def rasterize_luma_fast(
         in_specs=[
             pl.BlockSpec((n_tris, FAST_PACK_WIDTH), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
+            # full-array SMEM blocks with a constant index map: Mosaic rejects
+            # (1, k) row blocks (last-2-dims divisibility rule), and a constant
+            # map stages the copy once for the whole grid anyway
             pl.BlockSpec((n_rows, k), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_rows, 1), lambda r: (0, 0),

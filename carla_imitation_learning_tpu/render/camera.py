@@ -98,10 +98,20 @@ def project_triangles(
     e2 = jnp.cross(v[:, 0], v[:, 1])
     edges = jnp.stack([e0, e1, e2], axis=1)  # (T,3,3)
 
-    znum = jnp.einsum("tv,tvc->tc", z, edges)  # Σ_i z_i E_i
-
     # validity: some area and not entirely behind the near plane
     det = jnp.einsum("tc,tc->t", v[:, 0], e0)  # det(M) = v0 · (v1 × v2)
+
+    # Sign-normalize: scale edge rows by sign(det) so pixels inside the
+    # FRONT-projected part of any valid triangle see all e_i > 0 (at vertex i,
+    # e_i = det/z_i with z_i > 0 there). The sign-agnostic kernels are
+    # unaffected (all-positive is still same-sign); the fast rollout kernel
+    # exploits it to test only min(e) > 0. z is untouched: znum scales with
+    # den. The back-projection region of eye-crossing triangles flips to
+    # all-negative and is rejected by the same test (it previously passed
+    # same-sign and was discarded by its negative depth).
+    edges = edges * jnp.where(det < 0.0, -1.0, 1.0)[:, None, None]
+
+    znum = jnp.einsum("tv,tvc->tc", z, edges)  # Σ_i z_i E_i
     any_area = jnp.abs(det) > 1e-9
     front = jnp.any(z > near, axis=1)
     degenerate = jnp.all(tris == 0.0, axis=(1, 2))  # padding

@@ -44,12 +44,13 @@ def update_framebuf(framebuf: jnp.ndarray, gray: jnp.ndarray,
     blend frames across an episode boundary (the reference's windows are
     single-stream by construction, imitation_dataset.py:115-131).
 
-    framebuf (B, fs, H, W), gray (B, H, W), just_reset (B,) bool."""
-    frame_skip = framebuf.shape[1]
+    framebuf (B, H, W, fs) — NHWC so it feeds the policy with NO per-step
+    transpose; gray (B, H, W), just_reset (B,) bool."""
+    frame_skip = framebuf.shape[-1]
     return jnp.where(
         just_reset[:, None, None, None],
-        jnp.repeat(gray[:, None], frame_skip, axis=1),
-        jnp.concatenate([framebuf[:, 1:], gray[:, None]], axis=1))
+        jnp.repeat(gray[..., None], frame_skip, axis=-1),
+        jnp.concatenate([framebuf[..., 1:], gray[..., None]], axis=-1))
 
 
 def control_from_discrete(action: jnp.ndarray) -> VehicleControl:
@@ -117,7 +118,7 @@ def make_rollout(
             jax.random.split(rng, n_envs))
         # warm the frame buffer with the initial view
         gray0 = render_batch(states)["gray"]
-        framebuf = jnp.repeat(gray0[:, None], frame_skip, axis=1)
+        framebuf = jnp.repeat(gray0[..., None], frame_skip, axis=-1)
         return states, framebuf, jnp.zeros((n_envs,), bool)
 
     def init_fn(rng, n_envs: int):
@@ -135,7 +136,7 @@ def make_rollout(
         states, framebuf, just_reset = carry
         gray = render_batch(states)["gray"]  # (B,H,W)
         framebuf = update_framebuf(framebuf, gray, just_reset)
-        obs = jnp.transpose(framebuf, (0, 2, 3, 1))  # NHWC for the policy
+        obs = framebuf  # already NHWC — the policy consumes it directly
 
         expert = expert_batch(states)
         if policy_fn is None:

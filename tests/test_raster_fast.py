@@ -81,16 +81,17 @@ def test_framebuf_resets_on_done():
     from carla_imitation_learning_tpu.training.closed_loop import update_framebuf
 
     B, fs = 3, 4
-    old = jnp.arange(B * fs * 2 * 2, dtype=jnp.float32).reshape(B, fs, 2, 2)
+    # NHWC layout: (B, H, W, fs), frame index on the LAST axis
+    old = jnp.arange(B * fs * 2 * 2, dtype=jnp.float32).reshape(B, 2, 2, fs)
     fresh = jnp.full((B, 2, 2), 99.0)
     just_reset = jnp.array([False, True, False])
     out = update_framebuf(old, fresh, just_reset)
     # env 1 reset: every slot holds ONLY the fresh view
     assert bool((out[1] == 99.0).all())
     # envs 0/2 slide: oldest dropped, newest appended, middle preserved
-    np.testing.assert_allclose(np.asarray(out[0, :-1]), np.asarray(old[0, 1:]))
-    assert bool((out[0, -1] == 99.0).all())
-    np.testing.assert_allclose(np.asarray(out[2, :-1]), np.asarray(old[2, 1:]))
+    np.testing.assert_allclose(np.asarray(out[0, ..., :-1]), np.asarray(old[0, ..., 1:]))
+    assert bool((out[0, ..., -1] == 99.0).all())
+    np.testing.assert_allclose(np.asarray(out[2, ..., :-1]), np.asarray(old[2, ..., 1:]))
 
 
 def test_rollout_uses_reset_flag():

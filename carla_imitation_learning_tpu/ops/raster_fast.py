@@ -145,7 +145,7 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
 
 
 def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
-                 height, sky_top_l, sky_hor_l):
+                 height, sky_top_l, sky_hor_l, fog_density):
     r = pl.program_id(0)
     y0 = (r * TILE_ROWS).astype(jnp.float32)
 
@@ -192,12 +192,19 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
     shade = pl.reciprocal(1.0 + 0.004 * depth, approx=True)
     t_sky = (py - 0.5) * (1.0 / max(height - 1, 1))
     sky = sky_top_l * (1.0 - t_sky) + sky_hor_l * t_sky
-    out_ref[:] = jnp.where(hit, luma * shade, sky)
+    lit = luma * shade
+    if fog_density > 0.0:
+        # exponential extinction toward the sky color — one exp per PIXEL in
+        # the band epilogue (render/weather.py contract); the wrapper also
+        # shrinks `far` to the 1%-transmittance distance so fog CULLS geometry
+        f = jnp.exp(-fog_density * depth)
+        lit = lit * f + sky * (1.0 - f)
+    out_ref[:] = jnp.where(hit, lit, sky)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "near", "far",
                                              "interpret", "max_tris_per_tile",
-                                             "compact_cap"))
+                                             "compact_cap", "fog_density"))
 def rasterize_luma_fast(
     setup: TriangleSetup,
     height: int,
@@ -207,6 +214,7 @@ def rasterize_luma_fast(
     interpret: bool = False,
     max_tris_per_tile: int | None = None,
     compact_cap: int | None = None,
+    fog_density: float = 0.0,
 ):
     """→ gray (H, W) f32 in [0,1] — the policy observation channel only.
 
@@ -214,8 +222,14 @@ def rasterize_luma_fast(
     and approx-reciprocal depth rounding. ``max_tris_per_tile`` caps each
     band's nearest-first list (overflow drops the farthest triangles);
     ``compact_cap`` pre-gathers the valid triangles into a table that wide
-    (see compact_setup) before any per-band work.
+    (see compact_setup) before any per-band work. ``fog_density`` > 0 fuses
+    exponential fog into the epilogue AND shrinks ``far`` to the visibility
+    limit (weather.visibility_far), so fog also culls triangle passes.
     """
+    if fog_density > 0.0:
+        from carla_imitation_learning_tpu.render.weather import visibility_far
+
+        far = visibility_far(fog_density, far)
     if compact_cap is not None and compact_cap < setup.valid.shape[0]:
         setup = compact_setup(setup, compact_cap)
     tris = pack_setup_fast(setup)
@@ -231,7 +245,8 @@ def rasterize_luma_fast(
     kernel = functools.partial(
         _fast_kernel, width=width, near=near, far=far, height=height,
         sky_top_l=float(np.asarray(SKY_TOP) @ np.asarray(LUMA_W)),
-        sky_hor_l=float(np.asarray(SKY_HORIZON) @ np.asarray(LUMA_W)))
+        sky_hor_l=float(np.asarray(SKY_HORIZON) @ np.asarray(LUMA_W)),
+        fog_density=fog_density)
 
     out = pl.pallas_call(
         kernel,

@@ -26,3 +26,9 @@ from carla_imitation_learning_tpu.render.jax_raster import rasterize_jax  # noqa
 from carla_imitation_learning_tpu.render.pipeline import (  # noqa: F401
     RenderConfig, make_renderer,
 )
+from carla_imitation_learning_tpu.render.weather import (  # noqa: F401
+    apply_fog, apply_rain, visibility_far,
+)
+from carla_imitation_learning_tpu.render.lidar import (  # noqa: F401
+    cast_rays, lidar_image, make_lidar,
+)

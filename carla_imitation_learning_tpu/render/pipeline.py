@@ -37,6 +37,8 @@ class RenderConfig:
                           # -culled tile lists; no semantic/depth planes
     active_cap: int | None = None  # fast path: pre-compact the valid tris to
                                    # this table width (raster_fast.compact_setup)
+    fog_density: float = 0.0  # exponential fog β (1/m); 0 = clear weather
+    rain: float = 0.0         # rain intensity in [0, 1]; 0 = dry
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -48,7 +50,9 @@ class RenderConfig:
                    rgb=bool(r.get("rgb", True)), semantic=bool(r.get("semantic", True)),
                    fast=bool(r.get("fast", False)),
                    active_cap=(int(r["active_cap"]) if r.get("active_cap")
-                               else None))
+                               else None),
+                   fog_density=float(r.get("fog_density", 0.0)),
+                   rain=float(r.get("rain", 0.0)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
@@ -81,6 +85,21 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
     else:
         raster = luma_raster = None
 
+    from carla_imitation_learning_tpu.render.jax_raster import (
+        SKY_HORIZON, SKY_TOP, sky_image,
+    )
+    from carla_imitation_learning_tpu.render.weather import apply_fog, apply_rain
+
+    def _sky_luma(height: int, width: int):
+        t = jnp.linspace(0.0, 1.0, height)[:, None]
+        row = (SKY_TOP @ LUMA) * (1 - t) + (SKY_HORIZON @ LUMA) * t
+        return jnp.broadcast_to(row, (height, width))
+
+    def _rain(img, state):
+        if rcfg.rain <= 0.0:
+            return img
+        return apply_rain(img, state.rng, state.t, rcfg.rain)
+
     def render(state: WorldState):
         phases = agent_lib.light_phases(
             town, state.t.astype(jnp.float32) * params.dt,
@@ -102,12 +121,16 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
         if fast_raster is not None:  # rollout kernel: gray plane ONLY
             gray = fast_raster(setup, rcfg.height, rcfg.width,
                                near=rcfg.near, far=rcfg.far,
-                               compact_cap=rcfg.active_cap)
-            return {"gray": gray}
+                               compact_cap=rcfg.active_cap,
+                               fog_density=rcfg.fog_density)  # fog fused in-kernel
+            return {"gray": _rain(gray, state)}
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,
                                            near=rcfg.near, far=rcfg.far)
-            return {"semantic": sem, "gray": gray, "depth": depth,
+            gray = apply_fog(gray, depth, _sky_luma(*gray.shape),
+                             rcfg.fog_density)
+            # semantic labels stay fog-free (CARLA's semantic camera behavior)
+            return {"semantic": sem, "gray": _rain(gray, state), "depth": depth,
                     "semantic_rgb": semantic_to_rgb(sem)}
         if raster is not None:
             rgb, sem, depth = raster(setup, rcfg.height, rcfg.width,
@@ -115,6 +138,8 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
         else:
             rgb, sem, depth = rasterize_jax(setup, rcfg.height, rcfg.width,
                                             near=rcfg.near, far=rcfg.far)
+        rgb = _rain(apply_fog(rgb, depth, sky_image(*depth.shape),
+                              rcfg.fog_density), state)
         gray = rgb @ LUMA  # (H,W) in [0,1] — the policy's observation channel
         return {"rgb": rgb, "semantic": sem, "gray": gray, "depth": depth,
                 "semantic_rgb": semantic_to_rgb(sem)}

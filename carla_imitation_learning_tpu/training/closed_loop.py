@@ -65,6 +65,7 @@ def make_rollout(
     policy_fn: Callable | None,
     frame_skip: int = 4,
     mesh=None,
+    lidar_beams: int = 0,
 ):
     """Build (init_fn, rollout_fn).
 
@@ -73,7 +74,8 @@ def make_rollout(
 
     rollout_fn(carry, n_steps) -> (carry, traj) where traj stacks per-step:
     gray frames (T,B,H,W), actions (T,B), sensors (T,B,3), traffic (T,B),
-    info scalars. carry = (states, framebuf).
+    info scalars. carry = (states, framebuf). ``lidar_beams > 0`` adds a
+    (T,B,lidar_beams) planar range scan (render/lidar.py ray caster) to traj.
     """
     import dataclasses as _dc
 
@@ -103,6 +105,19 @@ def make_rollout(
                          jnp.where(dyaw > 0, 1, 2)).astype(jnp.int32)
 
     command_batch = jax.vmap(nav_command)
+
+    lidar_batch = None
+    if lidar_beams > 0:
+        from carla_imitation_learning_tpu.render.lidar import make_lidar
+        from carla_imitation_learning_tpu.sim.agents import agent_positions
+
+        _scan = make_lidar(town, n_beams=lidar_beams)
+
+        def _lidar_one(state):
+            ap, ay = agent_positions(town, state.agents_route, state.agents_s)
+            return _scan(state, ap, ay)
+
+        lidar_batch = jax.vmap(_lidar_one)
 
     # policies may take (obs) or (obs, extras) with speed/command/sensor
     import inspect
@@ -173,6 +188,8 @@ def make_rollout(
             "steer": control.steer, "throttle": control.throttle,
             "brake": control.brake,
         }
+        if lidar_batch is not None:
+            out["lidar"] = lidar_batch(states)
         return (new_states, framebuf, info["done"]), out
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))

@@ -16,7 +16,8 @@ from flax import struct
 from carla_imitation_learning_tpu.sim.town import TownMap
 
 # Semantic classes (CARLA-like reduced set)
-SEM_SKY, SEM_TERRAIN, SEM_ROAD, SEM_BUILDING, SEM_VEHICLE, SEM_LIGHT = 0, 1, 2, 3, 4, 5
+(SEM_SKY, SEM_TERRAIN, SEM_ROAD, SEM_BUILDING, SEM_VEHICLE, SEM_LIGHT,
+ SEM_PEDESTRIAN) = 0, 1, 2, 3, 4, 5, 6
 
 SEMANTIC_PALETTE = np.array([
     [70, 130, 180],   # sky
@@ -25,6 +26,7 @@ SEMANTIC_PALETTE = np.array([
     [70, 70, 70],     # building
     [0, 0, 142],      # vehicle
     [250, 170, 30],   # traffic light
+    [220, 20, 60],    # pedestrian (CARLA's walker crimson)
 ], dtype=np.float32) / 255.0
 
 
@@ -54,6 +56,7 @@ def _box_tris(cx, cy, hw, hh, z0, z1) -> list:
 
 VEHICLE_TRIS = 10  # box walls + roof
 LIGHT_HEAD_TRIS = 2
+PED_TRIS = 10      # slim box walls + cap
 
 
 def build_static_scene(town: TownMap, seed: int = 0) -> StaticScene:
@@ -133,6 +136,23 @@ def vehicle_triangles(pos: jnp.ndarray, yaw: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([xy, z], axis=-1).reshape(-1, 3, 3)
 
 
+def _unit_ped_box() -> np.ndarray:
+    """(PED_TRIS, 3, 3) slim 0.5 × 0.5 × 1.8 m box for a walker."""
+    return np.array(_box_tris(0.0, 0.0, 0.25, 0.25, 0.0, 1.8), np.float32)
+
+
+_UNIT_PED = _unit_ped_box()
+
+
+def pedestrian_triangles(pos: jnp.ndarray) -> jnp.ndarray:
+    """(P, 2) walker positions → (P·10, 3, 3) world triangles (translate
+    only — walkers render orientation-free)."""
+    base = jnp.asarray(_UNIT_PED)  # (10, 3, 3)
+    xy = base[None, ..., :2] + pos[:, None, None, :]
+    z = jnp.broadcast_to(base[None, ..., 2:], xy.shape[:-1] + (1,))
+    return jnp.concatenate([xy, z], axis=-1).reshape(-1, 3, 3)
+
+
 def light_head_triangles(lights_pos: jnp.ndarray, phases: jnp.ndarray):
     """(L,2) + (L,) phase → ((L·2,3,3) tris, (L·2,3) colors) emissive heads."""
     x, y = lights_pos[:, 0], lights_pos[:, 1]
@@ -156,21 +176,31 @@ def assemble_scene(
     agents_pos: jnp.ndarray,
     agents_yaw: jnp.ndarray,
     max_triangles: int,
+    peds_pos: jnp.ndarray | None = None,
 ):
     """→ (tris (T,3,3), colors (T,3), classes (T,)) padded/truncated to T."""
     veh = vehicle_triangles(agents_pos, agents_yaw)
     lh_tris, lh_col = light_head_triangles(lights_pos, phases)
-    tris = jnp.concatenate([static.tris, veh, lh_tris], axis=0)
-    colors = jnp.concatenate([
+    parts_t = [static.tris, veh, lh_tris]
+    parts_c = [
         static.colors,
         jnp.tile(jnp.asarray(SEMANTIC_PALETTE[SEM_VEHICLE]), (veh.shape[0], 1)),
         lh_col,
-    ], axis=0)
-    classes = jnp.concatenate([
+    ]
+    parts_k = [
         static.classes,
         jnp.full((veh.shape[0],), SEM_VEHICLE, jnp.int32),
         jnp.full((lh_tris.shape[0],), SEM_LIGHT, jnp.int32),
-    ], axis=0)
+    ]
+    if peds_pos is not None and peds_pos.shape[0] > 0:
+        ped = pedestrian_triangles(peds_pos)
+        parts_t.append(ped)
+        parts_c.append(jnp.tile(jnp.asarray(SEMANTIC_PALETTE[SEM_PEDESTRIAN]),
+                                (ped.shape[0], 1)))
+        parts_k.append(jnp.full((ped.shape[0],), SEM_PEDESTRIAN, jnp.int32))
+    tris = jnp.concatenate(parts_t, axis=0)
+    colors = jnp.concatenate(parts_c, axis=0)
+    classes = jnp.concatenate(parts_k, axis=0)
     n = tris.shape[0]
     if n > max_triangles:
         raise ValueError(f"scene has {n} triangles > max_triangles={max_triangles}")

@@ -95,9 +95,14 @@ def make_lidar(town, n_beams: int = 360, max_range: float = 60.0,
         half = jnp.deg2rad(fov_deg) / 2.0
         rel = jnp.linspace(-half, half, n_beams)
 
-    def scan(state, agents_pos: jnp.ndarray, agents_yaw: jnp.ndarray):
+    def scan(state, agents_pos: jnp.ndarray, agents_yaw: jnp.ndarray,
+             peds_pos: jnp.ndarray | None = None):
         v_segs = vehicle_segments(agents_pos, agents_yaw)
-        segs = jnp.concatenate([b_segs, v_segs], axis=0)
+        parts = [b_segs, v_segs]
+        if peds_pos is not None and peds_pos.shape[0] > 0:
+            parts.append(vehicle_segments(peds_pos, jnp.zeros(peds_pos.shape[0]),
+                                          half_len=0.25, half_wid=0.25))
+        segs = jnp.concatenate(parts, axis=0)
         return cast_rays(state.ego_pos, state.ego_yaw + rel, segs, max_range)
 
     return scan

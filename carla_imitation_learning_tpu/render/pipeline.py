@@ -106,15 +106,21 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
             params.light_green, params.light_yellow, params.light_red)
         agents_pos, agents_yaw = agent_lib.agent_positions(
             town, state.agents_route, state.agents_s)
+        peds_pos = None
+        if state.peds_s.shape[0] > 0:
+            from carla_imitation_learning_tpu.sim.pedestrians import ped_positions
+
+            peds_pos = ped_positions(town, state.peds_crossing, state.peds_s)
         tris, colors, classes = geo.assemble_scene(
             static, town.lights_pos, phases, agents_pos, agents_yaw,
-            rcfg.max_triangles)
+            rcfg.max_triangles, peds_pos=peds_pos)
         cam = camera_from_ego(state.ego_pos, state.ego_yaw,
                               yaw_offset_deg=yaw_off)
-        # Buildings and vehicles are closed boxes with outward-wound faces →
-        # backface-cullable (cuts ~half their triangle passes in the
+        # Buildings, vehicles and walkers are closed boxes with outward-wound
+        # faces → backface-cullable (cuts ~half their triangle passes in the
         # rasterizer). Ground/roads/poles/light heads stay double-sided.
-        cullable = (classes == geo.SEM_BUILDING) | (classes == geo.SEM_VEHICLE)
+        cullable = ((classes == geo.SEM_BUILDING) | (classes == geo.SEM_VEHICLE)
+                    | (classes == geo.SEM_PEDESTRIAN))
         setup = project_triangles(tris, colors, classes, cam,
                                   rcfg.width, rcfg.height, fov, rcfg.near,
                                   cullable=cullable)

@@ -14,3 +14,6 @@ from carla_imitation_learning_tpu.sim.world import (  # noqa: F401
     make_batched_env,
 )
 from carla_imitation_learning_tpu.sim.dynamics import bicycle_step  # noqa: F401
+from carla_imitation_learning_tpu.sim.pedestrians import (  # noqa: F401
+    ped_positions, pedestrian_ahead, spawn_pedestrians, step_pedestrians,
+)

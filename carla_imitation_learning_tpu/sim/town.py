@@ -29,6 +29,9 @@ class TownMap(struct.PyTreeNode):
     road_segments: jnp.ndarray
     road_half_width: jnp.ndarray  # scalar
     extent: jnp.ndarray  # scalar: half-size of the town square
+    # Crosswalks for pedestrians: (C, 2, 2) = endpoint pairs spanning a road
+    # next to an intersection (sim/pedestrians.py walks these back and forth).
+    crossings: jnp.ndarray
 
     @property
     def n_routes(self) -> int:
@@ -129,6 +132,18 @@ def make_town(
         segs.append([c, 0.0, c, size])   # vertical
     road_segments = np.array(segs, dtype=np.float32)
 
+    # --- crosswalks: two per interior intersection (across the vertical and
+    # across the horizontal road, offset from the junction center) -----------
+    w = lane_width + 0.5  # span the full two-lane road + curb
+    off = lane_width + 2.5
+    cross = []
+    xnodes = [(i * block_size, j * block_size)
+              for i in range(1, blocks) for j in range(1, blocks)] or [(0.0, 0.0)]
+    for (cx, cy) in xnodes:
+        cross.append([[cx - w, cy + off], [cx + w, cy + off]])  # over vertical rd
+        cross.append([[cx + off, cy - w], [cx + off, cy + w]])  # over horizontal
+    crossings = np.array(cross, dtype=np.float32)
+
     return TownMap(
         routes=jnp.asarray(routes, jnp.float32),
         route_arclen=jnp.asarray(arclen, jnp.float32),
@@ -139,6 +154,7 @@ def make_town(
         road_segments=jnp.asarray(road_segments, jnp.float32),
         road_half_width=jnp.float32(lane_width),  # two lanes: half-road = lane width
         extent=jnp.float32(size / 2.0),
+        crossings=jnp.asarray(crossings, jnp.float32),
     )
 
 

@@ -16,6 +16,7 @@ from flax import struct
 
 from carla_imitation_learning_tpu.sim import agents as agent_lib
 from carla_imitation_learning_tpu.sim import collision as col
+from carla_imitation_learning_tpu.sim import pedestrians as ped_lib
 from carla_imitation_learning_tpu.sim.dynamics import bicycle_step
 from carla_imitation_learning_tpu.sim.town import TownMap, route_point
 
@@ -33,6 +34,8 @@ class SimParams:
     tire_stiffness: float = 9.0
     n_agents: int = 15
     agent_target_speed: float = 7.0
+    n_pedestrians: int = 0   # crosswalk walkers (sim/pedestrians.py); 0 = off
+    ped_speed: float = 1.4
     light_green: float = 8.0
     light_yellow: float = 2.0
     light_red: float = 6.0
@@ -51,6 +54,8 @@ class SimParams:
             light_green=float(s.light_green), light_yellow=float(s.light_yellow),
             light_red=float(s.light_red), collision_radius=float(s.collision_radius),
             episode_len=int(s.episode_len),
+            n_pedestrians=int(s.get("n_pedestrians", 0)),
+            ped_speed=float(s.get("ped_speed", 1.4)),
         )
 
 
@@ -64,6 +69,9 @@ class WorldState(struct.PyTreeNode):
     agents_route: jnp.ndarray  # (A,) int32
     agents_s: jnp.ndarray      # (A,)
     agents_v: jnp.ndarray      # (A,)
+    peds_crossing: jnp.ndarray  # (P,) int32 crosswalk ids (P may be 0)
+    peds_s: jnp.ndarray         # (P,) normalized position on the crosswalk
+    peds_phase: jnp.ndarray     # (P,) walk/wait phase (sim/pedestrians.py)
     t: jnp.ndarray          # () int32 step count within episode
     rng: jnp.ndarray        # PRNG key folded at resets
 
@@ -78,7 +86,7 @@ class VehicleControl(struct.PyTreeNode):
 
 def reset_env(params: SimParams, town: TownMap, rng) -> WorldState:
     """Spawn ego + agents on random routes at spaced arclengths."""
-    k_ego_r, k_ego_s, k_ar, k_as, k_state = jax.random.split(rng, 5)
+    k_ego_r, k_ego_s, k_ar, k_as, k_ped, k_state = jax.random.split(rng, 6)
     n_routes = town.routes.shape[0]
     ego_route = jax.random.randint(k_ego_r, (), 0, n_routes)
     ego_s = jax.random.uniform(k_ego_s, ()) * town.route_total[ego_route]
@@ -89,12 +97,15 @@ def reset_env(params: SimParams, town: TownMap, rng) -> WorldState:
     # spread agents: stratified arclengths with jitter, avoids spawn overlap
     base = (jnp.arange(a) + jax.random.uniform(k_as, (a,))) / a
     agents_s = base * town.route_total[agents_route]
+    peds_crossing, peds_s, peds_phase = ped_lib.spawn_pedestrians(
+        town, k_ped, params.n_pedestrians)
     return WorldState(
         ego_pos=ego_pos, ego_yaw=ego_yaw,
         ego_v=jnp.zeros(()), ego_steer=jnp.zeros(()),
         ego_route=ego_route, ego_s=ego_s,
         agents_route=agents_route, agents_s=agents_s,
         agents_v=jnp.full((a,), params.agent_target_speed * 0.5),
+        peds_crossing=peds_crossing, peds_s=peds_s, peds_phase=peds_phase,
         t=jnp.zeros((), jnp.int32), rng=k_state,
     )
 
@@ -138,11 +149,18 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
         dt=params.dt, target_speed=params.agent_target_speed)
     agents_pos, _ = agent_lib.agent_positions(town, state.agents_route, agents_s)
 
+    peds_s, peds_phase = ped_lib.step_pedestrians(
+        town, state.peds_crossing, state.peds_s, state.peds_phase,
+        dt=params.dt, speed=params.ped_speed)
+    peds_pos = ped_lib.ped_positions(town, state.peds_crossing, peds_s)
+
     hit_vehicle = col.any_vehicle_collision(ego_pos, agents_pos, params.collision_radius)
     hit_building = col.any_building_collision(ego_pos, town.buildings,
                                               params.collision_radius)
+    hit_ped = jnp.any(col.circle_circle(
+        ego_pos, params.collision_radius, peds_pos, ped_lib.PED_RADIUS))
     off = col.offroad(ego_pos, town.road_segments, town.road_half_width)
-    collided = hit_vehicle | hit_building
+    collided = hit_vehicle | hit_building | hit_ped
     t_new = state.t + 1
     timeout = t_new >= params.episode_len
     done = collided | off | timeout
@@ -151,6 +169,7 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
         ego_pos=ego_pos, ego_yaw=ego_yaw, ego_v=ego_v, ego_steer=ego_steer,
         ego_route=state.ego_route, ego_s=state.ego_s,
         agents_route=state.agents_route, agents_s=agents_s, agents_v=agents_v,
+        peds_crossing=state.peds_crossing, peds_s=peds_s, peds_phase=peds_phase,
         t=t_new, rng=state.rng,
     )
     mid = mid.replace(ego_s=_nearest_s_update(town, mid))
@@ -167,6 +186,7 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
         "collision": collided, "offroad": off, "timeout": timeout, "done": done,
         "speed": ego_v, "red_light": agent_lib.red_light_ahead(
             town, ego_pos, ego_yaw, phases, stop_distance=15.0),
+        "pedestrian": hit_ped,
     }
     return new_state, info
 
@@ -194,6 +214,10 @@ def autopilot_control(params: SimParams, town: TownMap, state: WorldState
         params.light_green, params.light_yellow, params.light_red)
     must_stop = agent_lib.red_light_ahead(town, state.ego_pos, state.ego_yaw,
                                           phases, stop_distance=15.0)
+    if params.n_pedestrians > 0:  # static: no-op branch when walkers are off
+        peds_pos = ped_lib.ped_positions(town, state.peds_crossing, state.peds_s)
+        must_stop |= ped_lib.pedestrian_ahead(state.ego_pos, state.ego_yaw,
+                                              peds_pos)
     err = params.target_speed - state.ego_v
     throttle = jnp.where(err > 1.0, 1.0, jnp.where(err > -0.5, 0.5, 0.0))
     brake = jnp.where(err <= -0.5, 1.0, 0.0)

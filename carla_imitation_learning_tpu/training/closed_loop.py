@@ -115,7 +115,13 @@ def make_rollout(
 
         def _lidar_one(state):
             ap, ay = agent_positions(town, state.agents_route, state.agents_s)
-            return _scan(state, ap, ay)
+            peds = None
+            if state.peds_s.shape[0] > 0:
+                from carla_imitation_learning_tpu.sim.pedestrians import (
+                    ped_positions,
+                )
+                peds = ped_positions(town, state.peds_crossing, state.peds_s)
+            return _scan(state, ap, ay, peds)
 
         lidar_batch = jax.vmap(_lidar_one)
 

@@ -207,6 +207,7 @@ class DeviceDataset:
         sharding=None,
         label_offset: int | None = None,
         cil: bool = False,
+        sample_mask: np.ndarray | None = None,
     ):
         self.store = store
         self.batch_size = batch_size
@@ -242,6 +243,18 @@ class DeviceDataset:
                 raise ValueError("no episode is long enough for a full window")
         else:
             valid = np.arange(n_starts, dtype=np.int32)
+        if sample_mask is not None:
+            # per-frame gate on the LABELED frame (e.g. uncertainty-gated
+            # DAgger trains only windows whose queried state was uncertain);
+            # windows stay contiguous — the mask selects starts, not frames
+            mask = np.asarray(sample_mask, bool)
+            if mask.shape[0] != len(store):
+                raise ValueError(
+                    f"sample_mask has {mask.shape[0]} entries for a "
+                    f"{len(store)}-frame store")
+            valid = valid[mask[valid + self.label_offset]]
+            if len(valid) == 0:
+                raise ValueError("sample_mask excludes every training window")
         self.n_samples = len(valid)
         self._all_valid = len(valid) == n_starts
         # Device-resident packed arrays (replicated under a mesh; batches are

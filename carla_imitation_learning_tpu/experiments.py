@@ -808,3 +808,153 @@ def hpo_pbt(cfg, population: int = 8, generations: int = 4,
          for g in hist], indent=1))
     out["history_path"] = str(path)
     return out
+
+
+@experiment("dagger_uncertain")
+def dagger_uncertain(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
+                     epochs_per_round: int = 3, ensemble: int = 4,
+                     tau: float = 0.25, **kw):
+    """Uncertainty-gated DAgger: a deep ensemble drives, the expert labels,
+    and only windows whose queried state the ensemble DISAGREED on are
+    trained — the active-learning DAgger variant (query-efficient relabeling)
+    the reference system had no machinery for.
+
+    TPU shape: the K ensemble members train as ONE vmapped jit program per
+    batch (no K-fold dispatch), the rollout policy majority-votes the K heads
+    inside the scan, and per-step disagreement = 1 − top-vote-share rides the
+    trajectory back as ``policy_extra`` (training/closed_loop.py). Gating
+    happens in DeviceDataset's ``sample_mask`` — windows stay contiguous;
+    the mask only selects which LABELED states count.
+    """
+    from carla_imitation_learning_tpu.training.steps import TrainState
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    model = PolicyCNN(dtype=_dtype(cfg))
+    tx = make_optimizer(cfg, 1)
+    K = int(ensemble)
+    n_actions = int(cfg.get("n_actions", 9))
+    dummy = jnp.zeros((1, rcfg.height, rcfg.width, 4))
+    states = jax.vmap(lambda k: create_train_state(model, k, dummy, tx))(
+        jax.random.split(rng, K))
+
+    def _raw_step(state: TrainState, batch, srng):
+        def wrapped(p):
+            return bc_loss_fn(p, state.apply_fn, batch, srng)
+
+        (_, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        return state.apply_gradients(grads), metrics
+
+    # whole ensemble updates in one jit program: vmap members, batch shared
+    estep = jax.jit(jax.vmap(_raw_step, in_axes=(0, None, 0)))
+
+    def ensemble_policy_from(member_params):
+        def policy_fn(obs):
+            logits = jax.vmap(
+                lambda p: model.apply({"params": p}, obs))(member_params)
+            votes = jnp.argmax(logits, axis=-1)                    # (K, B)
+            counts = jnp.sum(
+                votes[..., None] == jnp.arange(n_actions)[None, None], axis=0)
+            action = jnp.argmax(counts, axis=-1)                   # (B,)
+            disagreement = jnp.maximum(1.0 - counts.max(axis=-1) / float(K), 0.0)
+            return action, disagreement
+        return policy_fn
+
+    def flat(x):
+        return np.asarray(jnp.swapaxes(x, 0, 1).reshape((-1,) + x.shape[2:]))
+
+    stores, masks, history = [], [], []
+    for rnd in range(rounds):
+        rng, k = jax.random.split(rng)
+        if rnd == 0:  # bootstrap: expert drives, every state counts
+            store, _, _ = cl.collect_dataset(params, town, rcfg, k, n_envs, n_steps)
+            mask = np.ones(len(store), bool)
+            unc_mean = float("nan")
+        else:
+            pf = ensemble_policy_from(states.params)
+            store, _, traj = cl.dagger_iteration(params, town, rcfg, pf, k,
+                                                 n_envs, n_steps)
+            unc = flat(traj["policy_extra"])           # env-major, per frame
+            mask = unc >= float(tau)
+            unc_mean = float(unc.mean())
+            if not mask.any():                         # fully confident fleet
+                mask[:] = True                         # keep the round useful
+        stores.append(store)
+        masks.append(mask)
+        agg = pipe.FrameStore.concat(stores)
+        ds = pipe.DeviceDataset(agg, int(cfg.get("BATCH_SIZE", 64)),
+                                frame_skip=int(cfg.get("frame_skip", 4)),
+                                shuffle=True, seed=rnd,
+                                sample_mask=np.concatenate(masks))
+        last = {}
+        for _ in range(epochs_per_round):
+            for batch in ds:
+                rng, sk = jax.random.split(rng)
+                states, last = estep(states, batch, jax.random.split(sk, K))
+        pf = ensemble_policy_from(states.params)
+        rng, ek = jax.random.split(rng)
+        m = cl.evaluate_policy(params, town, rcfg, pf, ek,
+                               n_envs=min(n_envs, 32), n_steps=100)
+        m.update(round=rnd, ensemble=K, tau=float(tau),
+                 mean_disagreement=unc_mean,
+                 train_loss=float(np.asarray(last.get("loss", np.nan)).mean()),
+                 dataset_frames=len(agg), trained_windows=ds.n_samples)
+        history.append(m)
+    return {"rounds": history}
+
+
+@experiment("world_model_imagine")
+def world_model_imagine(cfg, horizon: int = 8, n_envs: int = 16,
+                        n_steps: int = 128, eval_envs: int = 8, **kw):
+    """Imagination rollouts on the trained latent world model: encode ONE real
+    frame, roll the RNN open-loop over the logged action sequence, decode, and
+    score imagined frames against the real future per horizon step — the
+    evaluation the reference's world-model report (combined_archiecture.pdf)
+    sketches but never built. Also writes a real-vs-imagined film strip."""
+    from carla_imitation_learning_tpu.models.world_model import LatentWorldModel
+    from carla_imitation_learning_tpu.ops.ssim import ssim
+
+    r = world_model(cfg, n_envs=n_envs, n_steps=n_steps, **kw)
+    state = r.pop("state")
+    model = LatentWorldModel(
+        z_size=int(cfg.get("wm_z_size", 64)), rnn=str(cfg.get("wm_rnn", "lstm")),
+        n_actions=int(cfg.get("n_actions", 9)),
+        height=_sim_bits(cfg)[2].height, width=_sim_bits(cfg)[2].width,
+        dtype=_dtype(cfg))
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 999)
+    store, _, _ = cl.collect_dataset(params, town, rcfg, rng,
+                                     n_envs=eval_envs, n_steps=horizon + 1)
+    frames = (store.frames.reshape(eval_envs, horizon + 1,
+                                   rcfg.height, rcfg.width, 1)
+              .astype(np.float32) / 255.0)
+    actions = store.actions.reshape(eval_envs, horizon + 1)
+
+    f0 = jnp.asarray(frames[:, 0])
+    acts = jnp.asarray(actions[:, :horizon], jnp.int32)
+    _, imag = jax.jit(lambda p, f, a: model.apply(
+        {"params": p}, f, a, method=LatentWorldModel.imagine_frames))(
+            state.params, f0, acts)
+    real = jnp.asarray(frames[:, 1:horizon + 1])
+    mse_h = jnp.mean((imag - real) ** 2, axis=(0, 2, 3, 4))
+    # ssim returns (mean ssim, mean contrast-structure); keep the first
+    ssim_h = jnp.stack([ssim(imag[:, t], real[:, t])[0]
+                        for t in range(horizon)])
+
+    # film strip artifact: env 0, top row real, bottom row imagined
+    strip = np.concatenate([
+        np.concatenate(list(np.asarray(real[0, :, :, :, 0])), axis=1),
+        np.concatenate(list(np.asarray(imag[0, :, :, :, 0])), axis=1),
+    ], axis=0)
+    from PIL import Image
+
+    path = Path(cfg["log_dir"]) / "imagination_strip.png"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(np.clip(strip * 255, 0, 255).astype(np.uint8)).save(path)
+
+    return {"horizon": int(horizon),
+            "mse_per_step": [float(v) for v in mse_h],
+            "ssim_per_step": [float(v) for v in ssim_h],
+            "train_val_loss": r["best_metric"],
+            "strip_path": str(path)}

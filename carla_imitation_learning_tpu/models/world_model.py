@@ -19,6 +19,7 @@ latent prediction ||ẑ_{t+1} − z_{t+1}||, predicted image
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -102,6 +103,39 @@ class LatentWorldModel(nn.Module):
         inp = jnp.concatenate([z, a_onehot], axis=-1)  # (B, T, z+A)
         hidden = self.rnn_layer(inp)  # (B, T, hidden) — scan inside one jit
         return self.to_z(hidden)
+
+    def imagine(self, z0: jnp.ndarray, actions: jnp.ndarray) -> jnp.ndarray:
+        """Open-loop latent imagination: (B, z) start + (B, H) action plan →
+        (B, H, z) predicted latents, feeding each prediction back as the next
+        input (Dreamer-style rollout in latent space — no rendering, no
+        encoder in the loop, so imagining is orders cheaper than simulating).
+
+        Predictions are clipped to the encoder's tanh range [−1, 1] each step
+        (identity for in-range values) so compounding one-step errors cannot
+        blow up the trajectory."""
+        a_onehot = jnp.eye(self.n_actions, dtype=jnp.float32)[actions]  # (B,H,A)
+        carry0 = self.rnn_layer.cell.initialize_carry(
+            jax.random.PRNGKey(0),
+            (z0.shape[0], self.z_size + self.n_actions))
+
+        def step(mdl, carry_z, a_t):
+            carry, z = carry_z
+            inp = jnp.concatenate([z, a_t], axis=-1)
+            carry, h = mdl.rnn_layer.cell(carry, inp)
+            z_next = jnp.clip(mdl.to_z(h), -1.0, 1.0)
+            return (carry, z_next), z_next
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        _, zs = scan(self, (carry0, z0), a_onehot)
+        return zs
+
+    def imagine_frames(self, frames0: jnp.ndarray, actions: jnp.ndarray):
+        """(B, H, W, C) current frame + (B, H_steps) action plan →
+        (imagined latents (B, H_steps, z), decoded frames (B, H_steps, H, W, C))."""
+        z0 = self.encoder(frames0)
+        zs = self.imagine(z0, actions)
+        return zs, self.decode(zs)
 
     def __call__(self, frames: jnp.ndarray, actions: jnp.ndarray):
         """frames (B, T, H, W, C), actions (B, T) →

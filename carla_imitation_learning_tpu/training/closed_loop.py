@@ -160,6 +160,7 @@ def make_rollout(
         obs = framebuf  # already NHWC — the policy consumes it directly
 
         expert = expert_batch(states)
+        policy_extra = None
         if policy_fn is None:
             control = expert
             # expert's own action, discretized, is the label
@@ -170,9 +171,15 @@ def make_rollout(
             if _policy_wants_extras:
                 extras = {"speed": states.ego_v, "command": command_batch(states),
                           "sensor": sensor_batch(states)}
-                action = policy_fn(obs, extras).astype(jnp.int32)
+                res = policy_fn(obs, extras)
             else:
-                action = policy_fn(obs).astype(jnp.int32)
+                res = policy_fn(obs)
+            # policies may return (action, per-env scalar) — e.g. ensemble
+            # disagreement for uncertainty-gated DAgger; the scalar is logged
+            # into the trajectory as 'policy_extra'
+            if isinstance(res, tuple):
+                res, policy_extra = res
+            action = res.astype(jnp.int32)
             control = control_from_discrete(action)
 
         from carla_imitation_learning_tpu.data.actions import continuous_to_discrete
@@ -196,6 +203,8 @@ def make_rollout(
         }
         if lidar_batch is not None:
             out["lidar"] = lidar_batch(states)
+        if policy_extra is not None:
+            out["policy_extra"] = policy_extra
         return (new_states, framebuf, info["done"]), out
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))

@@ -52,9 +52,13 @@ def step_agents(
     accel: float = 3.0,
     stop_distance: float = 12.0,
     gap: float = 8.0,
+    junction_radius: float = 6.0,
+    yield_at_junctions: bool = True,
 ):
     """One fleet step → (s, v). Speed control: accelerate to target, brake for
-    red lights ahead and for the leading agent on the same route."""
+    red lights ahead, for the leading agent on the same route, and (first-come
+    right-of-way) for agents already inside the junction this agent is about
+    to enter."""
     pos, yaw = agent_positions(town, routes, s)
 
     # red light braking, per agent
@@ -70,7 +74,23 @@ def step_agents(
     blocked = same_route & is_other & (ds > 1e-3) & (ds < gap)
     leader_close = jnp.any(blocked, axis=1)
 
-    target = jnp.where(must_stop | leader_close, 0.0, target_speed)
+    # intersection right-of-way (first-come): an agent APPROACHING its nearest
+    # junction yields while any OTHER agent occupies that junction's disc —
+    # the cross-route conflict rule lights don't cover (CARLA's unsignalised
+    # junction behavior). All scatter-free: J is a static town constant.
+    must_yield = jnp.zeros_like(leader_close)
+    if yield_at_junctions and town.junctions.shape[0] > 0:
+        d_all = jnp.linalg.norm(pos[:, None, :] - town.junctions[None], axis=-1)
+        jidx = jnp.argmin(d_all, axis=1)                       # (A,)
+        d_junc = jnp.take_along_axis(d_all, jidx[:, None], 1)[:, 0]
+        in_junction = d_junc < junction_radius
+        approaching = (d_junc >= junction_radius) & (d_junc < junction_radius + gap)
+        # occupied[a] = any OTHER agent inside agent a's target junction
+        same_junc = jidx[None, :] == jidx[:, None]             # (A, A)
+        occupied = jnp.any(same_junc & is_other & in_junction[None, :], axis=1)
+        must_yield = approaching & occupied
+
+    target = jnp.where(must_stop | leader_close | must_yield, 0.0, target_speed)
     dv = jnp.clip(target - v, -2.0 * accel * dt, accel * dt)
     v_new = jnp.maximum(v + dv, 0.0)
     s_new = jnp.mod(s + v_new * dt, total)

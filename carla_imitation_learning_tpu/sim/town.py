@@ -32,6 +32,8 @@ class TownMap(struct.PyTreeNode):
     # Crosswalks for pedestrians: (C, 2, 2) = endpoint pairs spanning a road
     # next to an intersection (sim/pedestrians.py walks these back and forth).
     crossings: jnp.ndarray
+    # Junction centers (grid nodes), (J, 2) — agents yield right-of-way here.
+    junctions: jnp.ndarray
 
     @property
     def n_routes(self) -> int:
@@ -40,6 +42,40 @@ class TownMap(struct.PyTreeNode):
     @property
     def n_lights(self) -> int:
         return self.lights_pos.shape[0]
+
+
+def _round_corners(corners: np.ndarray, radius: float,
+                   pts_per_corner: int = 6) -> np.ndarray:
+    """Fillet every corner of a closed polygon with a circular arc.
+
+    Each vertex B (between neighbours P, N) is replaced by ``pts_per_corner``
+    points on the tangent arc of radius ≤ ``radius`` (clamped so adjacent
+    fillets never overlap). Gives CARLA-style curved intersection turns while
+    keeping routes plain polylines — route_point() stays a pure gather+lerp,
+    nothing downstream changes."""
+    K = corners.shape[0]
+    out = []
+    for i in range(K):
+        P, B, N = corners[(i - 1) % K], corners[i], corners[(i + 1) % K]
+        u = (P - B) / (np.linalg.norm(P - B) + 1e-12)
+        v = (N - B) / (np.linalg.norm(N - B) + 1e-12)
+        cosang = np.clip(u @ v, -1.0, 1.0)
+        theta = np.arccos(cosang)
+        if theta < 1e-3 or theta > np.pi - 1e-3:  # straight/degenerate corner
+            out.append(B)
+            continue
+        max_t = 0.4 * min(np.linalg.norm(P - B), np.linalg.norm(N - B))
+        r = min(radius, max_t * np.tan(theta / 2.0))
+        t = r / np.tan(theta / 2.0)
+        T1, T2 = B + u * t, B + v * t
+        center = B + (u + v) / (np.linalg.norm(u + v) + 1e-12) * (r / np.sin(theta / 2.0))
+        a1 = np.arctan2(*(T1 - center)[::-1])
+        a2 = np.arctan2(*(T2 - center)[::-1])
+        da = (a2 - a1 + np.pi) % (2 * np.pi) - np.pi  # short way around
+        for k in range(pts_per_corner):
+            a = a1 + da * k / (pts_per_corner - 1)
+            out.append(center + r * np.array([np.cos(a), np.sin(a)]))
+    return np.asarray(out)
 
 
 def _resample_loop(corners: np.ndarray, n_points: int) -> np.ndarray:
@@ -64,12 +100,16 @@ def make_town(
     n_lights: int = 8,
     route_points: int = 128,
     seed: int = 0,
+    corner_radius: float = 0.0,
 ) -> TownMap:
     """Build a (blocks×blocks)-block grid town.
 
     Routes: one counterclockwise loop per block at right-lane offset, plus the
     outer perimeter loop — fixed count R = blocks² + 1, each resampled to
     ``route_points`` points so route-following is a pure gather.
+    ``corner_radius > 0`` fillets every route corner with a circular arc
+    (curved intersection turns: smooth steering targets for the autopilot and
+    smooth vehicle trajectories; stays within the junction pavement).
     """
     rng = np.random.default_rng(seed)
     size = blocks * block_size
@@ -91,6 +131,8 @@ def make_town(
     loops.append(np.array([  # outer perimeter (CCW, offset outward lane)
         [-o, -o], [size + o, -o], [size + o, size + o], [-o, size + o],
     ]))
+    if corner_radius > 0.0:
+        loops = [_round_corners(c, corner_radius) for c in loops]
     routes = np.stack([_resample_loop(c, route_points) for c in loops])  # (R,P,2)
     diffs = np.diff(np.concatenate([routes, routes[:, :1]], axis=1), axis=1)
     seg_len = np.linalg.norm(diffs, axis=-1)  # (R,P)
@@ -155,6 +197,10 @@ def make_town(
         road_half_width=jnp.float32(lane_width),  # two lanes: half-road = lane width
         extent=jnp.float32(size / 2.0),
         crossings=jnp.asarray(crossings, jnp.float32),
+        junctions=jnp.asarray(
+            [[i * block_size, j * block_size]
+             for i in range(blocks + 1) for j in range(blocks + 1)],
+            jnp.float32),
     )
 
 
@@ -164,6 +210,7 @@ def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
         blocks=int(t.blocks), block_size=float(t.block_size),
         lane_width=float(t.lane_width), n_buildings=int(t.n_buildings),
         n_lights=int(cfg.sim.n_lights), seed=seed,
+        corner_radius=float(t.get("corner_radius", 0.0)),
     )
 
 

@@ -1,0 +1,111 @@
+"""Curved routes (corner fillets) + intersection right-of-way tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from carla_imitation_learning_tpu.sim import SimParams, make_town
+from carla_imitation_learning_tpu.sim.agents import step_agents
+from carla_imitation_learning_tpu.sim.town import route_point
+
+
+def _max_turn_per_meter(town, route_idx=0):
+    """Worst heading change per arclength along a route (curvature proxy)."""
+    pts = np.asarray(town.routes[route_idx])
+    d = np.diff(np.vstack([pts, pts[:1]]), axis=0)
+    yaw = np.arctan2(d[:, 1], d[:, 0])
+    dyaw = np.abs((np.diff(yaw) + np.pi) % (2 * np.pi) - np.pi)
+    seg = np.linalg.norm(d, axis=1)[1:]
+    return float((dyaw / np.maximum(seg, 1e-9)).max())
+
+
+def test_corner_radius_smooths_routes():
+    sharp = make_town(blocks=2, n_buildings=8, n_lights=4)
+    curved = make_town(blocks=2, n_buildings=8, n_lights=4, corner_radius=6.0)
+    # square corners concentrate ~90° into one step; fillets spread it out
+    assert _max_turn_per_meter(curved) < 0.5 * _max_turn_per_meter(sharp)
+    # loop length shrinks a little (arc cuts the corner), shape preserved
+    assert 0.8 < float(curved.route_total[0] / sharp.route_total[0]) < 1.0
+    # filleted corners stay near the original loop (within the junction)
+    d = np.abs(np.asarray(curved.routes[0]) - np.asarray(sharp.routes[0]))
+    assert d.max() < 8.0
+
+
+def test_curved_route_point_still_works():
+    t = make_town(blocks=2, n_buildings=8, n_lights=4, corner_radius=6.0)
+    pos, yaw = jax.jit(lambda s: route_point(t, 0, s))(jnp.asarray(10.0))
+    assert np.isfinite(np.asarray(pos)).all() and np.isfinite(float(yaw))
+    # wrap-around stays continuous
+    p0, _ = route_point(t, 0, jnp.asarray(0.0))
+    p1, _ = route_point(t, 0, t.route_total[0])
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-3)
+
+
+def test_curved_town_end_to_end_rollout():
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.training.closed_loop import make_rollout
+
+    t = make_town(blocks=2, n_buildings=8, n_lights=4, corner_radius=6.0)
+    params = SimParams(n_agents=4)
+    init_fn, rollout_fn = make_rollout(
+        params, t, RenderConfig(height=32, width=32, backend="jax"), None)
+    carry = init_fn(jax.random.PRNGKey(0), 4)
+    _, traj = rollout_fn(carry, 10)
+    assert np.isfinite(np.asarray(traj["speed"])).all()
+    # expert drives the curved town without immediately crashing off-road
+    assert float(np.asarray(traj["offroad"]).mean()) < 0.5
+
+
+def test_town_has_junctions():
+    t = make_town(blocks=2, n_buildings=8, n_lights=4)
+    assert t.junctions.shape == (9, 2)  # (blocks+1)^2 grid nodes
+
+
+def test_right_of_way_yields():
+    """An agent approaching an occupied junction brakes; with the rule off it
+    keeps speed."""
+    t = make_town(blocks=2, n_buildings=8, n_lights=4)
+    junc = np.asarray(t.junctions)[4]  # center node of the 2-block grid
+
+    # find (route, s) placements: one agent INSIDE the junction disc, one
+    # approaching it (7-12 m away on some route)
+    def place(target_d_lo, target_d_hi, avoid_route=None):
+        for r in range(t.routes.shape[0]):
+            if r == avoid_route:  # different routes: isolate the junction rule
+                continue
+            pts = np.asarray(t.routes[r])
+            arc = np.asarray(t.route_arclen[r])
+            d = np.linalg.norm(pts - junc, axis=1)
+            ok = np.where((d >= target_d_lo) & (d < target_d_hi))[0]
+            if len(ok):
+                return r, float(arc[ok[0]])
+        raise AssertionError("no placement found")
+
+    r_in, s_in = place(0.0, 5.0)
+    r_ap, s_ap = place(7.0, 11.0, avoid_route=r_in)
+
+    routes = jnp.asarray([r_in, r_ap], jnp.int32)
+    s = jnp.asarray([s_in, s_ap])
+    v = jnp.asarray([0.0, 7.0])  # occupant stopped inside; approacher at speed
+    phases = jnp.zeros((t.lights_pos.shape[0],), jnp.int32)  # all green
+
+    _, v_yield = step_agents(t, routes, s, v, phases, dt=0.05,
+                             target_speed=7.0, stop_distance=0.0)
+    _, v_free = step_agents(t, routes, s, v, phases, dt=0.05,
+                            target_speed=7.0, stop_distance=0.0,
+                            yield_at_junctions=False)
+    assert float(v_yield[1]) < float(v_free[1])  # approacher braked
+    # the occupant itself is not blocked by the rule
+    assert float(v_yield[0]) >= float(v[0])
+
+
+def test_right_of_way_no_self_yield():
+    """A single agent near a junction never yields to itself."""
+    t = make_town(blocks=2, n_buildings=8, n_lights=4)
+    routes = jnp.asarray([0], jnp.int32)
+    s = jnp.asarray([5.0])
+    v = jnp.asarray([7.0])
+    phases = jnp.zeros((t.lights_pos.shape[0],), jnp.int32)
+    _, v2 = step_agents(t, routes, s, v, phases, dt=0.05, target_speed=7.0,
+                        stop_distance=0.0)
+    assert float(v2[0]) >= 7.0 - 1e-3

@@ -13,3 +13,8 @@ from carla_imitation_learning_tpu.native.framestore import (  # noqa: F401
     build_library,
     save_framestore,
 )
+from carla_imitation_learning_tpu.native.sharded import (  # noqa: F401
+    ShardedFrameStore,
+    ShardedPrefetchReader,
+    save_sharded_framestore,
+)

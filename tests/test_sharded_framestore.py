@@ -1,0 +1,130 @@
+"""Sharded framestore tests: manifest, episode-aligned cuts, two-level
+shuffled reading, window provenance across shards."""
+
+import json
+
+import numpy as np
+import pytest
+
+from carla_imitation_learning_tpu.data.pipeline import FrameStore
+from carla_imitation_learning_tpu.native import NATIVE_AVAILABLE
+from carla_imitation_learning_tpu.native.sharded import (
+    INDEX_NAME, ShardedFrameStore, ShardedPrefetchReader, _cut_points,
+    save_sharded_framestore,
+)
+
+pytestmark = pytest.mark.skipif(not NATIVE_AVAILABLE,
+                                reason="native framestore source missing")
+
+
+def _identity_store(n=300, h=8, w=8, episode_len=60):
+    """Frames whose pixel value encodes the frame index; labels = index % 9."""
+    # value = idx % 252: fits uint8 AND 252 ≡ 0 (mod 9), so label math
+    # (actions = idx % 9) stays consistent straight from the pixel value
+    frames = np.broadcast_to(
+        (np.arange(n) % 252).astype(np.uint8)[:, None, None], (n, h, w)).copy()
+    starts = np.zeros(n, bool)
+    starts[::episode_len] = True
+    return FrameStore(
+        frames=frames,
+        actions=(np.arange(n) % 9).astype(np.int32),
+        traffic=np.zeros(n, np.int32),
+        sensors=np.zeros((n, 3), np.float32),
+        commands=np.zeros(n, np.int32),
+        starts=starts,
+    )
+
+
+def test_cut_points_align_to_starts():
+    starts = np.zeros(300, bool)
+    starts[::60] = True
+    cuts = _cut_points(300, starts, target=100)
+    assert cuts == [60, 120, 180, 240]  # last start ≤ each 100-multiple
+    # no starts → raw multiples
+    assert _cut_points(250, None, target=100) == [100, 200]
+    # fits in one shard → no cuts
+    assert _cut_points(80, starts[:80], target=100) == []
+
+
+def test_save_and_manifest(tmp_path):
+    store = _identity_store()
+    out = save_sharded_framestore(tmp_path / "ds", store, shard_frames=100)
+    manifest = json.loads((out / INDEX_NAME).read_text())
+    assert manifest["n_frames"] == 300
+    assert manifest["aligned_to_starts"] is True
+    assert len(manifest["shards"]) == 5  # cuts at 60,120,180,240
+    assert sum(s["n"] for s in manifest["shards"]) == 300
+    sv = ShardedFrameStore(out)
+    assert sv.n_shards == 5 and sv.height == 8 and sv.width == 8
+    # every shard is a valid standalone framestore
+    nfs = sv.open_shard(2)
+    assert nfs.n == sv.shard_frames(2)
+    np.testing.assert_array_equal(nfs.frames[0], store.frames[120])
+    nfs.close()
+
+
+def test_sharded_reader_covers_and_stays_in_shard(tmp_path):
+    store = _identity_store()
+    out = save_sharded_framestore(tmp_path / "ds", store, shard_frames=100)
+    sv = ShardedFrameStore(out)
+    reader = ShardedPrefetchReader(sv, batch=8, frame_skip=4, shuffle=True,
+                                   seed=3)
+    seen = 0
+    for frames, labels in reader:
+        assert frames.shape == (8, 4, 8, 8)
+        # provenance: each window is 4 CONSECUTIVE frames (pixel == index%252)
+        v = frames[:, :, 0, 0].astype(np.int64)
+        diffs = (v[:, 1:] - v[:, :-1]) % 252
+        assert (diffs == 1).all(), "window frames not consecutive"
+        # label = action of frame start+frame_skip; actions are idx%9 and
+        # 252 ≡ 0 (mod 9), so the pixel value alone determines the label
+        idx0 = v[:, 0]
+        assert (labels % 9 == (idx0 + 4) % 9).all()
+        seen += 1
+    assert seen == len(reader) > 0
+
+
+def test_epochs_reshuffle_shard_order(tmp_path):
+    store = _identity_store()
+    out = save_sharded_framestore(tmp_path / "ds", store, shard_frames=100)
+    sv = ShardedFrameStore(out)
+    reader = ShardedPrefetchReader(sv, batch=8, frame_skip=4, shuffle=True,
+                                   seed=0)
+
+    def first_values(r):
+        return [int(f[0, 0, 0, 0]) for f, _ in r]
+
+    e1, e2 = first_values(reader), first_values(reader)
+    assert len(e1) == len(e2)
+    assert e1 != e2  # order (shards and windows) reshuffles between epochs
+
+
+def test_bc_trains_from_shards(tmp_path):
+    """End to end: shard a synthetic dataset, train a few BC steps from the
+    sharded reader — the >RAM streaming surface."""
+    import jax
+    import jax.numpy as jnp
+
+    from carla_imitation_learning_tpu.models import PolicyCNN
+    from carla_imitation_learning_tpu.training import (
+        bc_loss_fn, create_train_state, make_optimizer,
+    )
+    from carla_imitation_learning_tpu.training.steps import make_train_step
+
+    store = _identity_store(n=200, h=16, w=16, episode_len=50)
+    out = save_sharded_framestore(tmp_path / "ds", store, shard_frames=64)
+    reader = ShardedPrefetchReader(ShardedFrameStore(out), batch=16,
+                                   frame_skip=4, shuffle=True)
+    model = PolicyCNN()
+    rng = jax.random.PRNGKey(0)
+    tx = make_optimizer({"LEARNING_RATE": 1e-3}, 1)
+    state = create_train_state(model, rng, jnp.zeros((1, 16, 16, 4)), tx)
+    step = make_train_step(bc_loss_fn, donate=False)
+    n = 0
+    for frames, labels in reader:
+        x = jnp.transpose(jnp.asarray(frames), (0, 2, 3, 1)).astype(jnp.float32) / 255.0
+        state, metrics = step(state, (x, jnp.asarray(labels)), rng)
+        n += 1
+        if n >= 6:
+            break
+    assert np.isfinite(float(metrics["loss"]))

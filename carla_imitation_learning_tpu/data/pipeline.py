@@ -467,3 +467,34 @@ def large_train_val_test_iterator(cfg, sharding=None) -> dict:
         stores[split] = FrameStore.from_arrays(flog.read_all_gray_u8(), state, flog.file_idx)
     return _loaders_from_stores(cfg, stores, aux=False, frame_skip=1, sharding=sharding,
                                 label_offset=0)
+
+
+def device_prefetch(iterator, size: int = 2, transform=None):
+    """Overlap host→device transfer with device compute.
+
+    Wraps any host-batch iterator (e.g. the native ShardedPrefetchReader):
+    keeps ``size`` batches in flight by issuing ``jax.device_put`` for
+    upcoming batches BEFORE the consumer asks for them — JAX transfers are
+    async, so the H2D DMA of batch i+1 rides under the training step of
+    batch i instead of serializing after it. This is the device end of the
+    streaming tier (host end: native/framestore.cpp's threaded gather).
+
+    ``transform(batch) -> pytree`` runs host-side before the put (e.g. the
+    NCHW→NHWC transpose for native window batches).
+    """
+    import collections
+
+    queue = collections.deque()
+    it = iter(iterator)
+
+    def put(batch):
+        if transform is not None:
+            batch = transform(batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    for batch in it:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

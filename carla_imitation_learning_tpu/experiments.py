@@ -444,11 +444,12 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2, **k
     t0 = _time.perf_counter()
     n_images = 0
     for _ in range(epochs):
-        for frames, labels in reader:
-            x = jnp.transpose(jnp.asarray(frames), (0, 2, 3, 1)).astype(jnp.float32) / 255.0  # NHWC
-            y = jnp.asarray(labels)
+        # device_prefetch keeps 2 batches in flight: the H2D copy of batch
+        # i+1 rides under the train step of batch i (async transfers)
+        for frames, labels in pipe.device_prefetch(reader):
+            x = jnp.transpose(frames, (0, 2, 3, 1)).astype(jnp.float32) / 255.0  # NHWC
             rng, k = jax.random.split(rng)
-            state, last = step(state, (x, y), k)
+            state, last = step(state, (x, labels), k)
             n_images += x.shape[0]
     jax.block_until_ready(last["loss"])
     wall = _time.perf_counter() - t0

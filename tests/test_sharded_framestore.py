@@ -128,3 +128,22 @@ def test_bc_trains_from_shards(tmp_path):
         if n >= 6:
             break
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_device_prefetch_preserves_order_and_content():
+    import jax.numpy as jnp
+
+    from carla_imitation_learning_tpu.data.pipeline import device_prefetch
+
+    batches = [(np.full((2, 2), i, np.uint8), np.full((2,), i, np.int32))
+               for i in range(7)]
+    out = list(device_prefetch(iter(batches), size=3))
+    assert len(out) == 7
+    for i, (f, l) in enumerate(out):
+        assert isinstance(f, jnp.ndarray)  # landed on device
+        assert int(f[0, 0]) == i and int(l[0]) == i  # order + content kept
+
+    # with a host-side transform applied before the put
+    out2 = list(device_prefetch(iter(batches), size=2,
+                                transform=lambda b: (b[0].T, b[1] + 1)))
+    assert int(out2[3][1][0]) == 4

@@ -61,9 +61,14 @@ def _pack_key_const(z: float) -> int:
 
 
 def pack_setup_fast(setup: TriangleSetup) -> jnp.ndarray:
-    """TriangleSetup → (T, 13) f32 SMEM table: edge rows, znum row, and the
+    """TriangleSetup → (13, T) f32 SMEM table: edge rows, znum row, and the
     12-bit quantized luminance (stored as a float; the kernel converts the
     scalar). Invalid triangles get all-zero rows (never pass the inside test).
+
+    COEFFICIENT-major (13, T), not triangle-major (T, 13): SMEM blocks pad
+    their last dim to 128 lanes, so (T, 13) stages T×128 floats (×2 buffers —
+    1 MB at T=1024, over the SMEM budget) while (13, T) pads nothing for the
+    usual power-of-two tables and stages 13×T.
     """
     luma = setup.colors @ LUMA_W
     lum_q = jnp.clip(jnp.round(luma * LUMA_MASK), 0, LUMA_MASK)
@@ -72,7 +77,7 @@ def pack_setup_fast(setup: TriangleSetup) -> jnp.ndarray:
         setup.znum,
         lum_q[:, None],
     ], axis=-1)
-    return jnp.where(setup.valid[:, None], flat, 0.0)
+    return jnp.where(setup.valid[:, None], flat, 0.0).T
 
 
 def compact_setup(setup: TriangleSetup, cap: int) -> TriangleSetup:
@@ -157,10 +162,10 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
     far_key = _pack_key_const(far)
 
     def tri_pass(t, kmin):
-        e0 = tris_ref[t, 0] * px + (tris_ref[t, 1] * py + tris_ref[t, 2])
-        e1 = tris_ref[t, 3] * px + (tris_ref[t, 4] * py + tris_ref[t, 5])
-        e2 = tris_ref[t, 6] * px + (tris_ref[t, 7] * py + tris_ref[t, 8])
-        znp_ = tris_ref[t, 9] * px + (tris_ref[t, 10] * py + tris_ref[t, 11])
+        e0 = tris_ref[0, t] * px + (tris_ref[1, t] * py + tris_ref[2, t])
+        e1 = tris_ref[3, t] * px + (tris_ref[4, t] * py + tris_ref[5, t])
+        e2 = tris_ref[6, t] * px + (tris_ref[7, t] * py + tris_ref[8, t])
+        znp_ = tris_ref[9, t] * px + (tris_ref[10, t] * py + tris_ref[11, t])
         # edges are sign-normalized at projection time (camera.py): inside the
         # front-projected part ⇔ all e_i > 0, so min alone decides — the
         # back-projection region of eye-crossing triangles lands all-negative.
@@ -169,7 +174,7 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
         z = znp_ * pl.reciprocal(den, approx=True)
         ok = jnp.logical_and(inside, z > near)
         bits = jax.lax.bitcast_convert_type(z, jnp.int32)
-        lum_i = tris_ref[t, 12].astype(jnp.int32)  # scalar (SMEM)
+        lum_i = tris_ref[12, t].astype(jnp.int32)  # scalar (SMEM)
         key = jnp.bitwise_or(jnp.bitwise_and(bits, KEY_MASK), lum_i)
         return jnp.minimum(kmin, jnp.where(ok, key, MISS_KEY))
 
@@ -233,7 +238,7 @@ def rasterize_luma_fast(
     if compact_cap is not None and compact_cap < setup.valid.shape[0]:
         setup = compact_setup(setup, compact_cap)
     tris = pack_setup_fast(setup)
-    n_tris = tris.shape[0]
+    n_tris = tris.shape[1]  # (13, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
     idx, count = tile_lists_fast(setup, height, k, width=width, far=far)
     if k % 2:  # the 2-wide unrolled loop may overshoot to the next multiple
@@ -252,7 +257,7 @@ def rasterize_luma_fast(
         kernel,
         grid=(n_rows,),
         in_specs=[
-            pl.BlockSpec((n_tris, FAST_PACK_WIDTH), lambda r: (0, 0),
+            pl.BlockSpec((FAST_PACK_WIDTH, n_tris), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
             # full-array SMEM blocks with a constant index map: Mosaic rejects
             # (1, k) row blocks (last-2-dims divisibility rule), and a constant

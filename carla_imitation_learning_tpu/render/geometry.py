@@ -59,8 +59,24 @@ LIGHT_HEAD_TRIS = 2
 PED_TRIS = 10      # slim box walls + cap
 
 
-def build_static_scene(town: TownMap, seed: int = 0) -> StaticScene:
-    """Host-side (numpy) static scene build — runs once per town."""
+def _box_tris_banded(cx, cy, hw, hh, z0, z1, bands: int) -> list:
+    """Box walls split into ``bands`` vertical stripes (window floors) + roof."""
+    zs = np.linspace(z0, z1, bands + 1)
+    tris = []
+    for lo, hi in zip(zs[:-1], zs[1:]):
+        tris += _box_tris(cx, cy, hw, hh, lo, hi)[:8]  # walls only
+    tris += _box_tris(cx, cy, hw, hh, z0, z1)[8:]      # single roof
+    return tris
+
+
+def build_static_scene(town: TownMap, seed: int = 0,
+                       facade_bands: int = 0) -> StaticScene:
+    """Host-side (numpy) static scene build — runs once per town.
+
+    ``facade_bands > 0`` splits building walls into that many alternating
+    dark/light horizontal stripes (window floors) — richer policy inputs at
+    ~(8·bands − 6) extra triangles per building (CARLA-style facade texture,
+    done with geometry so every backend shades it identically)."""
     rng = np.random.default_rng(seed)
     size = 2.0 * float(town.extent)
     tris, colors, classes = [], [], []
@@ -93,8 +109,20 @@ def build_static_scene(town: TownMap, seed: int = 0) -> StaticScene:
     for b in np.asarray(town.buildings):
         cx, cy, hw, hh, h = b
         tone = rng.uniform(0.6, 1.2)
-        add(_box_tris(cx, cy, hw, hh, 0.0, h), SEMANTIC_PALETTE[SEM_BUILDING] * tone,
-            SEM_BUILDING)
+        if facade_bands > 0:
+            t_list = _box_tris_banded(cx, cy, hw, hh, 0.0, h, facade_bands)
+            for i, t in enumerate(t_list):
+                band = (i // 8) if i < 8 * facade_bands else facade_bands
+                # alternate window-floor (dark) / wall (light) stripes
+                stripe = 0.55 if band % 2 == 1 and band < facade_bands else 1.0
+                shade = 0.8 + 0.2 * ((i // 2) % 3) / 2.0
+                tris.append(t)
+                colors.append(np.asarray(SEMANTIC_PALETTE[SEM_BUILDING])
+                              * tone * stripe * shade)
+                classes.append(SEM_BUILDING)
+        else:
+            add(_box_tris(cx, cy, hw, hh, 0.0, h),
+                SEMANTIC_PALETTE[SEM_BUILDING] * tone, SEM_BUILDING)
 
     # light poles (heads are dynamic — colored by phase at render time)
     for lp in np.asarray(town.lights_pos):
@@ -169,6 +197,26 @@ def light_head_triangles(lights_pos: jnp.ndarray, phases: jnp.ndarray):
     return tris, colors
 
 
+SHADOW_Z = 0.01  # just above the road, below every occupant
+SHADOW_TONE = jnp.asarray([0.25, 0.25, 0.27])
+
+
+def _shadow_quads(pos: jnp.ndarray, yaw: jnp.ndarray,
+                  half_len: float, half_wid: float) -> jnp.ndarray:
+    """(A,2) + (A,) → (A·2, 3, 3) dark ground quads under rotated footprints
+    (blob shadows: flat contact shadows, the cheap 90% of shadow realism)."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    local = jnp.asarray([[half_len, half_wid], [-half_len, half_wid],
+                         [-half_len, -half_wid], [half_len, -half_wid]]) * 1.15
+    rot = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
+    corners = jnp.einsum("aij,kj->aki", rot, local) + pos[:, None, :]  # (A,4,2)
+    z = jnp.full(corners.shape[:-1] + (1,), SHADOW_Z)
+    p = jnp.concatenate([corners, z], axis=-1)  # (A,4,3)
+    t0 = jnp.stack([p[:, 0], p[:, 1], p[:, 2]], axis=1)
+    t1 = jnp.stack([p[:, 0], p[:, 2], p[:, 3]], axis=1)
+    return jnp.concatenate([t0, t1], axis=0)
+
+
 def assemble_scene(
     static: StaticScene,
     lights_pos: jnp.ndarray,
@@ -177,8 +225,13 @@ def assemble_scene(
     agents_yaw: jnp.ndarray,
     max_triangles: int,
     peds_pos: jnp.ndarray | None = None,
+    shadows: bool = False,
 ):
-    """→ (tris (T,3,3), colors (T,3), classes (T,)) padded/truncated to T."""
+    """→ (tris (T,3,3), colors (T,3), classes (T,)) padded/truncated to T.
+
+    ``shadows=True`` adds blob contact shadows under vehicles (and walkers):
+    dark quads at z=0.01 carrying SEM_ROAD so the semantic plane stays clean.
+    """
     veh = vehicle_triangles(agents_pos, agents_yaw)
     lh_tris, lh_col = light_head_triangles(lights_pos, phases)
     parts_t = [static.tris, veh, lh_tris]
@@ -198,6 +251,15 @@ def assemble_scene(
         parts_c.append(jnp.tile(jnp.asarray(SEMANTIC_PALETTE[SEM_PEDESTRIAN]),
                                 (ped.shape[0], 1)))
         parts_k.append(jnp.full((ped.shape[0],), SEM_PEDESTRIAN, jnp.int32))
+    if shadows:
+        sh = [_shadow_quads(agents_pos, agents_yaw, 2.25, 1.0)]
+        if peds_pos is not None and peds_pos.shape[0] > 0:
+            sh.append(_shadow_quads(peds_pos, jnp.zeros(peds_pos.shape[0]),
+                                    0.25, 0.25))
+        sh = jnp.concatenate(sh, axis=0)
+        parts_t.append(sh)
+        parts_c.append(jnp.tile(SHADOW_TONE, (sh.shape[0], 1)))
+        parts_k.append(jnp.full((sh.shape[0],), SEM_ROAD, jnp.int32))
     tris = jnp.concatenate(parts_t, axis=0)
     colors = jnp.concatenate(parts_c, axis=0)
     classes = jnp.concatenate(parts_k, axis=0)

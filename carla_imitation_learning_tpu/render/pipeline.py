@@ -39,6 +39,9 @@ class RenderConfig:
                                    # this table width (raster_fast.compact_setup)
     fog_density: float = 0.0  # exponential fog β (1/m); 0 = clear weather
     rain: float = 0.0         # rain intensity in [0, 1]; 0 = dry
+    facade_bands: int = 0     # >0: window-floor stripes on building walls
+                              # (+~(8·bands−6) tris per building)
+    shadows: bool = False     # blob contact shadows under vehicles/walkers
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -52,7 +55,9 @@ class RenderConfig:
                    active_cap=(int(r["active_cap"]) if r.get("active_cap")
                                else None),
                    fog_density=float(r.get("fog_density", 0.0)),
-                   rain=float(r.get("rain", 0.0)))
+                   rain=float(r.get("rain", 0.0)),
+                   facade_bands=int(r.get("facade_bands", 0)),
+                   shadows=bool(r.get("shadows", False)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
@@ -65,7 +70,7 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
 
     yaw_off, fov_override = CAMERA_PRESETS.get(camera, (0.0, None))
     fov = fov_override or rcfg.fov_deg
-    static = geo.build_static_scene(town)
+    static = geo.build_static_scene(town, facade_bands=rcfg.facade_bands)
 
     fast_raster = None
     if rcfg.backend == "pallas":
@@ -113,7 +118,7 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
             peds_pos = ped_positions(town, state.peds_crossing, state.peds_s)
         tris, colors, classes = geo.assemble_scene(
             static, town.lights_pos, phases, agents_pos, agents_yaw,
-            rcfg.max_triangles, peds_pos=peds_pos)
+            rcfg.max_triangles, peds_pos=peds_pos, shadows=rcfg.shadows)
         cam = camera_from_ego(state.ego_pos, state.ego_yaw,
                               yaw_offset_deg=yaw_off)
         # Buildings, vehicles and walkers are closed boxes with outward-wound

@@ -156,3 +156,54 @@ def test_backface_culling_is_image_invariant():
         rgb_b, sem_b, dep_b = rasterize_jax(culled, H, W)
         np.testing.assert_array_equal(np.asarray(sem_a), np.asarray(sem_b))
         np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b))
+
+
+def test_banded_facades_render_stripes():
+    """facade_bands adds triangles and produces vertical brightness variation
+    on building walls (window floors)."""
+    from carla_imitation_learning_tpu.render import geometry as geo
+    from carla_imitation_learning_tpu.render.pipeline import (
+        RenderConfig, make_renderer,
+    )
+    from carla_imitation_learning_tpu.sim import SimParams, make_town
+    from carla_imitation_learning_tpu.sim.world import reset_env
+
+    town = make_town(blocks=2, n_buildings=8, n_lights=4)
+    plain = geo.build_static_scene(town)
+    banded = geo.build_static_scene(town, facade_bands=3)
+    assert banded.tris.shape[0] > plain.tris.shape[0]
+    # walls of one building now carry >1 distinct color
+    b_colors = np.asarray(banded.colors[np.asarray(banded.classes) == geo.SEM_BUILDING])
+    p_colors = np.asarray(plain.colors[np.asarray(plain.classes) == geo.SEM_BUILDING])
+    assert len(np.unique(b_colors.round(4), axis=0)) > len(np.unique(p_colors.round(4), axis=0))
+
+    params = SimParams(n_agents=2)
+    rcfg = RenderConfig(height=64, width=64, backend="jax",
+                        max_triangles=1024, facade_bands=3)
+    out = make_renderer(params, town, rcfg)(
+        reset_env(params, town, jax.random.PRNGKey(0)))
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_blob_shadows_darken_under_vehicles():
+    from carla_imitation_learning_tpu.render import geometry as geo
+
+    agents_pos = jnp.asarray([[10.0, 0.0]])
+    agents_yaw = jnp.zeros(1)
+    static = geo.StaticScene(
+        tris=jnp.zeros((0, 3, 3)), colors=jnp.zeros((0, 3)),
+        classes=jnp.zeros((0,), jnp.int32))
+    lights = jnp.zeros((0, 2))
+    phases = jnp.zeros((0,), jnp.int32)
+    t_no, c_no, k_no = geo.assemble_scene(static, lights, phases, agents_pos,
+                                          agents_yaw, 64, shadows=False)
+    t_sh, c_sh, k_sh = geo.assemble_scene(static, lights, phases, agents_pos,
+                                          agents_yaw, 64, shadows=True)
+    # two extra dark quads classified as road, at ground level
+    extra = int((np.asarray(t_sh) != 0).any(axis=(1, 2)).sum()
+                - (np.asarray(t_no) != 0).any(axis=(1, 2)).sum())
+    assert extra == 2
+    sh_mask = (np.asarray(k_sh) == geo.SEM_ROAD) & (np.asarray(t_sh)[:, :, 2] > 0).any(axis=1)
+    assert sh_mask.sum() == 2
+    assert (np.asarray(c_sh)[sh_mask] < 0.3).all()
+    np.testing.assert_allclose(np.asarray(t_sh)[sh_mask][:, :, 2], geo.SHADOW_Z)

@@ -41,10 +41,16 @@ LUMA_W = jnp.asarray([0.299, 0.587, 0.114])  # reference imitation_dataset.py:12
 
 
 def pack_setup(setup: TriangleSetup, luma_only: bool = False) -> jnp.ndarray:
-    """TriangleSetup → (T, 17) f32 table. Invalid triangles get all-zero rows
-    (zero edges never pass the strict-sign inside test). With ``luma_only``
-    the color slots carry the precomputed luminance (policy rollouts need
-    only the grayscale channel — the inner loop then writes 1 plane, not 3)."""
+    """TriangleSetup → (17, T) f32 COEFFICIENT-major table. Invalid triangles
+    get all-zero columns (zero edges never pass the strict-sign inside test).
+    With ``luma_only`` the color slots carry the precomputed luminance (policy
+    rollouts need only the grayscale channel — the inner loop then writes 1
+    plane, not 3).
+
+    Coefficient-major because SMEM blocks pad their LAST dim to 128 lanes: a
+    (T, 17) table stages T×128 floats per program (×2 buffers — 0.5 MB of
+    hidden traffic at T=512); (17, T) stages 17×T (measured: −22% fleet step
+    time on the rollout kernel, ops/raster_fast.py applies the same layout)."""
     colors = setup.colors
     if luma_only:
         luma = colors @ LUMA_W
@@ -56,7 +62,7 @@ def pack_setup(setup: TriangleSetup, luma_only: bool = False) -> jnp.ndarray:
         setup.classes[:, None].astype(jnp.float32),
         setup.zmin[:, None],
     ], axis=-1)
-    return jnp.where(setup.valid[:, None], flat, 0.0)
+    return jnp.where(setup.valid[:, None], flat, 0.0).T
 
 
 def tile_lists(setup: TriangleSetup, height: int, k: int, width: int | None = None,
@@ -101,21 +107,21 @@ def _raster_kernel(tris_ref, idx_ref, count_ref, sem_ref, rgb_ref, depth_ref,
     rgb_ref[:] = jnp.zeros((n_channels, TILE_ROWS, width), jnp.float32)
 
     def tri_pass(t):
-        e0 = tris_ref[t, 0] * px + tris_ref[t, 1] * py + tris_ref[t, 2]
-        e1 = tris_ref[t, 3] * px + tris_ref[t, 4] * py + tris_ref[t, 5]
-        e2 = tris_ref[t, 6] * px + tris_ref[t, 7] * py + tris_ref[t, 8]
+        e0 = tris_ref[0, t] * px + tris_ref[1, t] * py + tris_ref[2, t]
+        e1 = tris_ref[3, t] * px + tris_ref[4, t] * py + tris_ref[5, t]
+        e2 = tris_ref[6, t] * px + tris_ref[7, t] * py + tris_ref[8, t]
         inside = jnp.logical_or(
             jnp.logical_and(jnp.logical_and(e0 > 0, e1 > 0), e2 > 0),
             jnp.logical_and(jnp.logical_and(e0 < 0, e1 < 0), e2 < 0),
         )
         den = e0 + e1 + e2
         den = jnp.where(den == 0.0, 1e-9, den)
-        z = (tris_ref[t, 9] * px + tris_ref[t, 10] * py + tris_ref[t, 11]) / den
+        z = (tris_ref[9, t] * px + tris_ref[10, t] * py + tris_ref[11, t]) / den
         ok = jnp.logical_and(inside, jnp.logical_and(z > near, z < zbuf[:]))
         zbuf[:] = jnp.where(ok, z, zbuf[:])
-        sem_ref[:] = jnp.where(ok, jnp.int32(tris_ref[t, 15]), sem_ref[:])
+        sem_ref[:] = jnp.where(ok, jnp.int32(tris_ref[15, t]), sem_ref[:])
         for c in range(n_channels):
-            rgb_ref[c] = jnp.where(ok, tris_ref[t, 12 + c], rgb_ref[c])
+            rgb_ref[c] = jnp.where(ok, tris_ref[12 + c, t], rgb_ref[c])
 
     # NOTE: an occlusion early-out (while_loop breaking once max(zbuf) <
     # next zmin on the nearest-first list) was measured 1.2-2.8x SLOWER here:
@@ -184,7 +190,7 @@ def rasterize_pallas_luma(
 def _rasterize_core(setup, height, width, near, far, interpret,
                     max_tris_per_tile, n_channels, luma_only):
     tris = pack_setup(setup, luma_only=luma_only)
-    n_tris = tris.shape[0]
+    n_tris = tris.shape[1]  # (17, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
     idx, count = tile_lists(setup, height, k, width=width, far=far)
     assert height % TILE_ROWS == 0, f"height {height} % {TILE_ROWS} != 0"
@@ -197,7 +203,7 @@ def _rasterize_core(setup, height, width, near, far, interpret,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n_tris, PACK_WIDTH), lambda r: (0, 0),
+            pl.BlockSpec((PACK_WIDTH, n_tris), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_rows, k), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),

@@ -33,7 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 from carla_imitation_learning_tpu.render.camera import TriangleSetup
 from carla_imitation_learning_tpu.render.jax_raster import SKY_HORIZON, SKY_TOP
 
-TILE_ROWS = 8
+# 16-row tiles: re-measured after the coefficient-major SMEM tables — wider
+# bands now win (−1.7 ms/fleet-step vs 8; 32 regresses). The earlier "8 is
+# best" result was an artifact of padded (T, K) table staging per program.
+TILE_ROWS = 16
 PACK_WIDTH = 17  # 9 edge + 3 znum + 3 rgb + 1 class + 1 zmin
 
 

@@ -38,11 +38,14 @@ def fetch(x) -> float:
     return float(jnp.sum(x))
 
 
-def assert_kernel_parity() -> None:
+def assert_kernel_parity(n_seeds: int = 3) -> None:
     """Compiled-Pallas correctness gate (runs on the real chip, not interpret):
     the exact kernel must match the pure-XLA reference pixel-exact, and the
     fast rollout kernel must match the exact luma output within its documented
-    quantization tolerance. Timing below is meaningless if this fails."""
+    quantization tolerance. Timing below is meaningless if this fails.
+    ``n_seeds=1`` covers the compile path at a third of the cost (the TPU-gated
+    test uses it; compiles dominate over the tunnel, extra seeds re-run the
+    same compiled programs)."""
     from carla_imitation_learning_tpu.ops.raster import (
         rasterize_pallas, rasterize_pallas_luma,
     )
@@ -61,7 +64,7 @@ def assert_kernel_parity() -> None:
     static = geo.build_static_scene(town)
     H = W = 128
     worst_exact, worst_fast = 0.0, 0.0
-    for seed in range(3):
+    for seed in range(n_seeds):
         st = reset_env(params, town, jax.random.PRNGKey(seed))
         phases = agent_lib.light_phases(
             town, st.t.astype(jnp.float32) * params.dt,

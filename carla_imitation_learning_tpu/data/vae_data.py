@@ -32,7 +32,10 @@ class ImageDataset:
         self.frames = jnp.asarray(frames)
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.drop_last = drop_last
+        # a sharded partial batch whose remainder doesn't divide the mesh's
+        # 'data' axis fails device_put mid-epoch — sharded loaders drop it
+        # (same rule as pipeline._loaders_from_stores for BC train loaders)
+        self.drop_last = drop_last or sharding is not None
         self._rng = np.random.default_rng(seed)
         self.n = len(frames)
         self._sharding = sharding  # batch sharding over the mesh 'data' axis

@@ -537,8 +537,14 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
             return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
 
         rng, ek = jax.random.split(rng)
+        # the training mesh was validated against BATCH_SIZE — re-validate
+        # against the eval fleet size (a 32-chip mesh divides batch 64 but
+        # not 16 envs); falls back to unsharded eval when it doesn't divide
+        eval_envs = min(n_envs, 32)
+        eval_mesh, _ = _mesh_bits(cfg, batch_size=eval_envs) \
+            if mesh is not None else (None, None)
         m = cl.evaluate_policy(params, town, rcfg, policy_fn, ek,
-                               n_envs=min(n_envs, 32), n_steps=100, mesh=mesh)
+                               n_envs=eval_envs, n_steps=100, mesh=eval_mesh)
         m["round"] = rnd
         m["train_loss"] = float(last.get("loss", float("nan")))
         m["dataset_frames"] = len(agg)
@@ -670,8 +676,15 @@ def world_model(cfg, n_envs: int = 16, n_steps: int = 128, seq_len: int = 8,
         n_actions=int(cfg.get("n_actions", 9)),
         height=rcfg.height, width=rcfg.width, dtype=_dtype(cfg))
     loss = world_model_loss_fn(image_loss=image_loss)
-    return _fit(cfg, f"world_model_{rnn}_{z_size}_{image_loss}", model,
-                model.example_input(1, seq_len), loss, loaders, mesh=mesh)
+    result = _fit(cfg, f"world_model_{rnn}_{z_size}_{image_loss}", model,
+                  model.example_input(1, seq_len), loss, loaders, mesh=mesh)
+    # the RESOLVED architecture — downstream consumers (world_model_imagine)
+    # must rebuild the exact trained model, not re-derive defaults from cfg
+    result["wm_config"] = {"z_size": model.z_size, "rnn": model.rnn,
+                           "n_actions": model.n_actions,
+                           "height": model.height, "width": model.width,
+                           "image_loss": image_loss, "seq_len": seq_len}
+    return result
 
 
 @experiment("world_model_sweep")
@@ -917,11 +930,11 @@ def world_model_imagine(cfg, horizon: int = 8, n_envs: int = 16,
 
     r = world_model(cfg, n_envs=n_envs, n_steps=n_steps, **kw)
     state = r.pop("state")
+    wc = r["wm_config"]  # the RESOLVED trained architecture (not cfg defaults
+    # re-derived — the model group may set z_size, the decorator lifts kwargs)
     model = LatentWorldModel(
-        z_size=int(cfg.get("wm_z_size", 64)), rnn=str(cfg.get("wm_rnn", "lstm")),
-        n_actions=int(cfg.get("n_actions", 9)),
-        height=_sim_bits(cfg)[2].height, width=_sim_bits(cfg)[2].width,
-        dtype=_dtype(cfg))
+        z_size=wc["z_size"], rnn=wc["rnn"], n_actions=wc["n_actions"],
+        height=wc["height"], width=wc["width"], dtype=_dtype(cfg))
 
     town, params, rcfg = _sim_bits(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 999)

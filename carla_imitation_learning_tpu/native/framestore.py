@@ -55,7 +55,7 @@ def _load():
         lib.fs_open.argtypes = [ctypes.c_char_p]
         lib.fs_info.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int64)] * 3
         for name in ("fs_frames", "fs_actions", "fs_traffic", "fs_sensors",
-                     "fs_commands"):
+                     "fs_commands", "fs_starts"):
             getattr(lib, name).restype = ctypes.c_void_p
             getattr(lib, name).argtypes = [ctypes.c_void_p]
         lib.fs_close.argtypes = [ctypes.c_void_p]
@@ -77,7 +77,9 @@ NATIVE_AVAILABLE = _SRC.exists()
 
 
 def save_framestore(path: str | os.PathLike, store) -> Path:
-    """Write a data.pipeline.FrameStore to the packed native format."""
+    """Write a data.pipeline.FrameStore to the packed native format (v2:
+    includes the episode-start bitmap, so the C++ reader never samples a
+    window across an env-stream/reset boundary)."""
     lib = _load()
     path = Path(path)
     frames = np.ascontiguousarray(store.frames, dtype=np.uint8)
@@ -88,15 +90,20 @@ def save_framestore(path: str | os.PathLike, store) -> Path:
     commands = np.ascontiguousarray(
         store.commands if store.commands is not None else np.zeros(n, np.int32),
         dtype=np.int32)
-    if lib is None:  # numpy fallback, same layout
+    starts_src = getattr(store, "starts", None)
+    starts = np.ascontiguousarray(
+        starts_src if starts_src is not None else np.zeros(n, bool),
+        dtype=np.uint8)
+    if lib is None:  # numpy fallback, same v2 layout
         with open(path, "wb") as f:
-            header = np.array([0x3153464C49555054, n, h, w], dtype=np.int64)
+            header = np.array([0x3253464C49555054, n, h, w], dtype=np.int64)
             f.write(header.tobytes())
             f.write(frames.tobytes())
             f.write(actions.tobytes())
             f.write(traffic.tobytes())
             f.write(sensors.tobytes())
             f.write(commands.tobytes())
+            f.write(starts.tobytes())
         return path
     rc = lib.fs_write(
         str(path).encode(), frames.ctypes.data_as(ctypes.c_void_p),
@@ -104,6 +111,7 @@ def save_framestore(path: str | os.PathLike, store) -> Path:
         traffic.ctypes.data_as(ctypes.c_void_p),
         sensors.ctypes.data_as(ctypes.c_void_p),
         commands.ctypes.data_as(ctypes.c_void_p),
+        starts.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(n), ctypes.c_int64(h), ctypes.c_int64(w))
     if rc != 0:
         raise IOError(f"fs_write failed with code {rc}")
@@ -156,12 +164,33 @@ class NativeFrameStore:
     def commands(self) -> np.ndarray:
         return self._view(self._lib.fs_commands, np.int32, (self.n,))
 
+    @property
+    def starts(self) -> np.ndarray | None:
+        """Episode-start bitmap (bool) — None for legacy TPUILFS1 files."""
+        ptr = self._lib.fs_starts(self._handle)
+        if not ptr:
+            return None
+        return self._view(self._lib.fs_starts, np.uint8, (self.n,)).astype(bool)
+
+    def n_valid_windows(self, frame_skip: int) -> int:
+        """Window starts the reader will actually sample (boundary-masked)."""
+        n_starts = self.n - frame_skip
+        if n_starts <= 0:
+            return 0
+        starts = self.starts
+        if starts is None:
+            return n_starts
+        crosses = np.zeros(n_starts, bool)
+        for d in range(1, frame_skip + 1):
+            crosses |= starts[d:d + n_starts]
+        return int((~crosses).sum())
+
     def to_frame_store(self):
         from carla_imitation_learning_tpu.data.pipeline import FrameStore
 
         return FrameStore(frames=self.frames, actions=self.actions,
                           traffic=self.traffic, sensors=self.sensors,
-                          commands=self.commands)
+                          commands=self.commands, starts=self.starts)
 
     def close(self) -> None:
         if self._handle:
@@ -216,4 +245,4 @@ class PrefetchReader:
             lib.fs_reader_destroy(reader)
 
     def __len__(self):
-        return max(1, (self._store.n - self.frame_skip) // self.batch)
+        return max(1, self._store.n_valid_windows(self.frame_skip) // self.batch)

@@ -9,7 +9,9 @@ WebDataset tars):
 - ``save_sharded_framestore``  — split a FrameStore into ~equal shard files,
   CUTTING ONLY AT EPISODE STARTS when the store carries them, so no training
   window can ever straddle a shard boundary (the shard cut IS an episode
-  boundary). Writes an ``index.json`` manifest.
+  boundary). Each shard also carries the v2 starts bitmap, so IN-shard
+  resets are boundary-masked by the C++ reader too. Writes an
+  ``index.json`` manifest.
 - ``ShardedFrameStore``        — manifest view: shapes, per-shard counts,
   lazy mmap access to any shard.
 - ``ShardedPrefetchReader``    — two-level shuffled iteration: shard order
@@ -37,21 +39,30 @@ from carla_imitation_learning_tpu.native.framestore import (
 INDEX_NAME = "index.json"
 
 
-def _cut_points(n: int, starts: np.ndarray | None, target: int) -> list[int]:
-    """Shard cut indices (ascending, excluding 0 and n): the largest episode
-    start ≤ each ~target multiple, falling back to the raw multiple when the
-    store has no starts (or none in range)."""
+def _cut_points(n: int, starts: np.ndarray | None, target: int
+                ) -> tuple[list[int], bool]:
+    """→ (shard cut indices (ascending, excluding 0 and n), aligned).
+
+    Each cut is the largest episode start ≤ the ~target multiple; when a
+    single episode exceeds the shard size (no start in range) the cut falls
+    back to the raw multiple and ``aligned`` comes back False — the manifest
+    must not claim window-safety it doesn't have."""
     cuts = []
     prev = 0
+    aligned = starts is not None
     start_idx = (np.nonzero(np.asarray(starts, bool))[0]
                  if starts is not None else np.empty(0, np.int64))
     while n - prev > target:
         want = prev + target
         cands = start_idx[(start_idx > prev) & (start_idx <= want)]
-        cut = int(cands[-1]) if len(cands) else want
+        if len(cands):
+            cut = int(cands[-1])
+        else:
+            cut = want
+            aligned = False
         cuts.append(cut)
         prev = cut
-    return cuts
+    return cuts, aligned
 
 
 def save_sharded_framestore(out_dir: str | os.PathLike, store,
@@ -65,7 +76,7 @@ def save_sharded_framestore(out_dir: str | os.PathLike, store,
     out.mkdir(parents=True, exist_ok=True)
     n = len(store.frames)
     starts = getattr(store, "starts", None)
-    cuts = _cut_points(n, starts, int(shard_frames))
+    cuts, aligned = _cut_points(n, starts, int(shard_frames))
     bounds = [0] + cuts + [n]
     shards = []
     for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
@@ -77,7 +88,7 @@ def save_sharded_framestore(out_dir: str | os.PathLike, store,
         "height": int(store.frames.shape[1]),
         "width": int(store.frames.shape[2]),
         "n_frames": int(n),
-        "aligned_to_starts": bool(starts is not None),
+        "aligned_to_starts": bool(aligned),
         "shards": shards,
     }
     (out / INDEX_NAME).write_text(json.dumps(manifest, indent=1))
@@ -132,9 +143,20 @@ class ShardedPrefetchReader:
         self._epoch = 0
 
     def __len__(self) -> int:
-        return sum(max(1, (s["n"] - self.frame_skip) // self.batch)
-                   for s in self.store.shards
-                   if s["n"] > self.frame_skip)
+        # valid-window counts respect in-shard episode boundaries (v2 stores
+        # carry the starts bitmap; the C++ reader masks crossing windows)
+        total = 0
+        for i in range(self.store.n_shards):
+            if self.store.shard_frames(i) <= self.frame_skip:
+                continue
+            nfs = self.store.open_shard(i)
+            try:
+                v = nfs.n_valid_windows(self.frame_skip)
+            finally:
+                nfs.close()
+            if v > 0:
+                total += max(1, v // self.batch)
+        return total
 
     def __iter__(self):
         order = np.arange(self.store.n_shards)
@@ -146,6 +168,8 @@ class ShardedPrefetchReader:
                 continue  # shard too small for one window
             nfs = self.store.open_shard(int(si))
             try:
+                if nfs.n_valid_windows(self.frame_skip) == 0:
+                    continue  # every window would cross a boundary
                 reader = PrefetchReader(
                     nfs, batch=self.batch, frame_skip=self.frame_skip,
                     n_threads=self.n_threads, shuffle=self.shuffle,

@@ -72,17 +72,19 @@ def tune_run(
     seed: int = 0,
     results_dir: str | None = None,
     checkpoint_fn: Callable[[int, dict], str] | None = None,
-    max_concurrent: int = 4,
+    max_concurrent: int = 1,
 ) -> tuple[Trial, list[Trial]]:
     """Run trials of ``trainable(config) -> metrics`` and return (best, all).
 
     Mirrors the surface of reference ray_trainer.py:49-53 without the broken
     plumbing. ``trial_configs`` (explicit grid) overrides random sampling.
-    Trials run ``max_concurrent`` at a time on a thread pool (Ray ran 4
-    concurrent trials, ray_trainer.py:49-53) — concurrency overlaps each
-    trial's host-side work (tracing, data prep, metric fetches) while the
-    device interleaves their dispatched programs. Set ``max_concurrent=1``
-    for strictly sequential execution.
+    ``max_concurrent > 1`` runs trials on a thread pool (Ray ran 4 concurrent
+    trials, ray_trainer.py:49-53) — concurrency overlaps each trial's
+    host-side work (tracing, data prep, metric fetches) while the device
+    interleaves their dispatched programs. It is OPT-IN because the trainable
+    must be thread-safe: a trainable closing over shared loaders/RNGs (like
+    the bc `hpo` experiment's) races under threads — Ray ran trials in
+    separate processes, which threads do not replicate.
     """
     if trial_configs is None:
         if space is None:

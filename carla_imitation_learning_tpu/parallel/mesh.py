@@ -107,7 +107,11 @@ def multihost_initialize(
     explicit = coordinator_address is not None
     env_driven = any(os.environ.get(k) for k in (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS"))
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        # Cloud TPU pod slices set worker topology env instead of a
+        # coordinator address; argless initialize() autodetects the cluster
+        # from TPU metadata there (jax cluster.GceTpuCluster/GkeTpuCluster)
+        "TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES", "CLOUD_TPU_TASK_ID"))
     if not explicit and not env_driven:
         return False  # single-process dev run; leave the backend untouched
 

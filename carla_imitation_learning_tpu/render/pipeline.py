@@ -91,14 +91,12 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
         raster = luma_raster = None
 
     from carla_imitation_learning_tpu.render.jax_raster import (
-        SKY_HORIZON, SKY_TOP, sky_image,
+        sky_image,
     )
     from carla_imitation_learning_tpu.render.weather import apply_fog, apply_rain
 
     def _sky_luma(height: int, width: int):
-        t = jnp.linspace(0.0, 1.0, height)[:, None]
-        row = (SKY_TOP @ LUMA) * (1 - t) + (SKY_HORIZON @ LUMA) * t
-        return jnp.broadcast_to(row, (height, width))
+        return sky_image(height, width) @ LUMA  # one source for the gradient
 
     def _rain(img, state):
         if rcfg.rain <= 0.0:

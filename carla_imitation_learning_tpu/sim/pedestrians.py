@@ -56,10 +56,11 @@ def step_pedestrians(
     s_new = s + ds
     hit_end = walking & ((s_new >= 1.0) | (s_new <= 0.0))
     s_new = jnp.clip(s_new, 0.0, 1.0)
-    # reaching an end → start waiting with reversed pending direction,
-    # encoded just inside the waiting band
-    eps = dt / CURB_WAIT_S
-    phase_new = jnp.where(hit_end, -direction * (1.0 - eps), phase)
+    # reaching an end → start waiting with reversed pending direction; the
+    # counter starts at the BOTTOM of the waiting band (eps) so it takes
+    # CURB_WAIT_S/dt steps to climb back to |phase| = 1 and resume walking
+    eps = min(dt / CURB_WAIT_S, 1.0)
+    phase_new = jnp.where(hit_end, -direction * eps, phase)
     # waiting walkers count |phase| up toward 1, then resume
     waiting = ~walking
     phase_new = jnp.where(

@@ -8,12 +8,17 @@
 // buffers that the JAX loop feeds straight to the device.
 //
 // Layout (little endian):
-//   header:  int64 magic 'TPUILFS1', int64 n, int64 h, int64 w
+//   header:  int64 magic 'TPUILFS2', int64 n, int64 h, int64 w
 //   frames:  n*h*w uint8 (grayscale luminance)
 //   actions: n int32
 //   traffic: n int32
 //   sensors: n*3 float32
 //   commands:n int32
+//   starts:  n uint8 — 1 where a frame BEGINS an episode/stream (v2 only).
+//            The reader samples ONLY windows that lie within one episode
+//            (no start flag strictly inside (i, i+frame_skip]), matching
+//            data/pipeline.DeviceDataset's boundary masking. 'TPUILFS1'
+//            files (no starts section) remain readable: every window valid.
 //
 // C ABI only (used from Python via ctypes — no pybind11 in this image).
 
@@ -36,7 +41,8 @@
 
 namespace {
 
-constexpr int64_t kMagic = 0x3153464C49555054;  // "TPUILFS1"
+constexpr int64_t kMagicV1 = 0x3153464C49555054;  // "TPUILFS1"
+constexpr int64_t kMagicV2 = 0x3253464C49555054;  // "TPUILFS2"
 
 struct Header {
   int64_t magic;
@@ -53,10 +59,12 @@ struct Store {
   const int32_t* traffic = nullptr;
   const float* sensors = nullptr;
   const int32_t* commands = nullptr;
+  const uint8_t* starts = nullptr;  // null for v1 files
 };
 
-size_t payload_size(int64_t n, int64_t h, int64_t w) {
-  return sizeof(Header) + (size_t)n * h * w + n * 4 + n * 4 + n * 12 + n * 4;
+size_t payload_size(int64_t n, int64_t h, int64_t w, bool v2) {
+  return sizeof(Header) + (size_t)n * h * w + n * 4 + n * 4 + n * 12 + n * 4 +
+         (v2 ? (size_t)n : 0);
 }
 
 }  // namespace
@@ -67,18 +75,28 @@ extern "C" {
 // write / open / close
 // ---------------------------------------------------------------------------
 
+// starts may be null: a zero bitmap (single uninterrupted stream) is written.
 int fs_write(const char* path, const uint8_t* frames, const int32_t* actions,
              const int32_t* traffic, const float* sensors,
-             const int32_t* commands, int64_t n, int64_t h, int64_t w) {
+             const int32_t* commands, const uint8_t* starts,
+             int64_t n, int64_t h, int64_t w) {
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
-  Header hdr{kMagic, n, h, w};
+  Header hdr{kMagicV2, n, h, w};
   bool ok = fwrite(&hdr, sizeof(hdr), 1, f) == 1 &&
             fwrite(frames, 1, (size_t)n * h * w, f) == (size_t)n * h * w &&
             fwrite(actions, 4, n, f) == (size_t)n &&
             fwrite(traffic, 4, n, f) == (size_t)n &&
             fwrite(sensors, 4, n * 3, f) == (size_t)n * 3 &&
             fwrite(commands, 4, n, f) == (size_t)n;
+  if (ok) {
+    if (starts) {
+      ok = fwrite(starts, 1, n, f) == (size_t)n;
+    } else {
+      std::vector<uint8_t> zeros(n, 0);
+      ok = fwrite(zeros.data(), 1, n, f) == (size_t)n;
+    }
+  }
   fclose(f);
   return ok ? 0 : -2;
 }
@@ -95,8 +113,9 @@ void* fs_open(const char* path) {
   s->map = map;
   s->map_size = st.st_size;
   std::memcpy(&s->hdr, map, sizeof(Header));
-  if (s->hdr.magic != kMagic ||
-      payload_size(s->hdr.n, s->hdr.h, s->hdr.w) != (size_t)st.st_size) {
+  bool v2 = s->hdr.magic == kMagicV2;
+  if ((s->hdr.magic != kMagicV1 && !v2) ||
+      payload_size(s->hdr.n, s->hdr.h, s->hdr.w, v2) != (size_t)st.st_size) {
     munmap(map, st.st_size);
     close(fd);
     delete s;
@@ -109,6 +128,7 @@ void* fs_open(const char* path) {
   s->traffic = s->actions + n;
   s->sensors = (const float*)(s->traffic + n);
   s->commands = (const int32_t*)(s->sensors + n * 3);
+  s->starts = v2 ? (const uint8_t*)(s->commands + n) : nullptr;
   return s;
 }
 
@@ -122,6 +142,8 @@ const int32_t* fs_actions(void* handle) { return ((Store*)handle)->actions; }
 const int32_t* fs_traffic(void* handle) { return ((Store*)handle)->traffic; }
 const float* fs_sensors(void* handle) { return ((Store*)handle)->sensors; }
 const int32_t* fs_commands(void* handle) { return ((Store*)handle)->commands; }
+// null for TPUILFS1 files (no starts section)
+const uint8_t* fs_starts(void* handle) { return ((Store*)handle)->starts; }
 
 void fs_close(void* handle) {
   auto* s = (Store*)handle;
@@ -197,10 +219,23 @@ void* fs_reader_create(void* handle, int batch, int frame_skip, int n_threads,
   r->shuffle = shuffle != 0;
   r->seed = seed;
   r->max_queue = max_queue > 0 ? max_queue : 4;
-  r->n_samples = s->hdr.n - frame_skip;
+  int64_t n_starts = s->hdr.n - frame_skip;
+  if (n_starts <= 0) { delete r; return nullptr; }
+  // valid window starts only: no episode-start flag strictly inside
+  // (i, i+frame_skip] — windows and their labels never cross a boundary
+  // (the DeviceDataset contract, data/pipeline.py)
+  r->order.reserve(n_starts);
+  for (int64_t i = 0; i < n_starts; ++i) {
+    bool crosses = false;
+    if (s->starts) {
+      for (int d = 1; d <= frame_skip; ++d) {
+        if (s->starts[i + d]) { crosses = true; break; }
+      }
+    }
+    if (!crosses) r->order.push_back(i);
+  }
+  r->n_samples = (int64_t)r->order.size();
   if (r->n_samples <= 0) { delete r; return nullptr; }
-  r->order.resize(r->n_samples);
-  for (int64_t i = 0; i < r->n_samples; ++i) r->order[i] = i;
   if (r->shuffle) {
     std::mt19937_64 rng(seed);
     std::shuffle(r->order.begin(), r->order.end(), rng);
@@ -259,10 +294,13 @@ int main() {
   std::vector<uint8_t> frames(n * h * w);
   std::vector<int32_t> actions(n), traffic(n), commands(n);
   std::vector<float> sensors(n * 3);
+  std::vector<uint8_t> starts(n, 0);
   for (int64_t i = 0; i < n; ++i) actions[i] = (int32_t)(i % 9);
+  for (int64_t i = 0; i < n; i += 50) starts[i] = 1;  // episode boundaries
   const char* path = "/tmp/fs_tsan_test.bin";
   if (fs_write(path, frames.data(), actions.data(), traffic.data(),
-               sensors.data(), commands.data(), n, h, w) != 0) return 2;
+               sensors.data(), commands.data(), starts.data(), n, h, w) != 0)
+    return 2;
   void* s = fs_open(path);
   if (!s) return 3;
   for (int round = 0; round < 3; ++round) {

@@ -141,11 +141,15 @@ def test_world_model_imagine_experiment(tmp_path):
     from carla_imitation_learning_tpu import compose
     from carla_imitation_learning_tpu.experiments import world_model_imagine
 
+    # NOTE deliberately sets the MODEL-GROUP z_size (lifted into world_model's
+    # kwarg by the @experiment decorator) and NO wm_z_size override — the
+    # imagine stage must rebuild from the trained architecture (wm_config),
+    # not re-derive cfg defaults (round-2 review finding: ScopeParamShapeError)
     cfg = compose(overrides=[
         "model=imitation", f"log_dir={tmp_path}", f"data_dir={tmp_path}/data",
         "render.height=32", "render.width=32",
         "sim.town.blocks=2", "sim.town.n_buildings=8", "sim.n_lights=4",
-        "sim.n_agents=4", "NUM_EPOCHS=1", "wm_batch=4", "wm_z_size=16",
+        "sim.n_agents=4", "NUM_EPOCHS=1", "wm_batch=4", "z_size=16",
         "trainer.max_epochs=1",
     ])
     out = world_model_imagine(cfg, horizon=4, n_envs=4, n_steps=24,

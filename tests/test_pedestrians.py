@@ -46,9 +46,17 @@ def test_walkers_traverse_and_bounce():
     assert seen.max() >= 1.0 - 1e-6   # reached the far curb
     assert seen.min() >= 0.0 and seen.max() <= 1.0
     assert seen[-1] < seen.max()      # came back after the pause: ping-pong
-    # while waiting at a curb the position does not move
-    at_end = np.where(seen >= 1.0 - 1e-6)[0]
-    assert len(at_end) >= 2           # waited several steps at the curb
+    # curb pause: the walker holds the far curb for ~CURB_WAIT_S / dt steps
+    from carla_imitation_learning_tpu.sim.pedestrians import CURB_WAIT_S
+
+    # length of the FIRST contiguous stay at the far curb
+    at_end = seen >= 1.0 - 1e-6
+    first = int(np.argmax(at_end))
+    run = int(np.argmin(at_end[first:])) if not at_end[first:].all() else \
+        int(at_end[first:].sum())
+    expect = CURB_WAIT_S / dt
+    assert 0.8 * expect <= run <= 1.3 * expect, (
+        f"waited {run} steps at the curb, expected ≈{expect:.0f}")
 
 
 def test_positions_on_crossing_segment():

@@ -38,12 +38,19 @@ def _identity_store(n=300, h=8, w=8, episode_len=60):
 def test_cut_points_align_to_starts():
     starts = np.zeros(300, bool)
     starts[::60] = True
-    cuts = _cut_points(300, starts, target=100)
+    cuts, aligned = _cut_points(300, starts, target=100)
     assert cuts == [60, 120, 180, 240]  # last start ≤ each 100-multiple
-    # no starts → raw multiples
-    assert _cut_points(250, None, target=100) == [100, 200]
+    assert aligned
+    # no starts → raw multiples, not aligned
+    assert _cut_points(250, None, target=100) == ([100, 200], False)
     # fits in one shard → no cuts
-    assert _cut_points(80, starts[:80], target=100) == []
+    assert _cut_points(80, starts[:80], target=100) == ([], True)
+    # an episode longer than the shard target forces a mid-episode cut —
+    # the manifest must NOT claim alignment then
+    one = np.zeros(300, bool)
+    one[0] = True
+    cuts, aligned = _cut_points(300, one, target=100)
+    assert cuts == [100, 200] and not aligned
 
 
 def test_save_and_manifest(tmp_path):
@@ -147,3 +154,56 @@ def test_device_prefetch_preserves_order_and_content():
     out2 = list(device_prefetch(iter(batches), size=2,
                                 transform=lambda b: (b[0].T, b[1] + 1)))
     assert int(out2[3][1][0]) == 4
+
+
+def test_native_reader_respects_episode_boundaries(tmp_path):
+    """v2 framestores carry the starts bitmap; the C++ reader must never
+    yield a window that crosses a reset — the round-2 review finding on the
+    streaming tier (bc_streaming previously blended episodes)."""
+    from carla_imitation_learning_tpu.native import (
+        NativeFrameStore, PrefetchReader, save_framestore,
+    )
+
+    # episode_len=28 divides 252, so (pixel value % 28) == (true index % 28)
+    store = _identity_store(n=252, h=8, w=8, episode_len=28)
+    path = tmp_path / "v2.tpuilfs"
+    save_framestore(path, store)
+    nfs = NativeFrameStore(path)
+    st = nfs.starts
+    assert st is not None and st.sum() == 9  # bitmap survived the round trip
+    # 9 episodes x 4 invalid starts each (i ≡ 24..27 mod 28), minus the last
+    # episode's tail that has no window anyway
+    expect_valid = (252 - 4) - 8 * 4
+    assert nfs.n_valid_windows(4) == expect_valid
+
+    reader = PrefetchReader(nfs, batch=8, frame_skip=4, shuffle=True, seed=1)
+    assert len(reader) == expect_valid // 8
+    seen = 0
+    for frames, labels in reader:
+        idx0 = frames[:, 0, 0, 0].astype(np.int64) % 28
+        assert (idx0 <= 23).all(), "window crosses an episode boundary"
+        seen += 1
+    assert seen == len(reader) > 0
+    nfs.close()
+
+
+def test_legacy_v1_files_still_open(tmp_path):
+    """TPUILFS1 files (round-1 artifacts, no starts section) stay readable:
+    every window valid."""
+    from carla_imitation_learning_tpu.native import NativeFrameStore
+
+    store = _identity_store(n=64, h=8, w=8, episode_len=64)
+    path = tmp_path / "v1.tpuilfs"
+    frames = np.ascontiguousarray(store.frames, np.uint8)
+    with open(path, "wb") as f:
+        f.write(np.array([0x3153464C49555054, 64, 8, 8], np.int64).tobytes())
+        f.write(frames.tobytes())
+        f.write(store.actions.astype(np.int32).tobytes())
+        f.write(store.traffic.astype(np.int32).tobytes())
+        f.write(store.sensors.astype(np.float32).tobytes())
+        f.write(np.zeros(64, np.int32).tobytes())
+    nfs = NativeFrameStore(path)
+    assert nfs.starts is None
+    assert nfs.n_valid_windows(4) == 60
+    np.testing.assert_array_equal(nfs.frames[5], frames[5])
+    nfs.close()

@@ -107,11 +107,15 @@ def multihost_initialize(
     explicit = coordinator_address is not None
     env_driven = any(os.environ.get(k) for k in (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS",
-        # Cloud TPU pod slices set worker topology env instead of a
-        # coordinator address; argless initialize() autodetects the cluster
-        # from TPU metadata there (jax cluster.GceTpuCluster/GkeTpuCluster)
-        "TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES", "CLOUD_TPU_TASK_ID"))
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    # Cloud TPU pod slices set worker topology env instead of a coordinator
+    # address; argless initialize() autodetects the cluster from TPU metadata
+    # there (jax cluster.GceTpuCluster/GkeTpuCluster). Only a list of MORE
+    # THAN ONE worker means multi-host — single-chip dev containers export
+    # e.g. TPU_WORKER_HOSTNAMES=localhost.
+    for k in ("TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES"):
+        if len([h for h in os.environ.get(k, "").split(",") if h.strip()]) > 1:
+            env_driven = True
     if not explicit and not env_driven:
         return False  # single-process dev run; leave the backend untouched
 

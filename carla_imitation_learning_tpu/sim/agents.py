@@ -54,11 +54,19 @@ def step_agents(
     gap: float = 8.0,
     junction_radius: float = 6.0,
     yield_at_junctions: bool = True,
+    lane_changes: bool = True,
 ):
-    """One fleet step → (s, v). Speed control: accelerate to target, brake for
-    red lights ahead, for the leading agent on the same route, and (first-come
-    right-of-way) for agents already inside the junction this agent is about
-    to enter."""
+    """One fleet step → (routes, s, v). Speed control: accelerate to target,
+    brake for red lights ahead, for the leading agent on the same route, and
+    (first-come right-of-way) for agents already inside the junction this
+    agent is about to enter.
+
+    On multi-lane towns (``town.lanes > 1``) a leader-blocked agent changes
+    to an adjacent same-direction lane when that lane has free headway both
+    ways — overtaking, as a pure route-index rewrite: lane k of grid cell g
+    is route g·lanes + k (make_town contract), and the fractional loop
+    position transfers (concentric rectangles ⇒ same corner phase).
+    ``routes`` passes through unchanged on single-lane towns."""
     pos, yaw = agent_positions(town, routes, s)
 
     # red light braking, per agent
@@ -94,4 +102,35 @@ def step_agents(
     dv = jnp.clip(target - v, -2.0 * accel * dt, accel * dt)
     v_new = jnp.maximum(v + dv, 0.0)
     s_new = jnp.mod(s + v_new * dt, total)
-    return s_new, v_new
+
+    routes_new = routes
+    if lane_changes and town.lanes > 1:
+        lanes = town.lanes
+        frac = s_new / total                       # fractional loop position
+        lane_k = routes % lanes
+        # blocked → overtake one lane left; unblocked → drift back right
+        want_left = leader_close & (lane_k + 1 < lanes)
+        want_right = (~leader_close) & (lane_k > 0)
+        target_route = jnp.where(
+            want_left, routes + 1, jnp.where(want_right, routes - 1, routes))
+        total_t = town.route_total[target_route]
+        # headway on the target lane: fractional distance to every agent
+        # already there, scaled to meters on the target loop; the return-to
+        # -right move requires DOUBLE the gap (hysteresis against ping-pong)
+        on_target = routes[None, :] == target_route[:, None]     # (A, A)
+        df = jnp.abs(jnp.mod(frac[None, :] - frac[:, None] + 0.5, 1.0) - 0.5)
+        need = jnp.where(want_right, 2.0 * gap, gap)[:, None]
+        near = on_target & is_other & (df * total_t[:, None] < need)
+        target_free = ~jnp.any(near, axis=1)
+        # never swap lanes inside/entering a junction (turn geometry)
+        clear_of_junctions = True
+        if town.junctions.shape[0] > 0:
+            d_all2 = jnp.linalg.norm(
+                pos[:, None, :] - town.junctions[None], axis=-1)
+            clear_of_junctions = d_all2.min(axis=1) > junction_radius + 2.0
+        change = (want_left | want_right) & target_free & clear_of_junctions
+        routes_new = jnp.where(change, target_route, routes)
+        # transfer the fractional position onto the (concentric) target loop
+        s_new = jnp.where(change, frac * total_t, s_new)
+
+    return routes_new, s_new, v_new

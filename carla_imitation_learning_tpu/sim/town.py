@@ -34,6 +34,9 @@ class TownMap(struct.PyTreeNode):
     crossings: jnp.ndarray
     # Junction centers (grid nodes), (J, 2) — agents yield right-of-way here.
     junctions: jnp.ndarray
+    # Lanes per direction (static): route r is lane r % lanes of grid cell
+    # r // lanes; lanes > 1 enables agent lane changes (sim/agents.py).
+    lanes: int = struct.field(pytree_node=False, default=1)
 
     @property
     def n_routes(self) -> int:
@@ -101,12 +104,16 @@ def make_town(
     route_points: int = 128,
     seed: int = 0,
     corner_radius: float = 0.0,
+    lanes_per_direction: int = 1,
 ) -> TownMap:
     """Build a (blocks×blocks)-block grid town.
 
-    Routes: one counterclockwise loop per block at right-lane offset, plus the
-    outer perimeter loop — fixed count R = blocks² + 1, each resampled to
-    ``route_points`` points so route-following is a pure gather.
+    Routes: ``lanes_per_direction`` counterclockwise loops per block at
+    successive right-lane offsets, plus the same count of perimeter loops —
+    fixed count R = lanes·(blocks² + 1), each resampled to ``route_points``
+    points so route-following is a pure gather. Lane k of grid cell g is
+    route ``g·lanes + k`` (k = 0 innermost/rightmost) — the contract
+    agents.step_agents uses for lane changes.
     ``corner_radius > 0`` fillets every route corner with a circular arc
     (curved intersection turns: smooth steering targets for the autopilot and
     smooth vehicle trajectories; stays within the junction pavement).
@@ -114,6 +121,7 @@ def make_town(
     rng = np.random.default_rng(seed)
     size = blocks * block_size
     half_lane = lane_width / 2.0
+    lanes = max(1, int(lanes_per_direction))
 
     # --- routes ---------------------------------------------------------
     loops = []
@@ -121,16 +129,19 @@ def make_town(
         for bj in range(blocks):
             x0, y0 = bi * block_size, bj * block_size
             x1, y1 = x0 + block_size, y0 + block_size
-            # CCW loop around the block, offset INTO the block by half a lane
-            # (right-hand traffic on the surrounding roads).
-            o = half_lane
-            loops.append(np.array([
-                [x0 + o, y0 + o], [x1 - o, y0 + o], [x1 - o, y1 - o], [x0 + o, y1 - o],
-            ]))
-    o = half_lane
-    loops.append(np.array([  # outer perimeter (CCW, offset outward lane)
-        [-o, -o], [size + o, -o], [size + o, size + o], [-o, size + o],
-    ]))
+            # CCW loops around the block, offset INTO the block by half a
+            # lane + k lane widths (right-hand traffic; lane 0 rightmost).
+            for k in range(lanes):
+                o = half_lane + k * lane_width
+                loops.append(np.array([
+                    [x0 + o, y0 + o], [x1 - o, y0 + o],
+                    [x1 - o, y1 - o], [x0 + o, y1 - o],
+                ]))
+    for k in range(lanes):  # outer perimeter loops (CCW, offset outward)
+        o = half_lane + k * lane_width
+        loops.append(np.array([
+            [-o, -o], [size + o, -o], [size + o, size + o], [-o, size + o],
+        ]))
     if corner_radius > 0.0:
         loops = [_round_corners(c, corner_radius) for c in loops]
     routes = np.stack([_resample_loop(c, route_points) for c in loops])  # (R,P,2)
@@ -141,7 +152,7 @@ def make_town(
     total = seg_len.sum(axis=1)
 
     # --- buildings -------------------------------------------------------
-    margin = lane_width + 2.0
+    margin = lanes * lane_width + 2.0  # keep facades off the (wider) roads
     bpb = max(1, -(-n_buildings // (blocks * blocks)))  # ceil; trimmed below
     buildings = []
     for bi in range(blocks):
@@ -176,8 +187,8 @@ def make_town(
 
     # --- crosswalks: two per interior intersection (across the vertical and
     # across the horizontal road, offset from the junction center) -----------
-    w = lane_width + 0.5  # span the full two-lane road + curb
-    off = lane_width + 2.5
+    w = lanes * lane_width + 0.5  # span the full road (both directions) + curb
+    off = lanes * lane_width + 2.5
     cross = []
     xnodes = [(i * block_size, j * block_size)
               for i in range(1, blocks) for j in range(1, blocks)] or [(0.0, 0.0)]
@@ -194,13 +205,15 @@ def make_town(
         lights_pos=jnp.asarray(lights_pos, jnp.float32),
         lights_offset=jnp.asarray(lights_offset, jnp.float32),
         road_segments=jnp.asarray(road_segments, jnp.float32),
-        road_half_width=jnp.float32(lane_width),  # two lanes: half-road = lane width
+        # half-road = lanes-per-direction lane widths (one direction's lanes)
+        road_half_width=jnp.float32(lanes * lane_width),
         extent=jnp.float32(size / 2.0),
         crossings=jnp.asarray(crossings, jnp.float32),
         junctions=jnp.asarray(
             [[i * block_size, j * block_size]
              for i in range(blocks + 1) for j in range(blocks + 1)],
             jnp.float32),
+        lanes=lanes,
     )
 
 
@@ -211,6 +224,7 @@ def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
         lane_width=float(t.lane_width), n_buildings=int(t.n_buildings),
         n_lights=int(cfg.sim.n_lights), seed=seed,
         corner_radius=float(t.get("corner_radius", 0.0)),
+        lanes_per_direction=int(t.get("lanes_per_direction", 1)),
     )
 
 

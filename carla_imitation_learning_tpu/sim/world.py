@@ -144,10 +144,10 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
         tire_stiffness=params.tire_stiffness,
     )
 
-    agents_s, agents_v = agent_lib.step_agents(
+    agents_route, agents_s, agents_v = agent_lib.step_agents(
         town, state.agents_route, state.agents_s, state.agents_v, phases,
         dt=params.dt, target_speed=params.agent_target_speed)
-    agents_pos, _ = agent_lib.agent_positions(town, state.agents_route, agents_s)
+    agents_pos, _ = agent_lib.agent_positions(town, agents_route, agents_s)
 
     peds_s, peds_phase = ped_lib.step_pedestrians(
         town, state.peds_crossing, state.peds_s, state.peds_phase,
@@ -168,7 +168,7 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
     mid = WorldState(
         ego_pos=ego_pos, ego_yaw=ego_yaw, ego_v=ego_v, ego_steer=ego_steer,
         ego_route=state.ego_route, ego_s=state.ego_s,
-        agents_route=state.agents_route, agents_s=agents_s, agents_v=agents_v,
+        agents_route=agents_route, agents_s=agents_s, agents_v=agents_v,
         peds_crossing=state.peds_crossing, peds_s=peds_s, peds_phase=peds_phase,
         t=t_new, rng=state.rng,
     )

@@ -89,11 +89,11 @@ def test_right_of_way_yields():
     v = jnp.asarray([0.0, 7.0])  # occupant stopped inside; approacher at speed
     phases = jnp.zeros((t.lights_pos.shape[0],), jnp.int32)  # all green
 
-    _, v_yield = step_agents(t, routes, s, v, phases, dt=0.05,
-                             target_speed=7.0, stop_distance=0.0)
-    _, v_free = step_agents(t, routes, s, v, phases, dt=0.05,
-                            target_speed=7.0, stop_distance=0.0,
-                            yield_at_junctions=False)
+    _, _, v_yield = step_agents(t, routes, s, v, phases, dt=0.05,
+                                target_speed=7.0, stop_distance=0.0)
+    _, _, v_free = step_agents(t, routes, s, v, phases, dt=0.05,
+                               target_speed=7.0, stop_distance=0.0,
+                               yield_at_junctions=False)
     assert float(v_yield[1]) < float(v_free[1])  # approacher braked
     # the occupant itself is not blocked by the rule
     assert float(v_yield[0]) >= float(v[0])
@@ -106,6 +106,86 @@ def test_right_of_way_no_self_yield():
     s = jnp.asarray([5.0])
     v = jnp.asarray([7.0])
     phases = jnp.zeros((t.lights_pos.shape[0],), jnp.int32)
-    _, v2 = step_agents(t, routes, s, v, phases, dt=0.05, target_speed=7.0,
-                        stop_distance=0.0)
+    _, _, v2 = step_agents(t, routes, s, v, phases, dt=0.05, target_speed=7.0,
+                           stop_distance=0.0)
     assert float(v2[0]) >= 7.0 - 1e-3
+
+
+def test_multilane_town_geometry():
+    import jax.numpy as jnp
+
+    t1 = make_town(blocks=2, n_buildings=8, n_lights=4)
+    t2 = make_town(blocks=2, n_buildings=8, n_lights=4, lanes_per_direction=2)
+    assert t1.lanes == 1 and t2.lanes == 2
+    assert t2.routes.shape[0] == 2 * t1.routes.shape[0]
+    assert float(t2.road_half_width) == 2 * float(t1.road_half_width)
+    # lane 1 of a block loop is CONCENTRIC inside... actually offset further
+    # into the block: its loop is shorter than lane 0's
+    assert float(t2.route_total[1]) < float(t2.route_total[0])
+    # lane k of cell g is route g*lanes + k: lanes of the same cell share
+    # their center
+    c0 = np.asarray(t2.routes[0]).mean(axis=0)
+    c1 = np.asarray(t2.routes[1]).mean(axis=0)
+    np.testing.assert_allclose(c0, c1, atol=1.0)
+
+
+def test_lane_change_overtake_and_return():
+    """A blocked agent moves one lane left; once clear (with hysteresis) it
+    drifts back right. Single-lane towns never change routes."""
+    import jax.numpy as jnp
+
+    from carla_imitation_learning_tpu.sim.agents import step_agents
+
+    t = make_town(blocks=2, n_buildings=8, n_lights=4, lanes_per_direction=2)
+    phases = jnp.zeros((t.lights_pos.shape[0],), jnp.int32)
+    # place a STOPPED leader ahead of a fast follower on lane 0 of cell 0,
+    # far from any junction (mid-edge of the block loop)
+    total0 = float(t.route_total[0])
+    # find an s far from junctions: scan the loop for a point >10m from all
+    pts = np.asarray(t.routes[0])
+    arc = np.asarray(t.route_arclen[0])
+    d_junc = np.linalg.norm(pts[:, None, :] - np.asarray(t.junctions)[None],
+                            axis=-1).min(axis=1)
+    i0 = int(np.argmax(d_junc))
+    s_follow = float(arc[i0])
+    s_lead = (s_follow + 5.0) % total0
+    routes = jnp.asarray([0, 0], jnp.int32)
+    s = jnp.asarray([s_lead, s_follow])
+    v = jnp.asarray([0.0, 6.0])
+    r2, s2, v2 = step_agents(t, routes, s, v, phases, dt=0.05,
+                             target_speed=6.0, stop_distance=0.0)
+    assert int(r2[1]) == 1, "blocked follower should overtake to lane 1"
+    assert int(r2[0]) == 0  # the leader stays
+    # fractional position transferred onto the (shorter) lane-1 loop
+    frac_before = s_follow / total0
+    frac_after = float(s2[1]) / float(t.route_total[1])
+    assert abs(frac_after - frac_before) < 0.02
+
+    # alone on lane 1 → returns right to lane 0 (no one within 2*gap)
+    routes = jnp.asarray([1], jnp.int32)
+    s = jnp.asarray([float(t.route_arclen[1][i0])])
+    v = jnp.asarray([6.0])
+    r3, _, _ = step_agents(t, routes, s, v, phases, dt=0.05,
+                           target_speed=6.0, stop_distance=0.0)
+    assert int(r3[0]) == 0, "clear agent should return to the right lane"
+
+    # single-lane town: routes never change
+    t1 = make_town(blocks=2, n_buildings=8, n_lights=4)
+    r1, _, _ = step_agents(t1, jnp.asarray([0], jnp.int32), jnp.asarray([5.0]),
+                           jnp.asarray([6.0]),
+                           jnp.zeros((t1.lights_pos.shape[0],), jnp.int32),
+                           dt=0.05, target_speed=6.0, stop_distance=0.0)
+    assert int(r1[0]) == 0
+
+
+def test_multilane_end_to_end_rollout():
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.training.closed_loop import make_rollout
+
+    t = make_town(blocks=2, n_buildings=8, n_lights=4, lanes_per_direction=2)
+    params = SimParams(n_agents=8)
+    init_fn, rollout_fn = make_rollout(
+        params, t, RenderConfig(height=32, width=32, backend="jax"), None)
+    carry = init_fn(jax.random.PRNGKey(0), 4)
+    _, traj = rollout_fn(carry, 10)
+    assert np.isfinite(np.asarray(traj["speed"])).all()

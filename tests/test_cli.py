@@ -121,3 +121,28 @@ def test_cli_hpo_pbt(tmp_path, capsys):
     assert len(result["mean_accuracy_per_gen"]) == 2
     assert len(result["final_lrs"]) == 4
     assert json.load(open(result["history_path"]))  # history artifact exists
+
+
+def test_every_config_preset_composes(tmp_path):
+    """Every YAML in the render/sim/experiment groups must compose cleanly —
+    guards preset files against drifting from the code's expectations."""
+    from pathlib import Path
+
+    from carla_imitation_learning_tpu import compose
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.sim.town import make_town_from_cfg
+    from carla_imitation_learning_tpu.sim.world import SimParams
+
+    cfg_root = (Path(__file__).resolve().parents[1]
+                / "carla_imitation_learning_tpu" / "configs")
+    for group, check in (
+        ("render", lambda c: RenderConfig.from_cfg(c)),
+        ("sim", lambda c: (SimParams.from_cfg(c),
+                           make_town_from_cfg(c))),
+        ("experiment", lambda c: c["experiment_name"]),
+    ):
+        for y in sorted((cfg_root / group).glob("*.yaml")):
+            cfg = compose(overrides=[f"{group}={y.stem}",
+                                     f"log_dir={tmp_path}",
+                                     f"data_dir={tmp_path}/data"])
+            check(cfg)  # raises on any stale/invalid preset

@@ -107,7 +107,9 @@ def multihost_initialize(
     explicit = coordinator_address is not None
     env_driven = any(os.environ.get(k) for k in (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS"))
+        "MEGASCALE_COORDINATOR_ADDRESS",
+        # per-worker task id on multi-host Cloud TPU (never set single-chip)
+        "CLOUD_TPU_TASK_ID"))
     # Cloud TPU pod slices set worker topology env instead of a coordinator
     # address; argless initialize() autodetects the cluster from TPU metadata
     # there (jax cluster.GceTpuCluster/GkeTpuCluster). Only a list of MORE

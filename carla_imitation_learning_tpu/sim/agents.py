@@ -65,9 +65,18 @@ def step_agents(
     to an adjacent same-direction lane when that lane has free headway both
     ways — overtaking, as a pure route-index rewrite: lane k of grid cell g
     is route g·lanes + k (make_town contract), and the fractional loop
-    position transfers (concentric rectangles ⇒ same corner phase).
-    ``routes`` passes through unchanged on single-lane towns."""
+    position transfers (concentric rectangles ⇒ same corner phase). On BLOCK
+    loops (offset inward) k=0 is the driver's right lane so overtaking is
+    k+1; on the PERIMETER loops (offset outward) the orientation flips and
+    overtaking-left is k−1. Simultaneous changes into the same slot are
+    broken by agent index. ``routes`` passes through on single-lane towns."""
     pos, yaw = agent_positions(town, routes, s)
+    # junction pavement scales with road width (multi-lane corners sit
+    # farther out); computed in jnp so town may be traced or constant
+    junction_r = jnp.maximum(junction_radius, town.road_half_width * 1.8)
+    d_junc_all = (jnp.linalg.norm(pos[:, None, :] - town.junctions[None],
+                                  axis=-1)
+                  if town.junctions.shape[0] > 0 else None)
 
     # red light braking, per agent
     must_stop = jax.vmap(
@@ -87,12 +96,11 @@ def step_agents(
     # the cross-route conflict rule lights don't cover (CARLA's unsignalised
     # junction behavior). All scatter-free: J is a static town constant.
     must_yield = jnp.zeros_like(leader_close)
-    if yield_at_junctions and town.junctions.shape[0] > 0:
-        d_all = jnp.linalg.norm(pos[:, None, :] - town.junctions[None], axis=-1)
-        jidx = jnp.argmin(d_all, axis=1)                       # (A,)
-        d_junc = jnp.take_along_axis(d_all, jidx[:, None], 1)[:, 0]
-        in_junction = d_junc < junction_radius
-        approaching = (d_junc >= junction_radius) & (d_junc < junction_radius + gap)
+    if yield_at_junctions and d_junc_all is not None:
+        jidx = jnp.argmin(d_junc_all, axis=1)                  # (A,)
+        d_junc = jnp.take_along_axis(d_junc_all, jidx[:, None], 1)[:, 0]
+        in_junction = d_junc < junction_r
+        approaching = (d_junc >= junction_r) & (d_junc < junction_r + gap)
         # occupied[a] = any OTHER agent inside agent a's target junction
         same_junc = jidx[None, :] == jidx[:, None]             # (A, A)
         occupied = jnp.any(same_junc & is_other & in_junction[None, :], axis=1)
@@ -106,13 +114,23 @@ def step_agents(
     routes_new = routes
     if lane_changes and town.lanes > 1:
         lanes = town.lanes
+        A = routes.shape[0]
         frac = s_new / total                       # fractional loop position
         lane_k = routes % lanes
+        # block loops are offset INWARD (k=0 = right lane, overtake = k+1);
+        # the perimeter loops (last cell group) are offset OUTWARD, so the
+        # driver's left is k−1 there
+        n_cells = town.routes.shape[0] // lanes
+        is_perim = (routes // lanes) == (n_cells - 1)
+        ldelta = jnp.where(is_perim, -1, 1)
+        can_left = jnp.where(is_perim, lane_k > 0, lane_k + 1 < lanes)
+        can_right = jnp.where(is_perim, lane_k + 1 < lanes, lane_k > 0)
         # blocked → overtake one lane left; unblocked → drift back right
-        want_left = leader_close & (lane_k + 1 < lanes)
-        want_right = (~leader_close) & (lane_k > 0)
+        want_left = leader_close & can_left
+        want_right = (~leader_close) & can_right
         target_route = jnp.where(
-            want_left, routes + 1, jnp.where(want_right, routes - 1, routes))
+            want_left, routes + ldelta,
+            jnp.where(want_right, routes - ldelta, routes))
         total_t = town.route_total[target_route]
         # headway on the target lane: fractional distance to every agent
         # already there, scaled to meters on the target loop; the return-to
@@ -124,11 +142,18 @@ def step_agents(
         target_free = ~jnp.any(near, axis=1)
         # never swap lanes inside/entering a junction (turn geometry)
         clear_of_junctions = True
-        if town.junctions.shape[0] > 0:
-            d_all2 = jnp.linalg.norm(
-                pos[:, None, :] - town.junctions[None], axis=-1)
-            clear_of_junctions = d_all2.min(axis=1) > junction_radius + 2.0
-        change = (want_left | want_right) & target_free & clear_of_junctions
+        if d_junc_all is not None:
+            clear_of_junctions = d_junc_all.min(axis=1) > junction_r + 2.0
+        wants = want_left | want_right
+        # simultaneous-change tie-break: two agents converging on the same
+        # lane slot in the same step would pass each other's pre-change
+        # occupancy test — the LOWER-indexed agent wins, the other aborts
+        same_tgt = target_route[None, :] == target_route[:, None]
+        rival = (same_tgt & wants[None, :] & is_other
+                 & (df * total_t[:, None] < gap)
+                 & (jnp.arange(A)[None, :] < jnp.arange(A)[:, None]))
+        yields_to_rival = jnp.any(rival, axis=1)
+        change = wants & target_free & clear_of_junctions & ~yields_to_rival
         routes_new = jnp.where(change, target_route, routes)
         # transfer the fractional position onto the (concentric) target loop
         s_new = jnp.where(change, frac * total_t, s_new)

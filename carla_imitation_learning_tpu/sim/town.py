@@ -112,8 +112,10 @@ def make_town(
     successive right-lane offsets, plus the same count of perimeter loops —
     fixed count R = lanes·(blocks² + 1), each resampled to ``route_points``
     points so route-following is a pure gather. Lane k of grid cell g is
-    route ``g·lanes + k`` (k = 0 innermost/rightmost) — the contract
-    agents.step_agents uses for lane changes.
+    route ``g·lanes + k`` with k = 0 INNERMOST (smallest offset) — the
+    driver's right lane on block loops (offset inward) and the driver's
+    LEFT lane on the perimeter (offset outward); agents.step_agents handles
+    the flip when choosing overtaking lanes.
     ``corner_radius > 0`` fillets every route corner with a circular arc
     (curved intersection turns: smooth steering targets for the autopilot and
     smooth vehicle trajectories; stays within the junction pavement).

@@ -189,3 +189,55 @@ def test_multilane_end_to_end_rollout():
     carry = init_fn(jax.random.PRNGKey(0), 4)
     _, traj = rollout_fn(carry, 10)
     assert np.isfinite(np.asarray(traj["speed"])).all()
+
+
+def test_lane_change_perimeter_orientation():
+    """On the perimeter (lanes offset OUTWARD) overtaking-left is k−1: a
+    blocked outer-lane (k=1) perimeter agent moves INWARD to k=0."""
+    from carla_imitation_learning_tpu.sim.agents import step_agents
+
+    t = make_town(blocks=2, n_buildings=8, n_lights=4, lanes_per_direction=2)
+    lanes = t.lanes
+    n_cells = t.routes.shape[0] // lanes
+    perim0 = (n_cells - 1) * lanes      # perimeter lane 0 (inner = left)
+    perim1 = perim0 + 1                 # perimeter lane 1 (outer = right)
+    phases = jnp.zeros((t.lights_pos.shape[0],), jnp.int32)
+    pts = np.asarray(t.routes[perim1])
+    arc = np.asarray(t.route_arclen[perim1])
+    d_junc = np.linalg.norm(pts[:, None, :] - np.asarray(t.junctions)[None],
+                            axis=-1).min(axis=1)
+    i0 = int(np.argmax(d_junc))
+    s_follow = float(arc[i0])
+    s_lead = (s_follow + 5.0) % float(t.route_total[perim1])
+    routes = jnp.asarray([perim1, perim1], jnp.int32)
+    s = jnp.asarray([s_lead, s_follow])
+    v = jnp.asarray([0.0, 6.0])
+    r2, _, _ = step_agents(t, routes, s, v, phases, dt=0.05,
+                           target_speed=6.0, stop_distance=0.0)
+    assert int(r2[1]) == perim0, "perimeter overtake must move INWARD (k-1)"
+
+
+def test_lane_change_tiebreak_no_superposition():
+    """Two agents converging on the same lane slot in one step: only the
+    lower-indexed one changes (no post-change overlap)."""
+    from carla_imitation_learning_tpu.sim.agents import step_agents
+
+    t = make_town(blocks=2, n_buildings=8, n_lights=4, lanes_per_direction=2)
+    phases = jnp.zeros((t.lights_pos.shape[0],), jnp.int32)
+    pts = np.asarray(t.routes[0])
+    arc = np.asarray(t.route_arclen[0])
+    d_junc = np.linalg.norm(pts[:, None, :] - np.asarray(t.junctions)[None],
+                            axis=-1).min(axis=1)
+    i0 = int(np.argmax(d_junc))
+    s0 = float(arc[i0])
+    total0 = float(t.route_total[0])
+    # agents 1 and 2 both tail a stopped leader (agent 0) on lane 0 at nearly
+    # the same spot; both want lane 1 this step
+    routes = jnp.asarray([0, 0, 0], jnp.int32)
+    s = jnp.asarray([(s0 + 5.0) % total0, s0, (s0 - 0.5) % total0])
+    v = jnp.asarray([0.0, 6.0, 6.0])
+    r2, s2, _ = step_agents(t, routes, s, v, phases, dt=0.05,
+                            target_speed=6.0, stop_distance=0.0)
+    moved = [int(r2[i]) == 1 for i in (1, 2)]
+    assert moved == [True, False], (
+        "exactly the lower-indexed changer should win the slot")

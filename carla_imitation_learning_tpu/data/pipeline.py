@@ -54,6 +54,12 @@ class FrameStore:
     # uninterrupted stream (the reference's per-log layout). DeviceDataset
     # uses this to never sample a window that crosses a boundary.
     starts: np.ndarray | None = None
+    # (N,) int — 0-based raw-log frame id of each frame (file name − 1,
+    # reference imitation_dataset.py:103-105). Lets paired streams (e.g. the
+    # raw↔semantic cameras of bc_raw_segment) align frame-for-frame even
+    # after the 80/10/10 sequential split re-bases positions. None for
+    # simulator-collected stores (position IS the id within the stream).
+    file_idx: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.frames)
@@ -79,6 +85,7 @@ class FrameStore:
             actions=acts[file_idx],
             traffic=np.asarray(state.trafficlight).astype(np.int32)[file_idx],
             sensors=state.sensors[file_idx],
+            file_idx=np.asarray(file_idx),
         )
 
     @classmethod
@@ -142,6 +149,7 @@ class FrameStore:
             self.traffic[start:stop], self.sensors[start:stop],
             None if self.commands is None else self.commands[start:stop],
             starts,
+            None if self.file_idx is None else self.file_idx[start:stop],
         )
 
     @classmethod
@@ -314,6 +322,19 @@ class DeviceDataset:
             idx = jax.device_put(idx, self._idx_sharding)
         return self.pure_batch(idx)
 
+    def start_indices(self, idx: np.ndarray) -> jnp.ndarray:
+        """SAMPLE indices → episode-valid window START indices, as a device
+        array (sharded like a batch index vector). Paired-stream loaders
+        (e.g. bc_raw_segment's semantic stream) MUST map through this — raw
+        sample positions skip episode-crossing windows, so feeding them to
+        gather_windows directly would misalign the streams."""
+        idx = jnp.asarray(idx, dtype=jnp.int32)
+        if self._idx_sharding is not None:
+            idx = jax.device_put(idx, self._idx_sharding)
+        if self._valid_starts is not None:
+            idx = self._valid_starts[idx]
+        return idx
+
     def __iter__(self) -> Iterator:
         order = self.epoch_indices()
         nb = len(self)
@@ -321,10 +342,91 @@ class DeviceDataset:
             yield self.make_batch(order[b * self.batch_size:(b + 1) * self.batch_size])
 
 
+class PairedStreamDataset:
+    """Zip a DeviceDataset with a second, frame-aligned camera stream.
+
+    Yields ``(x, x_seg, y)`` for the dual-stream policy (reference
+    ConvNetRawSegment, nets.py:42-78): both windows are gathered with the SAME
+    episode-valid start indices, so raw and semantic pixels always come from
+    the same frame ids. ``seg_frames`` must already be re-based to the base
+    store's positions (see ``paired_sequential_iterator``)."""
+
+    def __init__(self, base: DeviceDataset, seg_frames: np.ndarray):
+        if len(seg_frames) != len(base.store):
+            raise ValueError(
+                f"paired stream has {len(seg_frames)} frames for a "
+                f"{len(base.store)}-frame base store")
+        self.base = base
+        self.seg = jnp.asarray(seg_frames)
+        self.batch_size = base.batch_size
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __iter__(self) -> Iterator:
+        order = self.base.epoch_indices()
+        for b in range(len(self.base)):
+            idx = order[b * self.base.batch_size:(b + 1) * self.base.batch_size]
+            x, y = self.base.make_batch(idx)
+            # sample index → episode-valid window START (never the raw sample
+            # position: stores with boundaries skip crossing windows)
+            sidx = self.base.start_indices(idx)
+            xs = gather_windows(self.seg, sidx, self.base.frame_skip,
+                                self.base.dtype)
+            yield x, xs, y
+
+
+def rebase_stream(frames: np.ndarray, frames_file_idx: np.ndarray,
+                  target_file_idx: np.ndarray | None) -> np.ndarray:
+    """Select from a full-log frame array the frames whose raw-log ids match
+    ``target_file_idx``, in that order — pairs a second camera stream with a
+    split store frame-for-frame (the sequential split stores val/test at the
+    80–90%/90–100% positions of the log, so position-based pairing is wrong
+    for them)."""
+    if target_file_idx is None:
+        return frames[:]
+    pos = np.searchsorted(frames_file_idx, target_file_idx)
+    pos = np.clip(pos, 0, len(frames_file_idx) - 1)
+    if not np.array_equal(np.asarray(frames_file_idx)[pos], target_file_idx):
+        raise ValueError("paired stream is missing frames present in the "
+                         "base camera log")
+    return frames[pos]
+
+
+def paired_sequential_iterator(cfg, sharding=None) -> dict:
+    """Loaders for the dual-stream experiment (reference train.py:205-239):
+    raw sequential-split stores zipped with the 'semantic' camera of the same
+    log, aligned by raw frame id through FrameStore.file_idx."""
+    stores = _sequential_stores(cfg)
+    sem_dir = Path(cfg["data_dir"]) / "raw" / cfg["train_logs"][0] / "semantic"
+    sem_full = sem_file_idx = None
+    if sem_dir.is_dir():
+        sem_log = fl.FrameLog(sem_dir)
+        sem_full = sem_log.read_all_gray_u8()
+        sem_file_idx = sem_log.file_idx
+    out = {}
+    for split, name in (("train", "train_dataloader"), ("val", "val_dataloader"),
+                        ("test", "test_dataloader")):
+        base = DeviceDataset(
+            stores[split], int(cfg["BATCH_SIZE"]),
+            frame_skip=int(cfg["frame_skip"]), drop_last=(split == "train"),
+            dtype=str(cfg.get("compute_dtype_input", "float32")),
+            sharding=(sharding if split == "train" else None))
+        if sem_full is None:
+            seg = stores[split].frames  # no semantic camera: degenerate pair
+        else:
+            seg = rebase_stream(sem_full, sem_file_idx, stores[split].file_idx)
+        out[name] = PairedStreamDataset(base, seg)
+    return out
+
+
 class SequenceDataset:
     """(frames_seq (B, T, H, W, 1), actions_seq (B, T)) batches for latent
     world-model training (reports/Results.xlsx plan). Window starts respect
-    ``episode_len`` boundaries when given (env-major collected streams)."""
+    ``episode_len`` boundaries when given (env-major collected streams) AND
+    ``store.starts`` (mid-stream auto-resets marked by collect_dataset) —
+    a training sequence never spans a crash-and-respawn, exactly like
+    DeviceDataset's window masking."""
 
     def __init__(self, store: FrameStore, batch_size: int, seq_len: int = 8,
                  episode_len: int | None = None, shuffle: bool = True,
@@ -340,6 +442,14 @@ class SequenceDataset:
         if episode_len:
             keep = (starts % episode_len) <= episode_len - seq_len
             starts = starts[keep]
+        if store.starts is not None and seq_len > 1:
+            # sequence i covers frames [i, i+seq_len) — drop it if any frame
+            # in (i, i+seq_len) begins a new episode
+            ep = np.asarray(store.starts, bool)
+            crosses = np.zeros(n - seq_len, bool)
+            for d in range(1, seq_len):
+                crosses |= ep[d:d + (n - seq_len)]
+            starts = starts[~crosses[starts]]
         if len(starts) == 0:
             raise ValueError(f"no length-{seq_len} sequences in store of {n}")
         self.starts = starts

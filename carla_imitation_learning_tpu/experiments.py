@@ -240,43 +240,8 @@ def behavior_cloning_raw_segment(cfg, **kw):
     """Reference train.py:205-239: shared-trunk dual-stream (raw + semantic)."""
     cfg_c = cfg.copy()
     _maybe_synthesize(cfg_c, "camera")
-    raw = pipe._sequential_stores(cfg_c)
-    # semantic stream shares the split; frames come from the 'semantic' camera
-    sem_dir = Path(cfg["data_dir"]) / "raw" / cfg["train_logs"][0] / "semantic"
-    sem_frames = fl.FrameLog(sem_dir).read_all_gray_u8() if sem_dir.is_dir() else None
-
     mesh, sharding = _mesh_bits(cfg)
-
-    class ZipLoader:
-        def __init__(self, base: pipe.DeviceDataset, seg_frames):
-            self.base = base
-            seg = seg_frames if seg_frames is not None else base.store.frames
-            self.seg = jnp.asarray(seg[:len(base.store)])
-            self.batch_size = base.batch_size
-
-        def __len__(self):
-            return len(self.base)
-
-        def __iter__(self):
-            order = self.base.epoch_indices()
-            for b in range(len(self.base)):
-                idx = order[b * self.base.batch_size:(b + 1) * self.base.batch_size]
-                x, y = self.base.make_batch(idx)
-                sidx = jnp.asarray(idx, jnp.int32)
-                if self.base._idx_sharding is not None:
-                    sidx = jax.device_put(sidx, self.base._idx_sharding)
-                xs = pipe.gather_windows(self.seg, sidx,
-                                         self.base.frame_skip, self.base.dtype)
-                yield x, xs, y
-
-    loaders = {}
-    for split, name in (("train", "train_dataloader"), ("val", "val_dataloader"),
-                        ("test", "test_dataloader")):
-        base = pipe.DeviceDataset(raw[split], int(cfg["BATCH_SIZE"]),
-                                  frame_skip=int(cfg["frame_skip"]),
-                                  drop_last=(split == "train"),
-                                  sharding=(sharding if split == "train" else None))
-        loaders[name] = ZipLoader(base, sem_frames)
+    loaders = pipe.paired_sequential_iterator(cfg_c, sharding=sharding)
     model = DualStreamCNN(obs_size=int(cfg["obs_size"]),
                           n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
     return _fit(cfg_c, "imitation_raw_segment", model, model.example_input(1),

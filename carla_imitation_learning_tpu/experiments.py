@@ -534,18 +534,34 @@ def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
         shuffle=(k == "train"), cil=True, drop_last=(k == "train"),
         sharding=(sharding if k == "train" else None))
         for k, v in splits.items()}
-    model = BranchedCILPolicy(n_commands=int(cfg.get("n_commands", 4)),
-                              dtype=_dtype(cfg))
+    n_commands = int(cfg.get("n_commands", 6))
+    model = BranchedCILPolicy(n_commands=n_commands, dtype=_dtype(cfg))
     frames, speed, command = model.example_input(1, rcfg.height, rcfg.width)
     loss = cil_loss_fn(float(cfg.get("speed_weight", 0.1)))
-    return _fit(cfg, "bc_cil", model, (frames, speed, command), loss, loaders,
-                mesh=mesh)
+    result = _fit(cfg, "bc_cil", model, (frames, speed, command), loss, loaders,
+                  mesh=mesh)
+    # per-command sample counts: every branch of the policy should train on
+    # real samples (use sim=town_multilane / the bc_cil preset for all 6)
+    hist = np.bincount(store.commands, minlength=n_commands)
+    result["command_histogram"] = hist.tolist()
+    empty = [c for c in range(n_commands) if hist[c] == 0]
+    if empty:
+        from carla_imitation_learning_tpu.utils import ColorPrint
+
+        ColorPrint.print_warn(
+            f"bc_cil: commands {empty} have no samples — branches never train"
+            " (enable lanes_per_direction>1 + superblocks + lane_change_period"
+            " for the full taxonomy)")
+    return result
 
 
 @experiment("hpo")
-def hpo(cfg, num_samples: int = 4, **kw):
+def hpo(cfg, num_samples: int = 4, max_concurrent: int = 4, **kw):
     """Working replacement for the reference's broken Ray Tune path
-    (ray_trainer.py:39-53): random-search trials over the BC recipe."""
+    (ray_trainer.py:39-53): random-search trials over the BC recipe, run
+    ``max_concurrent`` at a time like Ray's 4 concurrent trials, with
+    per-trial loader/PRNG isolation (DeviceDataset.fork) and trial-level
+    fault tolerance (a raising trial is recorded, the sweep continues)."""
     from carla_imitation_learning_tpu.parallel.hpo import tune_run
 
     cfg_c = cfg.copy()
@@ -557,8 +573,12 @@ def hpo(cfg, num_samples: int = 4, **kw):
     )
 
     def trainable(trial_cfg):
+        trial_seed = int(trial_cfg.get("seed", 0))
+        # per-trial forks: fresh shuffle/PRNG state over shared device arrays
+        train_ds = loaders["train_dataloader"].fork(1000 + trial_seed)
+        val_ds = loaders["val_dataloader"].fork(2000 + trial_seed)
         model = PolicyCNN(dtype=_dtype(cfg))
-        rng = jax.random.PRNGKey(int(trial_cfg.get("seed", 0)))
+        rng = jax.random.PRNGKey(trial_seed)
         tx = make_optimizer({"LEARNING_RATE": trial_cfg["lr"],
                              "gradient_clip_val": 0.5}, 1)
         h = int(cfg.get("image_height", 256))
@@ -566,19 +586,21 @@ def hpo(cfg, num_samples: int = 4, **kw):
                                    model.example_input(1, h, int(cfg.get("image_width", h))), tx)
         step = make_train_step(bc_loss_fn, donate=False)
         for epoch in range(int(trial_cfg.get("epochs", 2))):
-            for batch in loaders["train_dataloader"]:
+            for batch in train_ds:
                 rng, k = jax.random.split(rng)
                 state, _ = step(state, batch, k)
         ev = make_eval_step(bc_loss_fn)
-        accs = [ev(state, b)["accuracy"] for b in loaders["val_dataloader"]]
+        accs = [ev(state, b)["accuracy"] for b in val_ds]
         return {"mean_accuracy": float(np.mean([float(a) for a in accs]))}
 
     best, trials = tune_run(
         trainable, space={"lr": (1e-4, 1e-2), "epochs": [2], "seed": [0, 1, 2, 3]},
         num_samples=num_samples, metric="mean_accuracy", mode="max",
+        max_concurrent=int(max_concurrent),
         results_dir=str(Path(cfg["log_dir"]) / "hpo"))
     return {"best_config": best.config, "best_metrics": best.metrics,
-            "n_trials": len(trials)}
+            "n_trials": len(trials),
+            "n_failed": sum(t.failed for t in trials)}
 
 
 @experiment("collect_multicamera")
@@ -655,9 +677,12 @@ def world_model(cfg, n_envs: int = 16, n_steps: int = 128, seq_len: int = 8,
 @experiment("world_model_sweep")
 def world_model_sweep(cfg, n_envs: int = 16, n_steps: int = 128,
                       z_sizes=(64, 128, 512), rnns=("lstm", "gru"),
-                      losses=("mse", "ms_ssim"), **kw):
+                      losses=("mse", "ms_ssim"), max_concurrent: int = 4, **kw):
     """The reference's HPO plan, executed: Latent Size × RNN Unit × Loss grid
-    (reports/Results.xlsx sheet1 — the reference only ever recorded the plan)."""
+    (reports/Results.xlsx sheet1 — the reference only ever recorded the plan).
+    Trials are fully self-contained (each builds its own data, model, logger
+    and uniquely-named checkpoint dir), so they run ``max_concurrent`` at a
+    time; a failing trial is recorded and the grid continues."""
     from carla_imitation_learning_tpu.parallel.hpo import grid_space, tune_run
 
     def trainable(trial):
@@ -671,10 +696,12 @@ def world_model_sweep(cfg, n_envs: int = 16, n_steps: int = 128,
     space = {"z": list(z_sizes), "rnn": list(rnns), "loss": list(losses)}
     best, trials = tune_run(trainable, trial_configs=grid_space(space),
                             metric="val_loss", mode="min",
+                            max_concurrent=int(max_concurrent),
                             results_dir=str(Path(cfg["log_dir"]) / "wm_sweep"))
     return {"best_config": best.config, "best_metrics": best.metrics,
             "n_trials": len(trials),
-            "table": [{**t.config, **t.metrics} for t in trials]}
+            "n_failed": sum(t.failed for t in trials),
+            "table": [{**t.config, **t.metrics} for t in trials if not t.failed]}
 
 
 def _bc_vmap_trainable(cfg, epochs: int):

@@ -11,7 +11,7 @@ from carla_imitation_learning_tpu.sim.town import TownMap, make_town  # noqa: F4
 from carla_imitation_learning_tpu.sim.world import (  # noqa: F401
     SimParams, WorldState, VehicleControl,
     reset_env, step_env, autopilot_control, sensor_vector,
-    make_batched_env,
+    make_batched_env, navigation_command, ego_lane_change_plan,
 )
 from carla_imitation_learning_tpu.sim.dynamics import bicycle_step  # noqa: F401
 from carla_imitation_learning_tpu.sim.pedestrians import (  # noqa: F401

@@ -105,6 +105,7 @@ def make_town(
     seed: int = 0,
     corner_radius: float = 0.0,
     lanes_per_direction: int = 1,
+    superblocks: bool = False,
 ) -> TownMap:
     """Build a (blocks×blocks)-block grid town.
 
@@ -116,6 +117,15 @@ def make_town(
     driver's right lane on block loops (offset inward) and the driver's
     LEFT lane on the perimeter (offset outward); agents.step_agents handles
     the flip when choosing overtaking lanes.
+    ``superblocks=True`` adds loops around every 2×1/1×2 cell pair and every
+    L-shaped 3-cell union (between the single-block groups and the perimeter,
+    preserving the group order contract). A super-block's long sides pass
+    STRAIGHT through the grid node they straddle, and an L-loop's concave
+    corner is a RIGHT turn at a junction — the route geometries behind the
+    CIL 'straight' (3) and 'right' (2) navigation commands, which plain CCW
+    block loops (always turning left at every node they touch) can never
+    produce. Every added edge coincides with an existing lane line in the
+    same travel direction, so traffic stays consistent.
     ``corner_radius > 0`` fillets every route corner with a circular arc
     (curved intersection turns: smooth steering targets for the autopilot and
     smooth vehicle trajectories; stays within the junction pavement).
@@ -127,18 +137,52 @@ def make_town(
 
     # --- routes ---------------------------------------------------------
     loops = []
+
+    def rect_loop(x0, y0, x1, y1, o):
+        """CCW rectangle offset INWARD by o (right-hand traffic)."""
+        return np.array([
+            [x0 + o, y0 + o], [x1 - o, y0 + o],
+            [x1 - o, y1 - o], [x0 + o, y1 - o],
+        ])
+
     for bi in range(blocks):
         for bj in range(blocks):
             x0, y0 = bi * block_size, bj * block_size
-            x1, y1 = x0 + block_size, y0 + block_size
-            # CCW loops around the block, offset INTO the block by half a
-            # lane + k lane widths (right-hand traffic; lane 0 rightmost).
+            # loops around the block, offset by half a lane + k lane widths
+            # (lane 0 rightmost for CCW traffic)
             for k in range(lanes):
-                o = half_lane + k * lane_width
-                loops.append(np.array([
-                    [x0 + o, y0 + o], [x1 - o, y0 + o],
-                    [x1 - o, y1 - o], [x0 + o, y1 - o],
-                ]))
+                loops.append(rect_loop(x0, y0, x0 + block_size, y0 + block_size,
+                                       half_lane + k * lane_width))
+    if superblocks and blocks > 1:
+        for bi in range(blocks - 1):   # horizontal 2×1 pairs
+            for bj in range(blocks):
+                x0, y0 = bi * block_size, bj * block_size
+                for k in range(lanes):
+                    loops.append(rect_loop(x0, y0, x0 + 2 * block_size,
+                                           y0 + block_size,
+                                           half_lane + k * lane_width))
+        for bi in range(blocks):       # vertical 1×2 pairs
+            for bj in range(blocks - 1):
+                x0, y0 = bi * block_size, bj * block_size
+                for k in range(lanes):
+                    loops.append(rect_loop(x0, y0, x0 + block_size,
+                                           y0 + 2 * block_size,
+                                           half_lane + k * lane_width))
+        for bi in range(blocks - 1):   # L-shaped 3-cell unions: cells
+            for bj in range(blocks - 1):   # (bi,bj)+(bi+1,bj)+(bi+1,bj+1)
+                x0, x1, x2 = (bi * block_size, (bi + 1) * block_size,
+                              (bi + 2) * block_size)
+                y0, y1, y2 = (bj * block_size, (bj + 1) * block_size,
+                              (bj + 2) * block_size)
+                for k in range(lanes):
+                    o = half_lane + k * lane_width
+                    # CCW inward-offset L outline; the concave corner at
+                    # (x1+o, y1−o) turns RIGHT through junction (x1, y1)
+                    loops.append(np.array([
+                        [x0 + o, y0 + o], [x2 - o, y0 + o],
+                        [x2 - o, y2 - o], [x1 + o, y2 - o],
+                        [x1 + o, y1 - o], [x0 + o, y1 - o],
+                    ]))
     for k in range(lanes):  # outer perimeter loops (CCW, offset outward)
         o = half_lane + k * lane_width
         loops.append(np.array([
@@ -227,6 +271,7 @@ def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
         n_lights=int(cfg.sim.n_lights), seed=seed,
         corner_radius=float(t.get("corner_radius", 0.0)),
         lanes_per_direction=int(t.get("lanes_per_direction", 1)),
+        superblocks=bool(t.get("superblocks", False)),
     )
 
 

@@ -42,6 +42,12 @@ class SimParams:
     collision_radius: float = 2.2
     episode_len: int = 400
     target_speed: float = 8.0  # autopilot cruise speed
+    # Scripted ego lane changes (multi-lane towns): every ``lane_change_period``
+    # steps the ego's navigation plan swaps to the adjacent same-direction
+    # lane; the CIL nav command announces it (4=left, 5=right) for
+    # ``lane_change_window`` steps around the switch. 0 = off.
+    lane_change_period: int = 0
+    lane_change_window: int = 12
 
     @classmethod
     def from_cfg(cls, cfg) -> "SimParams":
@@ -56,6 +62,8 @@ class SimParams:
             episode_len=int(s.episode_len),
             n_pedestrians=int(s.get("n_pedestrians", 0)),
             ped_speed=float(s.get("ped_speed", 1.4)),
+            lane_change_period=int(s.get("lane_change_period", 0)),
+            lane_change_window=int(s.get("lane_change_window", 12)),
         )
 
 
@@ -108,6 +116,88 @@ def reset_env(params: SimParams, town: TownMap, rng) -> WorldState:
         peds_crossing=peds_crossing, peds_s=peds_s, peds_phase=peds_phase,
         t=jnp.zeros((), jnp.int32), rng=k_state,
     )
+
+
+def ego_lane_change_plan(params: SimParams, town: TownMap, state: WorldState):
+    """Scripted lane-change navigation plan for the ego.
+
+    Returns ``(target_route, command)`` — command is 0 (none), 4 (change
+    left) or 5 (change right), active for ``lane_change_window`` steps around
+    the scheduled switch at ``t % period == period // 2``. Pure function of
+    (t, route): no extra state, so checkpoints/resets need nothing new.
+    Lane-index geometry follows agents.step_agents: on block/super-block
+    loops (offset inward) k+1 is the driver's LEFT; the perimeter (offset
+    outward) flips.
+    """
+    zero = jnp.zeros((), jnp.int32)
+    if town.lanes <= 1 or params.lane_change_period <= 0:
+        return state.ego_route, zero
+    lanes = town.lanes
+    period = params.lane_change_period
+    k = state.ego_route % lanes
+    n_cells = town.routes.shape[0] // lanes
+    is_perim = (state.ego_route // lanes) == (n_cells - 1)
+    # target lane: up until the top lane, then back down
+    dk = jnp.where(k + 1 < lanes, 1, -1)
+    target_route = state.ego_route + dk
+    left = jnp.where(is_perim, dk < 0, dk > 0)
+    cmd = jnp.where(left, 4, 5).astype(jnp.int32)
+    phase = jnp.mod(state.t, period)
+    active = jnp.abs(phase - period // 2) < params.lane_change_window // 2 + 1
+    return target_route, jnp.where(active, cmd, zero)
+
+
+def _apply_ego_lane_change(params: SimParams, town: TownMap,
+                           prev: WorldState, mid: WorldState) -> WorldState:
+    """Execute the scheduled lane switch on ``mid`` (pre-arclength-refine):
+    rewrite ego_route and transfer the fractional loop position (concentric
+    loops ⇒ same corner phase), unless the ego is inside/entering a junction
+    (turn geometry) — a blocked switch just waits for the next period."""
+    if town.lanes <= 1 or params.lane_change_period <= 0:
+        return mid
+    target_route, _ = ego_lane_change_plan(params, town, prev)
+    phase = jnp.mod(prev.t, params.lane_change_period)
+    clear = jnp.ones((), bool)
+    if town.junctions.shape[0] > 0:
+        d = jnp.min(jnp.linalg.norm(prev.ego_pos - town.junctions, axis=-1))
+        junction_r = jnp.maximum(6.0, town.road_half_width * 1.8)
+        clear = d > junction_r + 2.0
+    do = (phase == params.lane_change_period // 2) \
+        & (target_route != prev.ego_route) & clear
+    frac = mid.ego_s / town.route_total[prev.ego_route]
+    return mid.replace(
+        ego_route=jnp.where(do, target_route, mid.ego_route),
+        ego_s=jnp.where(do, frac * town.route_total[target_route], mid.ego_s))
+
+
+def navigation_command(params: SimParams, town: TownMap, state: WorldState
+                       ) -> jnp.ndarray:
+    """CIL-style navigation command (full CARLA-like taxonomy):
+    0=follow(lane) 1=left 2=right 3=straight (through the next junction —
+    reachable on super-block/perimeter/L routes) 4=change-lane-left
+    5=change-lane-right (scripted, ``ego_lane_change_plan``).
+
+    Pure function of the world state; the rollout loop vmaps it per env and
+    the BranchedCILPolicy selects its head with it (models/cil.py)."""
+    from carla_imitation_learning_tpu.sim.town import route_point
+
+    _, yaw_now = route_point(town, state.ego_route, state.ego_s)
+    _, yaw_ahead = route_point(town, state.ego_route, state.ego_s + 15.0)
+    dyaw = jnp.mod(yaw_ahead - yaw_now + jnp.pi, 2 * jnp.pi) - jnp.pi
+    turn = jnp.where(dyaw > 0, 1, 2)
+    # straight-at-junction: path ahead is straight AND passes a grid node
+    # (super-block long sides, L-loop sides, perimeter; plain block loops
+    # always turn at the nodes they touch)
+    straight_junc = jnp.zeros((), bool)
+    if town.junctions.shape[0] > 0:
+        p_ahead, _ = route_point(town, state.ego_route, state.ego_s + 10.0)
+        d = jnp.min(jnp.linalg.norm(p_ahead - town.junctions, axis=-1))
+        junction_r = jnp.maximum(6.0, town.road_half_width * 1.8)
+        straight_junc = d < junction_r + 2.0
+    base = jnp.where(jnp.abs(dyaw) >= 0.15, turn,
+                     jnp.where(straight_junc, 3, 0)).astype(jnp.int32)
+    _, lane_cmd = ego_lane_change_plan(params, town, state)
+    return jnp.where(lane_cmd > 0, lane_cmd, base)
 
 
 def _nearest_s_update(town: TownMap, state: WorldState) -> jnp.ndarray:
@@ -172,6 +262,7 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
         peds_crossing=state.peds_crossing, peds_s=peds_s, peds_phase=peds_phase,
         t=t_new, rng=state.rng,
     )
+    mid = _apply_ego_lane_change(params, town, state, mid)
     mid = mid.replace(ego_s=_nearest_s_update(town, mid))
 
     # auto-reset: branchless select between continued and fresh state

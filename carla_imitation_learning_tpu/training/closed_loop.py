@@ -93,18 +93,9 @@ def make_rollout(
     sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))
     light_batch = jax.vmap(lambda s: traffic_light_state(params, town, s))
 
-    def nav_command(state: WorldState) -> jnp.ndarray:
-        """CIL-style navigation command from upcoming route curvature:
-        0=follow(lane) 1=left 2=right 3=straight (at the next junction)."""
-        from carla_imitation_learning_tpu.sim.town import route_point
+    from carla_imitation_learning_tpu.sim.world import navigation_command
 
-        _, yaw_now = route_point(town, state.ego_route, state.ego_s)
-        _, yaw_ahead = route_point(town, state.ego_route, state.ego_s + 15.0)
-        dyaw = jnp.mod(yaw_ahead - yaw_now + jnp.pi, 2 * jnp.pi) - jnp.pi
-        return jnp.where(jnp.abs(dyaw) < 0.15, 0,
-                         jnp.where(dyaw > 0, 1, 2)).astype(jnp.int32)
-
-    command_batch = jax.vmap(nav_command)
+    command_batch = jax.vmap(lambda s: navigation_command(params, town, s))
 
     lidar_batch = None
     if lidar_beams > 0:

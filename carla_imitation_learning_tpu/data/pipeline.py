@@ -322,6 +322,16 @@ class DeviceDataset:
             idx = jax.device_put(idx, self._idx_sharding)
         return self.pure_batch(idx)
 
+    def fork(self, seed: int) -> "DeviceDataset":
+        """Shallow copy with FRESH shuffle/PRNG state sharing the same device
+        arrays — per-trial loader isolation for concurrent HPO (threaded
+        trials each iterate their own fork; zero extra HBM)."""
+        import copy
+
+        forked = copy.copy(self)
+        forked._rng = np.random.default_rng(seed)
+        return forked
+
     def start_indices(self, idx: np.ndarray) -> jnp.ndarray:
         """SAMPLE indices → episode-valid window START indices, as a device
         array (sharded like a batch index vector). Paired-stream loaders

@@ -34,6 +34,11 @@ class Trial:
     config: dict
     metrics: dict
     checkpoint_path: str | None = None
+    error: str | None = None  # traceback of a failed trial (sweep continues)
+
+    @property
+    def failed(self) -> bool:
+        return self.error is not None
 
 
 def grid_space(space: Mapping[str, Sequence[Any]]) -> list[dict]:
@@ -78,13 +83,16 @@ def tune_run(
 
     Mirrors the surface of reference ray_trainer.py:49-53 without the broken
     plumbing. ``trial_configs`` (explicit grid) overrides random sampling.
-    ``max_concurrent > 1`` runs trials on a thread pool (Ray ran 4 concurrent
-    trials, ray_trainer.py:49-53) — concurrency overlaps each trial's
-    host-side work (tracing, data prep, metric fetches) while the device
-    interleaves their dispatched programs. It is OPT-IN because the trainable
-    must be thread-safe: a trainable closing over shared loaders/RNGs (like
-    the bc `hpo` experiment's) races under threads — Ray ran trials in
-    separate processes, which threads do not replicate.
+
+    Fault tolerance matches Ray's trial-level isolation: a RAISING trainable
+    records a failed Trial (``error`` = traceback) and the sweep continues;
+    only an all-failed sweep raises. ``max_concurrent > 1`` runs trials on a
+    thread pool (Ray ran 4 concurrent trials, ray_trainer.py:49-53) —
+    concurrency overlaps each trial's host-side work (tracing, data prep,
+    metric fetches) while the device interleaves their dispatched programs.
+    The trainable must be thread-isolated: no shared mutable loaders/PRNGs
+    (DeviceDataset.fork gives per-trial loader state over shared device
+    arrays — see the `hpo` experiment).
     """
     if trial_configs is None:
         if space is None:
@@ -93,9 +101,14 @@ def tune_run(
 
     def run_one(i_tc):
         i, tc = i_tc
-        metrics = trainable(dict(tc))
-        ckpt = checkpoint_fn(i, metrics) if checkpoint_fn else None
-        return Trial(i, dict(tc), dict(metrics), ckpt)
+        try:
+            metrics = trainable(dict(tc))
+            ckpt = checkpoint_fn(i, metrics) if checkpoint_fn else None
+            return Trial(i, dict(tc), dict(metrics), ckpt)
+        except Exception:  # noqa: BLE001 — trial-level fault isolation
+            import traceback
+
+            return Trial(i, dict(tc), {}, None, error=traceback.format_exc())
 
     if max_concurrent > 1 and len(trial_configs) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -104,8 +117,12 @@ def tune_run(
             trials = list(pool.map(run_one, enumerate(trial_configs)))
     else:
         trials = [run_one(x) for x in enumerate(trial_configs)]
+    ok = [t for t in trials if not t.failed]
+    if not ok:
+        raise RuntimeError(
+            "every trial failed; first error:\n" + (trials[0].error or ""))
     sign = -1.0 if mode == "max" else 1.0
-    best = min(trials, key=lambda t: sign * float(t.metrics.get(metric, float("inf") * sign)))
+    best = min(ok, key=lambda t: sign * float(t.metrics.get(metric, float("inf") * sign)))
     if results_dir:
         p = Path(results_dir)
         p.mkdir(parents=True, exist_ok=True)

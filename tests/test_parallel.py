@@ -128,6 +128,86 @@ def test_tune_run_sequential_mode():
     assert best.config["x"] == 0
 
 
+def test_tune_run_survives_failing_trial():
+    """Ray-equivalent trial-level fault tolerance (ray_trainer.py:49-53):
+    a raising trainable records a failed Trial; the sweep continues."""
+    from carla_imitation_learning_tpu.parallel.hpo import tune_run
+
+    def trainable(config):
+        if config["x"] == 1:
+            raise RuntimeError("boom")
+        return {"mean_accuracy": config["x"]}
+
+    best, trials = tune_run(trainable, trial_configs=[{"x": i} for i in range(4)],
+                            metric="mean_accuracy", mode="max")
+    assert best.config["x"] == 3
+    assert [t.failed for t in trials] == [False, True, False, False]
+    assert "boom" in trials[1].error
+    # failed trials never win, even in min mode over empty metrics
+    best_min, _ = tune_run(trainable, trial_configs=[{"x": i} for i in range(4)],
+                           metric="mean_accuracy", mode="min")
+    assert not best_min.failed
+
+
+def test_tune_run_all_failed_raises():
+    import pytest
+
+    from carla_imitation_learning_tpu.parallel.hpo import tune_run
+
+    def bad(config):
+        raise ValueError("nope")
+
+    with pytest.raises(RuntimeError, match="every trial failed"):
+        tune_run(bad, trial_configs=[{"x": 0}, {"x": 1}])
+
+
+def test_hpo_experiment_concurrent_matches_serial(tmp_path):
+    """The REAL `hpo` experiment at max_concurrent=4 must produce per-trial
+    metrics identical to the serial run — per-trial loader forks + PRNGs make
+    thread concurrency semantics-free (round-3 verdict item 4)."""
+    import json
+
+    from carla_imitation_learning_tpu import compose
+    from carla_imitation_learning_tpu.experiments import EXPERIMENTS
+
+    def run(tag, max_concurrent):
+        cfg = compose("config", overrides=[
+            "model=imitation", "BATCH_SIZE=4", "NUM_EPOCHS=1",
+            "image_height=32", "image_width=32", "synthetic_frames=100",
+            "compute_dtype=float32",
+            f"data_dir={tmp_path}/data", f"log_dir={tmp_path}/logs_{tag}",
+        ])
+        return EXPERIMENTS["hpo"](cfg, num_samples=4,
+                                  max_concurrent=max_concurrent)
+
+    serial = run("serial", 1)
+    conc = run("conc", 4)
+    assert serial["n_failed"] == conc["n_failed"] == 0
+    t_serial = json.loads((tmp_path / "logs_serial/hpo/trials.json").read_text())
+    t_conc = json.loads((tmp_path / "logs_conc/hpo/trials.json").read_text())
+    assert len(t_serial) == len(t_conc) == 4
+    for a, b in zip(t_serial, t_conc):
+        assert a["config"] == b["config"]
+        np.testing.assert_allclose(a["metrics"]["mean_accuracy"],
+                                   b["metrics"]["mean_accuracy"], rtol=1e-5)
+
+
+def test_device_dataset_fork_isolation(synthetic_store):
+    """Forks share device arrays but own their shuffle state."""
+    from carla_imitation_learning_tpu.data.pipeline import DeviceDataset
+
+    ds = DeviceDataset(synthetic_store, batch_size=4, frame_skip=4, shuffle=True)
+    f1, f2 = ds.fork(7), ds.fork(7)
+    f3 = ds.fork(8)
+    assert f1.frames is ds.frames  # zero-copy
+    np.testing.assert_array_equal(f1.epoch_indices(), f2.epoch_indices())
+    assert not np.array_equal(f1.epoch_indices(), f3.epoch_indices())
+    # forking never perturbs the parent's stream
+    parent_first = ds.epoch_indices()
+    ds2 = DeviceDataset(synthetic_store, batch_size=4, frame_skip=4, shuffle=True)
+    np.testing.assert_array_equal(parent_first, ds2.epoch_indices())
+
+
 def test_pbt_run_improves_population(rng):
     """PBT on a toy problem where the hyperparameter IS the answer: member
     score = -(h - 3)^2 plus a tiny state evolution. Truncation exploit must

@@ -133,7 +133,7 @@ def bench_closed_loop(n_envs: int = 1024) -> float:
     return rate
 
 
-def _bc_fixture(batch: int, hw: int, dtype: str = "float32"):
+def _bc_fixture(batch: int, hw: int, dtype: str = "float32", s2d: bool = False):
     from carla_imitation_learning_tpu.data.pipeline import DeviceDataset, FrameStore
     from carla_imitation_learning_tpu.models import PolicyCNN
     from carla_imitation_learning_tpu.training import (
@@ -143,20 +143,21 @@ def _bc_fixture(batch: int, hw: int, dtype: str = "float32"):
     store = FrameStore.synthetic(n=max(2 * batch, 512), height=hw, width=hw, seed=0)
     ds = DeviceDataset(store, batch_size=batch, frame_skip=4, shuffle=True,
                        dtype=dtype)
-    model = PolicyCNN()
+    model = PolicyCNN(s2d_stem=s2d)
     rng = jax.random.PRNGKey(0)
     tx = make_optimizer({"LEARNING_RATE": 1e-3, "gradient_clip_val": 0.5}, 1)
     state = create_train_state(model, rng, model.example_input(1, hw, hw), tx)
     return ds, state, rng, bc_loss_fn
 
 
-def bench_bc_images(batch: int = 256, hw: int = 256) -> float:
+def bench_bc_images(batch: int = 256, hw: int = 256, s2d: bool = False) -> float:
     """Step-path throughput: distinct pre-materialized device batches chained
     through donated state; marginal over two chain lengths with a scalar
-    host fetch at the end of each chain."""
+    host fetch at the end of each chain. ``s2d`` benches the space-to-depth
+    stem variant (function-preserving; PERFORMANCE.md A/B)."""
     from carla_imitation_learning_tpu.training import make_train_step
 
-    ds, state, rng, loss_fn = _bc_fixture(batch, hw, dtype="bfloat16")
+    ds, state, rng, loss_fn = _bc_fixture(batch, hw, dtype="bfloat16", s2d=s2d)
     step = make_train_step(loss_fn)
     batches = [ds.make_batch(np.random.default_rng(i).integers(0, ds.n_samples, batch))
                for i in range(16)]
@@ -177,8 +178,9 @@ def bench_bc_images(batch: int = 256, hw: int = 256) -> float:
         deltas.append((t_big - t_small) / 32)
     per = float(np.median(deltas))
     rate = batch / per
-    log(f"BC training (step path): {rate:,.0f} images/sec marginal "
-        f"({per*1e3:.2f} ms/step, batch {batch}, {hw}x{hw}x4, bf16)")
+    log(f"BC training (step path{', s2d stem' if s2d else ''}): {rate:,.0f} "
+        f"images/sec marginal ({per*1e3:.2f} ms/step, batch {batch}, "
+        f"{hw}x{hw}x4, bf16)")
     return rate
 
 

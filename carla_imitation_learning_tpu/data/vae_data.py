@@ -72,6 +72,19 @@ def _load_frames(cfg, logs, camera) -> np.ndarray:
     data_dir = Path(cfg["data_dir"])
     parts = []
     for log in logs:
+        # packed framestore tier first (collect_multicamera writes
+        # <cam>.tpuilfs at memcpy speed — no PNG decode on load either)
+        packed = data_dir / "raw" / log / f"{camera}.tpuilfs"
+        if packed.exists():
+            try:
+                from carla_imitation_learning_tpu.native import NativeFrameStore
+
+                nfs = NativeFrameStore(packed)
+                parts.append(np.array(nfs.frames))
+                nfs.close()
+                continue
+            except Exception:
+                pass  # fall through to the per-file layout
         flog = fl.FrameLog(_camera_dir(data_dir, log, camera, cfg.get("image_size")))
         parts.append(flog.read_all_gray_u8())
     return np.concatenate(parts, axis=0)

@@ -6,7 +6,9 @@ interface inferred from imitation.py:11-24 and imitation_dataset.py:139-194)
 and a command-conditioned CIL-style branched policy (BASELINE.json config #2).
 """
 
-from carla_imitation_learning_tpu.models.cnn import PolicyCNN, DualStreamCNN  # noqa: F401
+from carla_imitation_learning_tpu.models.cnn import (  # noqa: F401
+    DualStreamCNN, PolicyCNN, convert_params_to_s2d,
+)
 from carla_imitation_learning_tpu.models.vae import ConvVAE  # noqa: F401
 from carla_imitation_learning_tpu.models.aux import AuxNet  # noqa: F401
 from carla_imitation_learning_tpu.models.cil import BranchedCILPolicy  # noqa: F401

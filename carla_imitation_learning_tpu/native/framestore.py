@@ -82,6 +82,7 @@ def save_framestore(path: str | os.PathLike, store) -> Path:
     window across an env-stream/reset boundary)."""
     lib = _load()
     path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
     frames = np.ascontiguousarray(store.frames, dtype=np.uint8)
     n, h, w = frames.shape
     actions = np.ascontiguousarray(store.actions, dtype=np.int32)

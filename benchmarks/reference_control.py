@@ -142,10 +142,11 @@ def main() -> None:
             if n_img:
                 rates.append(n_img / wall)
         # decode-only rate: proves the path is input-bound
+        probe = window_starts[:512]
         t0 = time.perf_counter()
-        for _ in pool.imap(_decode_window, window_starts[:512], chunksize=8):
+        for _ in pool.imap(_decode_window, probe, chunksize=8):
             pass
-        decode_rate = 512 / (time.perf_counter() - t0)
+        decode_rate = len(probe) / (time.perf_counter() - t0)
 
     rate = float(np.median(rates)) if rates else float("nan")
     result = {

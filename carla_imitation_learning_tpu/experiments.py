@@ -373,12 +373,20 @@ def collect_data(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
 
 
 @experiment("bc_streaming")
-def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2, **kw):
+def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
+                 tier: str = "direct", **kw):
     """BC over the NATIVE streaming tier: data is collected on-device, written
-    to a packed framestore file, then trained via the C++ mmap reader with
-    multi-threaded host window prefetch — the path for datasets beyond HBM."""
+    to a packed framestore file, then streamed for training — the path for
+    datasets beyond HBM.
+
+    ``tier="direct"`` (default): shard-resident device streaming — each
+    shard's raw frame block DMAs to the device once and window gathers run
+    on device (native.DeviceShardStreamer; no host window assembly, 1/fs the
+    H2D bytes). ``tier="host"``: the C++ mmap reader with multi-threaded
+    host window prefetch (the round-2 path, kept for A/B and for hosts where
+    device memory can't hold 2 shards)."""
     from carla_imitation_learning_tpu.native import (
-        NativeFrameStore, PrefetchReader, save_framestore,
+        DeviceShardStreamer, NativeFrameStore, PrefetchReader, save_framestore,
     )
     from carla_imitation_learning_tpu.training.steps import make_train_step
 
@@ -389,13 +397,29 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2, **k
     path.parent.mkdir(parents=True, exist_ok=True)
     save_framestore(path, store)
 
-    nfs = NativeFrameStore(path)
-    reader = PrefetchReader(nfs, batch=int(cfg.get("BATCH_SIZE", 64)),
-                            frame_skip=int(cfg.get("frame_skip", 4)),
-                            n_threads=4, shuffle=True,
-                            seed=int(cfg.get("seed", 0)))
+    batch = int(cfg.get("BATCH_SIZE", 64))
+    fs = int(cfg.get("frame_skip", 4))
+    nfs = None
+    if tier == "direct":
+        reader = DeviceShardStreamer(path, batch=batch, frame_skip=fs,
+                                     shuffle=True, seed=int(cfg.get("seed", 0)))
+        batches = lambda: iter(reader)  # noqa: E731 — already device batches
+    else:
+        nfs = NativeFrameStore(path)
+        host_reader = PrefetchReader(nfs, batch=batch, frame_skip=fs,
+                                     n_threads=4, shuffle=True,
+                                     seed=int(cfg.get("seed", 0)))
+        reader = host_reader
+
+        def batches():
+            # device_prefetch keeps 2 batches in flight: the H2D copy of
+            # batch i+1 rides under the train step of batch i
+            for frames, labels in pipe.device_prefetch(host_reader):
+                x = jnp.transpose(frames, (0, 2, 3, 1)).astype(jnp.float32) / 255.0
+                yield x, labels
+
     model = PolicyCNN(dtype=_dtype(cfg))
-    tx = make_optimizer(cfg, steps_per_epoch=len(reader))
+    tx = make_optimizer(cfg, steps_per_epoch=max(1, len(reader)))
     state = create_train_state(
         model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
     step = make_train_step(bc_loss_fn, donate=False)
@@ -405,17 +429,15 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2, **k
     t0 = _time.perf_counter()
     n_images = 0
     for _ in range(epochs):
-        # device_prefetch keeps 2 batches in flight: the H2D copy of batch
-        # i+1 rides under the train step of batch i (async transfers)
-        for frames, labels in pipe.device_prefetch(reader):
-            x = jnp.transpose(frames, (0, 2, 3, 1)).astype(jnp.float32) / 255.0  # NHWC
+        for x, labels in batches():
             rng, k = jax.random.split(rng)
             state, last = step(state, (x, labels), k)
             n_images += x.shape[0]
     jax.block_until_ready(last["loss"])
     wall = _time.perf_counter() - t0
-    nfs.close()
-    return {"frames": len(store), "epochs": epochs,
+    if nfs is not None:
+        nfs.close()
+    return {"frames": len(store), "epochs": epochs, "tier": tier,
             "final_loss": float(last["loss"]),
             "final_accuracy": float(last["accuracy"]),
             "images_per_sec_streaming": n_images / wall,

@@ -14,6 +14,7 @@ from carla_imitation_learning_tpu.native.framestore import (  # noqa: F401
     save_framestore,
 )
 from carla_imitation_learning_tpu.native.sharded import (  # noqa: F401
+    DeviceShardStreamer,
     ShardedFrameStore,
     ShardedPrefetchReader,
     save_sharded_framestore,

@@ -121,6 +121,124 @@ class ShardedFrameStore:
         return self.shards[i]["n"]
 
 
+class DeviceShardStreamer:
+    """Direct framestore→device streaming (no host window hop).
+
+    The host-gather tier (PrefetchReader → numpy window batches → device_put)
+    moves every window's pixels over H2D — ``frame_skip``× the unique bytes,
+    re-assembled by host threads first. This tier instead uploads each
+    shard's RAW frame block to the device ONCE (one async H2D straight from
+    the mmap — zero host transform, zero copy beyond the DMA itself) and
+    performs the window gather ON DEVICE per batch, exactly like the in-HBM
+    DeviceDataset path. The next shard's upload is issued before the current
+    shard's batches finish, so the DMA rides under training compute
+    (double-buffered shard residency: device memory stays O(2 shards)).
+
+    Yields ``(x (B, H, W, frame_skip) dtype in [0,1], y (B,) int32)`` device
+    batches — the train-step contract, not the host uint8 contract. Window
+    starts respect the shard's episode-start bitmap (windows and their label
+    never cross a boundary — same rule as DeviceDataset).
+    """
+
+    def __init__(self, store: "ShardedFrameStore | str | os.PathLike",
+                 batch: int, frame_skip: int = 4, dtype: str = "float32",
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+        if not isinstance(store, ShardedFrameStore):
+            p = Path(store)
+            if p.is_file():  # single-file framestore = one shard
+                self._single = p
+                self.store = None
+            else:
+                self.store = ShardedFrameStore(p)
+                self._single = None
+        else:
+            self.store = store
+            self._single = None
+        self.batch = batch
+        self.frame_skip = frame_skip
+        self.dtype = dtype
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def _shard_paths(self) -> list[Path]:
+        if self._single is not None:
+            return [self._single]
+        return [self.store.dir / s["file"] for s in self.store.shards]
+
+    @staticmethod
+    def _valid_starts(n: int, starts: np.ndarray | None, span: int) -> np.ndarray:
+        base = np.arange(max(n - span, 0), dtype=np.int32)
+        if starts is None or span == 0 or len(base) == 0:
+            return base
+        st = np.asarray(starts, bool)
+        crosses = np.zeros(len(base), bool)
+        for d in range(1, span + 1):
+            crosses |= st[d:d + len(base)]
+        return base[~crosses]
+
+    def _load_shard(self, path: Path):
+        """mmap → (async device frames, device actions, valid starts)."""
+        import jax
+
+        nfs = NativeFrameStore(path)
+        try:
+            # one contiguous memcpy out of the mmap (the view must not outlive
+            # the close — device_put's DMA is async), then an async H2D of the
+            # raw frame block; no window assembly anywhere on the host
+            frames = np.array(nfs.frames)
+            actions = np.array(nfs.actions).astype(np.int32)
+            valid = self._valid_starts(
+                len(frames), nfs.starts, self.frame_skip)
+        finally:
+            nfs.close()
+        return jax.device_put(frames), jax.device_put(actions), valid
+
+    def __iter__(self):
+        from carla_imitation_learning_tpu.data.pipeline import gather_windows
+
+        import jax.numpy as jnp
+
+        paths = self._shard_paths()
+        order = np.arange(len(paths))
+        rng = np.random.default_rng(self.seed + self._epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        self._epoch += 1
+        pending = self._load_shard(paths[order[0]])
+        for pos, si in enumerate(order):
+            dev_frames, dev_actions, valid = pending
+            if pos + 1 < len(order):  # issue the next shard's DMA now
+                pending = self._load_shard(paths[order[pos + 1]])
+            if len(valid) == 0:
+                continue
+            widx = valid.copy()
+            if self.shuffle:
+                rng.shuffle(widx)
+            nb = (len(widx) // self.batch if self.drop_last and
+                  len(widx) >= self.batch else -(-len(widx) // self.batch))
+            for b in range(nb):
+                idx = jnp.asarray(widx[b * self.batch:(b + 1) * self.batch],
+                                  jnp.int32)
+                x = gather_windows(dev_frames, idx, self.frame_skip, self.dtype)
+                yield x, dev_actions[idx + self.frame_skip]
+
+    def __len__(self) -> int:
+        total = 0
+        for p in self._shard_paths():
+            nfs = NativeFrameStore(p)
+            try:
+                v = len(self._valid_starts(len(nfs.frames), nfs.starts,
+                                           self.frame_skip))
+            finally:
+                nfs.close()
+            if v:
+                total += (v // self.batch if self.drop_last and v >= self.batch
+                          else -(-v // self.batch))
+        return total
+
+
 class ShardedPrefetchReader:
     """Two-level shuffled window-batch iterator over a shard directory.
 

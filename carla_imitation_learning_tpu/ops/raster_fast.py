@@ -98,7 +98,7 @@ def compact_setup(setup: TriangleSetup, cap: int) -> TriangleSetup:
 
 
 def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
-                    far: float = 300.0):
+                    far: float = 300.0, lod_px: float = 0.0):
     """Per tile row band: nearest-first indices of triangles that can actually
     cover a pixel in the band.
 
@@ -114,6 +114,12 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
     ymin, ymax = setup.bbox[:, 2], setup.bbox[:, 3]
     onscreen = setup.valid & (setup.zmin < far)
     onscreen &= (xmax >= 0.0) & (xmin <= width)
+    if lod_px > 0.0:
+        # scene LOD: drop triangles whose whole projected bbox is under
+        # lod_px pixels in BOTH dims (distant facade-band slivers etc.) —
+        # they can light at most ~1 pixel yet cost a full pass in every band
+        # their (conservative) bbox touches
+        onscreen &= (xmax - xmin >= lod_px) | (ymax - ymin >= lod_px)
     row_lo = (jnp.arange(n_rows, dtype=jnp.float32) * TILE_ROWS)[:, None]
     row_hi = row_lo + TILE_ROWS
     hit = (ymax[None, :] >= row_lo) & (ymin[None, :] <= row_hi) & onscreen[None, :]
@@ -209,7 +215,8 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "near", "far",
                                              "interpret", "max_tris_per_tile",
-                                             "compact_cap", "fog_density"))
+                                             "compact_cap", "fog_density",
+                                             "lod_px"))
 def rasterize_luma_fast(
     setup: TriangleSetup,
     height: int,
@@ -220,6 +227,7 @@ def rasterize_luma_fast(
     max_tris_per_tile: int | None = None,
     compact_cap: int | None = None,
     fog_density: float = 0.0,
+    lod_px: float = 0.0,
 ):
     """→ gray (H, W) f32 in [0,1] — the policy observation channel only.
 
@@ -240,7 +248,8 @@ def rasterize_luma_fast(
     tris = pack_setup_fast(setup)
     n_tris = tris.shape[1]  # (13, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
-    idx, count = tile_lists_fast(setup, height, k, width=width, far=far)
+    idx, count = tile_lists_fast(setup, height, k, width=width, far=far,
+                                 lod_px=lod_px)
     if k % 2:  # the 2-wide unrolled loop may overshoot to the next multiple
         idx = jnp.pad(idx, ((0, 0), (0, 1)))
         k += 1

@@ -38,6 +38,8 @@ class RenderConfig:
     active_cap: int | None = None  # fast path: pre-compact the valid tris to
                                    # this table width (raster_fast.compact_setup)
     fog_density: float = 0.0  # exponential fog β (1/m); 0 = clear weather
+    lod_px: float = 0.0       # fast path: cull triangles whose projected bbox
+                              # is under this many pixels both ways (scene LOD)
     rain: float = 0.0         # rain intensity in [0, 1]; 0 = dry
     facade_bands: int = 0     # >0: window-floor stripes on building walls
                               # (+~(8·bands−6) tris per building)
@@ -55,6 +57,7 @@ class RenderConfig:
                    active_cap=(int(r["active_cap"]) if r.get("active_cap")
                                else None),
                    fog_density=float(r.get("fog_density", 0.0)),
+                   lod_px=float(r.get("lod_px", 0.0)),
                    rain=float(r.get("rain", 0.0)),
                    facade_bands=int(r.get("facade_bands", 0)),
                    shadows=bool(r.get("shadows", False)))
@@ -131,7 +134,8 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
             gray = fast_raster(setup, rcfg.height, rcfg.width,
                                near=rcfg.near, far=rcfg.far,
                                compact_cap=rcfg.active_cap,
-                               fog_density=rcfg.fog_density)  # fog fused in-kernel
+                               fog_density=rcfg.fog_density,  # fused in-kernel
+                               lod_px=rcfg.lod_px)
             return {"gray": _rain(gray, state)}
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,

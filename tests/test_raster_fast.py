@@ -130,3 +130,29 @@ def test_compact_setup_exact_when_under_cap():
                                  compact_cap=max(16, n_valid // 2))
     d = np.abs(np.asarray(g_full[H // 2:]) - np.asarray(g_over[H // 2:]))
     assert (d > 2 / 255).mean() < 0.02
+
+
+def test_lod_culls_subpixel_only():
+    """lod_px drops only triangles whose projected bbox is subpixel both
+    ways; rendered output stays near-identical (those tris could light at
+    most ~a pixel)."""
+    from carla_imitation_learning_tpu.ops.raster_fast import tile_lists_fast
+
+    setup = make_setup(0)
+    idx0, count0 = tile_lists_fast(setup, H, setup.valid.shape[0], width=W)
+    idx1, count1 = tile_lists_fast(setup, H, setup.valid.shape[0], width=W,
+                                   lod_px=1.0)
+    assert int(count1.sum()) <= int(count0.sum())
+    # every dropped triangle really is subpixel
+    bbox = np.asarray(setup.bbox)
+    wpx, hpx = bbox[:, 1] - bbox[:, 0], bbox[:, 3] - bbox[:, 2]
+    in0 = {int(i) for r, c in zip(np.asarray(idx0), np.asarray(count0))
+           for i in r[:int(c[0])]}
+    in1 = {int(i) for r, c in zip(np.asarray(idx1), np.asarray(count1))
+           for i in r[:int(c[0])]}
+    for t in in0 - in1:
+        assert wpx[t] < 1.0 and hpx[t] < 1.0, f"tri {t} not subpixel"
+    g0 = rasterize_luma_fast(setup, H, W, interpret=True)
+    g1 = rasterize_luma_fast(setup, H, W, interpret=True, lod_px=1.0)
+    d = np.abs(np.asarray(g0) - np.asarray(g1))
+    assert (d > 2 / 255).mean() < 0.005

@@ -1,0 +1,288 @@
+"""Multi-chip scaling evidence within this harness's limits (verdict item 6).
+
+No real multi-chip hardware exists here, so the provable substitutes are:
+
+1. **Compiled-HLO collective audit** (the load-bearing evidence): compile the
+   data-parallel BC train step and the sharded fleet rollout over an N-device
+   mesh and parse the per-device HLO. Shows:
+   - the train step's all-reduce traffic is O(params) — byte-identical across
+     per-device batch sizes and device counts (gradient psum only, no
+     activation or batch-dependent communication),
+   - the fleet rollout contains ZERO collectives — the env axis is embarrassingly
+     data-parallel by construction, so rollout throughput scales linearly with
+     chips up to ICI-free limits.
+2. **Weak-scaling curve** on the virtual CPU mesh (1→2→4→8 devices, fixed
+   work per device, rollout + fused BC epoch). NOTE: this host has ONE
+   physical core, so all virtual devices time-share it — the wall-clock curve
+   measures emulation overhead, not ICI; it is reported for completeness and
+   to catch structural per-device overheads (a flat per-device-work time
+   WOULD be wrong here; time ∝ devices is the 1-core expectation).
+
+Each device count needs a fresh backend, so the parent re-execs itself as
+child processes. Writes reports/scaling.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+HLO_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+
+
+def _force_cpu(n: int):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n)
+    return jax
+
+
+def _shape_bytes(shape: str) -> int:
+    """'f32[16,64]' → bytes. Tuple shapes '(f32[...], u8[...])' are summed."""
+    total = 0
+    for dt, dims in re.findall(r"(f64|f32|bf16|f16|s32|u32|s8|u8|pred)\[([\d,]*)\]",
+                               shape):
+        sz = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+              "s8": 1, "u8": 1, "pred": 1}[dt]
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * sz
+    return total
+
+
+def collective_stats(hlo_text: str) -> dict:
+    """Count + total bytes of every collective op in an HLO module text."""
+    stats = {}
+    for line in hlo_text.splitlines():
+        m = re.search(r"=\s+(.*?)\s+(all-reduce|all-gather|reduce-scatter|"
+                      r"collective-permute|all-to-all)(-start)?\(", line)
+        if m and "get-tuple-element" not in line:
+            kind = m.group(2)
+            s = stats.setdefault(kind, {"count": 0, "bytes": 0})
+            s["count"] += 1
+            s["bytes"] += _shape_bytes(m.group(1))
+    return stats
+
+
+def _mesh_step_bits(jax, n_devices, per_device_batch, hw=64):
+    import jax.numpy as jnp
+
+    from carla_imitation_learning_tpu.models import PolicyCNN
+    from carla_imitation_learning_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, shard_train_state,
+    )
+    from carla_imitation_learning_tpu.training import (
+        bc_loss_fn, create_train_state, make_optimizer, make_train_step,
+    )
+
+    mesh = make_mesh(axis_sizes={"data": n_devices, "model": 1},
+                     devices=jax.devices()[:n_devices])
+    model = PolicyCNN(dtype=jnp.float32)
+    tx = make_optimizer({"LEARNING_RATE": 1e-3, "gradient_clip_val": 0.5}, 1)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, jnp.zeros((2, hw, hw, 4)), tx)
+    state = shard_train_state(mesh, state)
+    B = per_device_batch * n_devices
+    sh = batch_sharding(mesh)
+    x = jax.device_put(jnp.ones((B, hw, hw, 4), jnp.float32), sh)
+    y = jax.device_put(jnp.zeros((B,), jnp.int32), sh)
+    step = make_train_step(bc_loss_fn, donate=False)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
+    return mesh, state, (x, y), rng, step, n_params
+
+
+def audit(n_devices: int) -> dict:
+    """Per-device HLO collective audit of the train step (two batch sizes)
+    and the sharded rollout."""
+    jax = _force_cpu(n_devices)
+    import jax.numpy as jnp
+
+    out = {"devices": n_devices, "train_step": {}}
+    for pdb in (8, 32):
+        mesh, state, batch, rng, step, n_params = _mesh_step_bits(
+            jax, n_devices, pdb)
+        txt = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__") else step
+                      ).lower(state, batch, rng).compile().as_text()
+        out["train_step"][f"per_device_batch_{pdb}"] = collective_stats(txt)
+        out["param_bytes"] = int(n_params * 4)
+
+    # sharded rollout: must contain NO collectives at all
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.sim import SimParams, make_town
+    from carla_imitation_learning_tpu.training.closed_loop import make_rollout
+
+    town = make_town(blocks=2, n_buildings=4, n_lights=2)
+    params = SimParams(n_agents=2)
+    rcfg = RenderConfig(32, 32, max_triangles=192, backend="jax")
+    from carla_imitation_learning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(axis_sizes={"data": n_devices, "model": 1},
+                     devices=jax.devices()[:n_devices])
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, None, mesh=mesh)
+    carry = init_fn(jax.random.PRNGKey(0), 2 * n_devices)
+    txt = rollout_fn.lower(carry, 8).compile().as_text()
+    out["rollout"] = collective_stats(txt)
+    return out
+
+
+def weak_scale(n_devices: int, envs_per_device: int = 16,
+               batch_per_device: int = 8) -> dict:
+    """Fixed work per device; marginal wall time per step/epoch."""
+    jax = _force_cpu(n_devices)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.sim import SimParams, make_town
+    from carla_imitation_learning_tpu.training.closed_loop import make_rollout
+
+    # --- rollout ----------------------------------------------------------
+    town = make_town(blocks=2, n_buildings=6, n_lights=4)
+    params = SimParams(n_agents=4)
+    rcfg = RenderConfig(32, 32, max_triangles=192, backend="jax")
+    from carla_imitation_learning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(axis_sizes={"data": n_devices, "model": 1},
+                     devices=jax.devices()[:n_devices])
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, None, mesh=mesh)
+    n_envs = envs_per_device * n_devices
+    carry = init_fn(jax.random.PRNGKey(0), n_envs)
+
+    def run(carry, n):
+        t0 = time.perf_counter()
+        carry, traj = rollout_fn(carry, n)
+        float(jnp.sum(traj["speed"]))
+        return carry, time.perf_counter() - t0
+
+    carry, _ = run(carry, 4)
+    carry, _ = run(carry, 20)
+    deltas = []
+    for _ in range(3):
+        carry, t4 = run(carry, 4)
+        carry, t20 = run(carry, 20)
+        deltas.append((t20 - t4) / 16)
+    roll_per_step = float(np.median(deltas))
+
+    # --- fused BC epoch ---------------------------------------------------
+    from carla_imitation_learning_tpu.data.pipeline import DeviceDataset, FrameStore
+    from carla_imitation_learning_tpu.parallel.mesh import (
+        batch_sharding, shard_train_state,
+    )
+    from carla_imitation_learning_tpu.training import (
+        bc_loss_fn, create_train_state, make_fused_epoch, make_optimizer,
+    )
+
+    hw = 64
+    B = batch_per_device * n_devices
+    store = FrameStore.synthetic(n=max(2 * B + 8, 64), height=hw, width=hw)
+    ds = DeviceDataset(store, batch_size=B, frame_skip=4,
+                       sharding=batch_sharding(mesh))
+    from carla_imitation_learning_tpu.models import PolicyCNN
+
+    model = PolicyCNN(dtype=jnp.float32)
+    tx = make_optimizer({"LEARNING_RATE": 1e-3, "gradient_clip_val": 0.5}, 1)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, jnp.zeros((2, hw, hw, 4)), tx)
+    state = shard_train_state(mesh, state)
+    epoch = make_fused_epoch(bc_loss_fn, ds.pure_batch, donate=False)
+
+    def orders(nb, seed):
+        return jnp.asarray(np.random.default_rng(seed).integers(
+            0, ds.n_samples, (nb, B)), jnp.int32)
+
+    def erun(state, rng, nb, seed):
+        t0 = time.perf_counter()
+        state, rng, m = epoch(state, orders(nb, seed), rng)
+        float(jnp.sum(m["loss"]))
+        return state, rng, time.perf_counter() - t0
+
+    state, rng, _ = erun(state, rng, 2, 0)
+    state, rng, _ = erun(state, rng, 8, 1)
+    deltas = []
+    for i in range(3):
+        state, rng, t2 = erun(state, rng, 2, 2 + i)
+        state, rng, t8 = erun(state, rng, 8, 10 + i)
+        deltas.append((t8 - t2) / 6)
+    bc_per_step = float(np.median(deltas))
+
+    return {"devices": n_devices, "n_envs": n_envs,
+            "rollout_ms_per_fleet_step": round(roll_per_step * 1e3, 2),
+            "rollout_env_steps_per_sec": round(n_envs / roll_per_step, 1),
+            "bc_batch": B,
+            "bc_ms_per_step": round(bc_per_step * 1e3, 2),
+            "bc_images_per_sec": round(B / bc_per_step, 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", choices=["audit", "weak"], default=None)
+    ap.add_argument("--devices", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.child == "audit":
+        print(json.dumps(audit(args.devices)))
+        return
+    if args.child == "weak":
+        print(json.dumps(weak_scale(args.devices)))
+        return
+
+    def run_child(mode, n):
+        r = subprocess.run(
+            [sys.executable, __file__, "--child", mode, "--devices", str(n)],
+            capture_output=True, text=True, timeout=1800)
+        if r.returncode != 0:
+            raise RuntimeError(f"{mode}@{n} failed:\n{r.stderr[-2000:]}")
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    report = {
+        "note": ("virtual CPU mesh on a 1-physical-core host: the weak-scaling"
+                 " wall clock measures emulation (expect time ∝ devices);"
+                 " the HLO audit is the hardware-independent evidence"),
+        "audit": {}, "weak_scaling": []}
+    for n in (2, 8):
+        print(f"HLO collective audit @ {n} devices...", file=sys.stderr)
+        report["audit"][str(n)] = run_child("audit", n)
+    for n in (1, 2, 4, 8):
+        print(f"weak scaling @ {n} devices...", file=sys.stderr)
+        report["weak_scaling"].append(run_child("weak", n))
+
+    # invariants the audit must prove
+    a2, a8 = report["audit"]["2"], report["audit"]["8"]
+    for a in (a2, a8):
+        b8 = a["train_step"]["per_device_batch_8"]
+        b32 = a["train_step"]["per_device_batch_32"]
+        assert b8 == b32, "collective traffic depends on batch size!"
+        ar_bytes = b8.get("all-reduce", {}).get("bytes", 0)
+        assert ar_bytes <= 1.2 * a["param_bytes"], \
+            f"all-reduce bytes {ar_bytes} exceed O(params) {a['param_bytes']}"
+        assert a["rollout"] == {}, f"rollout contains collectives: {a['rollout']}"
+    assert a2["train_step"]["per_device_batch_8"] == \
+        a8["train_step"]["per_device_batch_8"], \
+        "per-device collective traffic grows with device count"
+    report["conclusions"] = [
+        "train-step all-reduce bytes == O(params), independent of batch size "
+        "and device count (gradient psum only)",
+        "fleet rollout compiles to ZERO collectives (env axis embarrassingly "
+        "parallel; scales linearly with chips)",
+    ]
+    out = Path(__file__).resolve().parents[1] / "reports" / "scaling.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=1))
+    print(json.dumps({"ok": True, "report": str(out),
+                      **{k: report["audit"]["8"]["train_step"][k]
+                         for k in ("per_device_batch_8",)}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,8 @@ def compact_setup(setup: TriangleSetup, cap: int) -> TriangleSetup:
 
 
 def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
-                    far: float = 300.0, lod_px: float = 0.0):
+                    far: float = 300.0, lod_px: float = 0.0,
+                    rows_per_band: int = TILE_ROWS):
     """Per tile row band: nearest-first indices of triangles that can actually
     cover a pixel in the band.
 
@@ -109,7 +110,7 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
     is strictly negative over the whole rect — a stronger and cheaper test
     than the sign-agreement form. → (idx (R,k) i32, count (R,1)).
     """
-    n_rows = height // TILE_ROWS
+    n_rows = height // rows_per_band
     xmin, xmax = setup.bbox[:, 0], setup.bbox[:, 1]
     ymin, ymax = setup.bbox[:, 2], setup.bbox[:, 3]
     onscreen = setup.valid & (setup.zmin < far)
@@ -120,8 +121,8 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
         # they can light at most ~1 pixel yet cost a full pass in every band
         # their (conservative) bbox touches
         onscreen &= (xmax - xmin >= lod_px) | (ymax - ymin >= lod_px)
-    row_lo = (jnp.arange(n_rows, dtype=jnp.float32) * TILE_ROWS)[:, None]
-    row_hi = row_lo + TILE_ROWS
+    row_lo = (jnp.arange(n_rows, dtype=jnp.float32) * rows_per_band)[:, None]
+    row_hi = row_lo + rows_per_band
     hit = (ymax[None, :] >= row_lo) & (ymin[None, :] <= row_hi) & onscreen[None, :]
 
     # corner cull: e(x,y) = a·x + b·y + c over x∈[0,W], y∈[ylo,yhi]
@@ -156,8 +157,10 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
 
 
 def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
-                 height, sky_top_l, sky_hor_l, fog_density):
+                 height, sky_top_l, sky_hor_l, fog_density,
+                 list_band_factor=1):
     r = pl.program_id(0)
+    lr = r // list_band_factor  # list row: bands may share a coarser list
     y0 = (r * TILE_ROWS).astype(jnp.float32)
 
     py_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, width), 0)
@@ -189,12 +192,12 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
     # overlap. Tail overshoot (count odd / beyond-count entries) is safe: list
     # tails hold non-hit or invalid triangles, which produce no passing pixels.
     def body(j, kmin):
-        a = tri_pass(idx_ref[r, 2 * j], kmin0)
-        b = tri_pass(idx_ref[r, 2 * j + 1], kmin0)
+        a = tri_pass(idx_ref[lr, 2 * j], kmin0)
+        b = tri_pass(idx_ref[lr, 2 * j + 1], kmin0)
         return jnp.minimum(kmin, jnp.minimum(a, b))
 
     kmin0 = jnp.full((TILE_ROWS, width), MISS_KEY, jnp.int32)
-    kmin = jax.lax.fori_loop(0, (count_ref[r, 0] + 1) // 2, body, kmin0)
+    kmin = jax.lax.fori_loop(0, (count_ref[lr, 0] + 1) // 2, body, kmin0)
 
     hit = kmin < far_key
     depth = jax.lax.bitcast_convert_type(
@@ -216,7 +219,7 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
 @functools.partial(jax.jit, static_argnames=("height", "width", "near", "far",
                                              "interpret", "max_tris_per_tile",
                                              "compact_cap", "fog_density",
-                                             "lod_px"))
+                                             "lod_px", "list_band_factor"))
 def rasterize_luma_fast(
     setup: TriangleSetup,
     height: int,
@@ -228,6 +231,7 @@ def rasterize_luma_fast(
     compact_cap: int | None = None,
     fog_density: float = 0.0,
     lod_px: float = 0.0,
+    list_band_factor: int = 1,
 ):
     """→ gray (H, W) f32 in [0,1] — the policy observation channel only.
 
@@ -249,18 +253,21 @@ def rasterize_luma_fast(
     n_tris = tris.shape[1]  # (13, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
     idx, count = tile_lists_fast(setup, height, k, width=width, far=far,
-                                 lod_px=lod_px)
+                                 lod_px=lod_px,
+                                 rows_per_band=TILE_ROWS * list_band_factor)
     if k % 2:  # the 2-wide unrolled loop may overshoot to the next multiple
         idx = jnp.pad(idx, ((0, 0), (0, 1)))
         k += 1
-    assert height % TILE_ROWS == 0, f"height {height} % {TILE_ROWS} != 0"
+    band = TILE_ROWS * list_band_factor
+    assert height % band == 0, f"height {height} % {band} != 0"
     n_rows = height // TILE_ROWS
+    n_list_rows = height // band
 
     kernel = functools.partial(
         _fast_kernel, width=width, near=near, far=far, height=height,
         sky_top_l=float(np.asarray(SKY_TOP) @ np.asarray(LUMA_W)),
         sky_hor_l=float(np.asarray(SKY_HORIZON) @ np.asarray(LUMA_W)),
-        fog_density=fog_density)
+        fog_density=fog_density, list_band_factor=list_band_factor)
 
     out = pl.pallas_call(
         kernel,
@@ -271,9 +278,9 @@ def rasterize_luma_fast(
             # full-array SMEM blocks with a constant index map: Mosaic rejects
             # (1, k) row blocks (last-2-dims divisibility rule), and a constant
             # map stages the copy once for the whole grid anyway
-            pl.BlockSpec((n_rows, k), lambda r: (0, 0),
+            pl.BlockSpec((n_list_rows, k), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_rows, 1), lambda r: (0, 0),
+            pl.BlockSpec((n_list_rows, 1), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((TILE_ROWS, width), lambda r: (r, 0),

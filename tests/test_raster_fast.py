@@ -156,3 +156,12 @@ def test_lod_culls_subpixel_only():
     g1 = rasterize_luma_fast(setup, H, W, interpret=True, lod_px=1.0)
     d = np.abs(np.asarray(g0) - np.asarray(g1))
     assert (d > 2 / 255).mean() < 0.005
+
+
+def test_list_band_factor_identical_output():
+    """Coarse shared band lists are conservative SUPERSETS per band — output
+    must be pixel-identical to per-band lists at any factor."""
+    setup = make_setup(1)
+    g1 = rasterize_luma_fast(setup, H, W, interpret=True)
+    g2 = rasterize_luma_fast(setup, H, W, interpret=True, list_band_factor=2)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))

@@ -282,22 +282,27 @@ def route_point(town: TownMap, route_idx, s):
     Routes are uniformly resampled, so the segment index is ~s/total·P; chord
     shortening at polygon corners perturbs it by at most one segment, which a
     branchless ±1 correction fixes. This replaces a binary-search
-    (searchsorted) per query — the sim fleet issues ~30 queries/env/step."""
+    (searchsorted) per query — the sim fleet issues ~30 queries/env/step.
+
+    All table reads are DIRECT 2-D element gathers (``table[r, i]``): the
+    earlier row-gather form (``pts = routes[r]`` then ``pts[i]``) staged a
+    full (P, 2) row per query — ~1.5 KB/env/call × ~30 calls/env/step of
+    pure gather traffic the elements never needed (round-3 sim ablation)."""
     total = town.route_total[route_idx]
     s = jnp.mod(s, total)
-    arclen = town.route_arclen[route_idx]  # (P,)
-    pts = town.routes[route_idx]  # (P,2)
-    n = pts.shape[0]
+    n = town.routes.shape[1]
     i0 = jnp.clip((s / total * n).astype(jnp.int32), 0, n - 1)
     # correct to the true bracketing segment: arclen[i] <= s < arclen[i+1]
-    up = (i0 + 1 < n) & (s >= arclen[jnp.minimum(i0 + 1, n - 1)])
-    down = s < arclen[i0]
+    up = (i0 + 1 < n) & (s >= town.route_arclen[route_idx,
+                                                jnp.minimum(i0 + 1, n - 1)])
+    down = s < town.route_arclen[route_idx, i0]
     i = jnp.clip(i0 + up.astype(jnp.int32) - down.astype(jnp.int32), 0, n - 1)
     nxt = (i + 1) % n
-    p0, p1 = pts[i], pts[nxt]
+    p0 = town.routes[route_idx, i]
+    p1 = town.routes[route_idx, nxt]
     seg = p1 - p0
     seg_len = jnp.linalg.norm(seg) + 1e-9
-    frac = jnp.clip((s - arclen[i]) / seg_len, 0.0, 1.0)
+    frac = jnp.clip((s - town.route_arclen[route_idx, i]) / seg_len, 0.0, 1.0)
     pos = p0 + frac * seg
     yaw = jnp.arctan2(seg[1], seg[0])
     return pos, yaw

@@ -353,6 +353,40 @@ def pick_fresh(pool: WorldState, state: WorldState) -> WorldState:
     return jax.tree_util.tree_map(lambda a: a[idx], pool)
 
 
+def pack_spawn_pool(pool: WorldState):
+    """Pack a spawn pool into ONE (size, D) f32 matrix (+ unpack metadata).
+
+    ``pick_fresh`` gathers ~14 separate leaves per env per step; packing
+    turns the pick into a SINGLE row gather (non-f32 leaves are bitcast —
+    all WorldState leaves are 32-bit). → (packed, metas, treedef) for
+    ``pick_fresh_packed``."""
+    leaves, treedef = jax.tree_util.tree_flatten(pool)
+    cols, metas = [], []
+    for leaf in leaves:
+        flat = leaf.reshape(leaf.shape[0], -1)
+        metas.append((leaf.dtype, leaf.shape[1:], flat.shape[1]))
+        if flat.dtype != jnp.float32:
+            flat = jax.lax.bitcast_convert_type(flat, jnp.float32)
+        cols.append(flat)
+    return jnp.concatenate(cols, axis=1), metas, treedef
+
+
+def pick_fresh_packed(packed, metas, treedef, state: WorldState) -> WorldState:
+    """pick_fresh over a packed pool: one row gather + free slicing/bitcasts."""
+    size = packed.shape[0]
+    salt = state.rng[..., 0].astype(jnp.uint32) if state.rng.ndim else state.rng
+    idx = (salt + state.t.astype(jnp.uint32)) % jnp.uint32(size)
+    row = packed[idx]
+    leaves, off = [], 0
+    for dtype, shape, width in metas:
+        piece = row[off:off + width]
+        off += width
+        if dtype != jnp.float32:
+            piece = jax.lax.bitcast_convert_type(piece, dtype)
+        leaves.append(piece.reshape(shape))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def make_batched_env(params: SimParams, town: TownMap, spawn_pool: int = 0):
     """vmapped reset/step closures over the env axis (shard with NamedSharding
     on the leading dim for multi-chip fleets). ``spawn_pool > 0`` enables the

@@ -92,9 +92,12 @@ def make_rollout(
         rcfg = _dc.replace(rcfg, lod_px=2.0)
     render = make_renderer(params, town, rcfg)
     render_batch = jax.vmap(render)
-    from carla_imitation_learning_tpu.sim.world import make_spawn_pool, pick_fresh
+    from carla_imitation_learning_tpu.sim.world import (
+        make_spawn_pool, pack_spawn_pool, pick_fresh_packed,
+    )
 
-    spawn_pool = make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024)
+    spawn_pool = pack_spawn_pool(
+        make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024))
     step_batch = jax.vmap(lambda s, c, f: step_env(params, town, s, c, f))
     expert_batch = jax.vmap(lambda s: autopilot_control(params, town, s))
     sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))
@@ -194,7 +197,7 @@ def make_rollout(
         sensors = sensor_batch(states)
         traffic = light_batch(states)
         command = command_batch(states)
-        fresh = jax.vmap(lambda s: pick_fresh(spawn_pool, s))(states)
+        fresh = jax.vmap(lambda s: pick_fresh_packed(*spawn_pool, s))(states)
         new_states, info = step_batch(states, control, fresh)
         out = {
             "gray": gray_u8, "action": action, "expert_action": expert_action,
@@ -306,13 +309,16 @@ def collect_multicamera(
     import functools as _ft
 
     from carla_imitation_learning_tpu.data.frame_log import StateLog
-    from carla_imitation_learning_tpu.sim.world import make_spawn_pool, pick_fresh
+    from carla_imitation_learning_tpu.sim.world import (
+        make_spawn_pool, pack_spawn_pool, pick_fresh_packed,
+    )
 
     renders = {c: jax.vmap(make_renderer(params, town, rcfg, camera=c))
                for c in cameras}
     # spawn-pooled auto-resets, same as make_rollout: without a pool every
     # env pays reset_env's PRNG splits EVERY step (world.py docstring)
-    spawn_pool = make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024)
+    spawn_pool = pack_spawn_pool(
+        make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024))
     step_batch = jax.vmap(lambda s, c, f: step_env(params, town, s, c, f))
     expert_batch = jax.vmap(lambda s: autopilot_control(params, town, s))
     sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))
@@ -324,7 +330,7 @@ def collect_multicamera(
         expert = expert_batch(states)
         sensors = sensor_batch(states)
         traffic = light_batch(states)
-        fresh = jax.vmap(lambda s: pick_fresh(spawn_pool, s))(states)
+        fresh = jax.vmap(lambda s: pick_fresh_packed(*spawn_pool, s))(states)
         new_states, _info = step_batch(states, expert, fresh)
         return new_states, {"views": views, "steer": expert.steer,
                             "throttle": expert.throttle, "brake": expert.brake,

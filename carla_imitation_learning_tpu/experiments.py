@@ -379,12 +379,16 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
     to a packed framestore file, then streamed for training — the path for
     datasets beyond HBM.
 
-    ``tier="direct"`` (default): shard-resident device streaming — each
-    shard's raw frame block DMAs to the device once and window gathers run
-    on device (native.DeviceShardStreamer; no host window assembly, 1/fs the
-    H2D bytes). ``tier="host"``: the C++ mmap reader with multi-threaded
-    host window prefetch (the round-2 path, kept for A/B and for hosts where
-    device memory can't hold 2 shards)."""
+    ``tier="direct"`` (default): shard-resident FUSED streaming — each
+    shard's raw frame block DMAs to the device once
+    (native.DeviceShardStreamer.device_shards; no host window assembly,
+    1/fs the H2D bytes) and the shard's whole epoch runs as ONE lax.scan
+    dispatch (in-scan window gathers), so per-batch tunnel dispatch cost
+    vanishes. ``tier="host"``: the C++ mmap reader with multi-threaded host
+    window prefetch + per-batch steps (the round-2 path, kept for A/B and
+    for hosts where device memory can't hold 2 shards)."""
+    import functools as _ft
+
     from carla_imitation_learning_tpu.native import (
         DeviceShardStreamer, NativeFrameStore, PrefetchReader, save_framestore,
     )
@@ -399,49 +403,87 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
 
     batch = int(cfg.get("BATCH_SIZE", 64))
     fs = int(cfg.get("frame_skip", 4))
-    nfs = None
+    model = PolicyCNN(dtype=_dtype(cfg))
+    state = create_train_state(
+        model, rng,
+        jnp.zeros((1, rcfg.height, rcfg.width, 4)),
+        make_optimizer(cfg, steps_per_epoch=1))
+    last = {}
+    import time as _time
+
+    n_images = 0
     if tier == "direct":
-        reader = DeviceShardStreamer(path, batch=batch, frame_skip=fs,
-                                     shuffle=True, seed=int(cfg.get("seed", 0)))
-        batches = lambda: iter(reader)  # noqa: E731 — already device batches
+        streamer = DeviceShardStreamer(path, batch=batch, frame_skip=fs,
+                                       shuffle=True, seed=int(cfg.get("seed", 0)))
+
+        @_ft.partial(jax.jit, static_argnames=("fs_",))
+        def shard_fused(state, rng, frames, actions, orders, fs_):
+            # whole-shard epoch in one dispatch: per-batch tunnel dispatch
+            # (~20 ms each, measured) disappears into the scan
+            def body(carry, idx):
+                st, r = carry
+                r, k = jax.random.split(r)
+                b = (pipe.gather_windows(frames, idx, fs_, "float32"),
+                     actions[idx + fs_])
+
+                def wrapped(p):
+                    return bc_loss_fn(p, st.apply_fn, b, k)
+
+                (_, m), grads = jax.value_and_grad(
+                    wrapped, has_aux=True)(st.params)
+                return (st.apply_gradients(grads), r), m
+
+            (state, rng), metrics = jax.lax.scan(body, (state, rng), orders)
+            return state, rng, metrics
+
+        t0 = _time.perf_counter()
+        epoch_walls = []
+        for _ in range(epochs):
+            te = _time.perf_counter()
+            for frames, actions, widx in streamer.device_shards():
+                nb = len(widx) // batch
+                if nb == 0:
+                    continue
+                orders = jnp.asarray(
+                    widx[:nb * batch].reshape(nb, batch), jnp.int32)
+                state, rng, m = shard_fused(state, rng, frames, actions,
+                                            orders, fs)
+                n_images += nb * batch
+            float(jnp.sum(m["loss"]))  # completion barrier per epoch
+            epoch_walls.append(_time.perf_counter() - te)
+        last = {k: v[-1] for k, v in m.items()}
+        wall = _time.perf_counter() - t0
     else:
         nfs = NativeFrameStore(path)
         host_reader = PrefetchReader(nfs, batch=batch, frame_skip=fs,
                                      n_threads=4, shuffle=True,
                                      seed=int(cfg.get("seed", 0)))
-        reader = host_reader
-
-        def batches():
+        step = make_train_step(bc_loss_fn, donate=False)
+        t0 = _time.perf_counter()
+        for _ in range(epochs):
             # device_prefetch keeps 2 batches in flight: the H2D copy of
             # batch i+1 rides under the train step of batch i
             for frames, labels in pipe.device_prefetch(host_reader):
                 x = jnp.transpose(frames, (0, 2, 3, 1)).astype(jnp.float32) / 255.0
-                yield x, labels
-
-    model = PolicyCNN(dtype=_dtype(cfg))
-    tx = make_optimizer(cfg, steps_per_epoch=max(1, len(reader)))
-    state = create_train_state(
-        model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
-    step = make_train_step(bc_loss_fn, donate=False)
-    last = {}
-    import time as _time
-
-    t0 = _time.perf_counter()
-    n_images = 0
-    for _ in range(epochs):
-        for x, labels in batches():
-            rng, k = jax.random.split(rng)
-            state, last = step(state, (x, labels), k)
-            n_images += x.shape[0]
-    jax.block_until_ready(last["loss"])
-    wall = _time.perf_counter() - t0
-    if nfs is not None:
+                rng, k = jax.random.split(rng)
+                state, last = step(state, (x, labels), k)
+                n_images += x.shape[0]
+        jax.block_until_ready(last["loss"])
+        wall = _time.perf_counter() - t0
         nfs.close()
-    return {"frames": len(store), "epochs": epochs, "tier": tier,
-            "final_loss": float(last["loss"]),
-            "final_accuracy": float(last["accuracy"]),
-            "images_per_sec_streaming": n_images / wall,
-            "framestore": str(path)}
+        epoch_walls = []
+    out = {"frames": len(store), "epochs": epochs, "tier": tier,
+           "final_loss": float(last["loss"]),
+           "final_accuracy": float(last["accuracy"]),
+           "images_per_sec_streaming": n_images / wall,
+           "framestore": str(path)}
+    if len(epoch_walls) > 1:
+        # steady state: the first epoch pays the one-time scan compile
+        per_epoch = n_images / epochs
+        out["images_per_sec_steady"] = per_epoch / (
+            sum(epoch_walls[1:]) / (len(epoch_walls) - 1))
+        out["first_epoch_seconds"] = epoch_walls[0]
+    return out
 
 
 @experiment("closed_loop_eval")

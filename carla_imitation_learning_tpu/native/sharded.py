@@ -195,11 +195,11 @@ class DeviceShardStreamer:
             nfs.close()
         return jax.device_put(frames), jax.device_put(actions), valid
 
-    def __iter__(self):
-        from carla_imitation_learning_tpu.data.pipeline import gather_windows
-
-        import jax.numpy as jnp
-
+    def device_shards(self):
+        """Yield ``(dev_frames, dev_actions, shuffled_window_starts)`` per
+        shard in epoch order, with the NEXT shard's DMA already issued —
+        the building block for shard-fused training (one lax.scan dispatch
+        per shard instead of one per batch)."""
         paths = self._shard_paths()
         order = np.arange(len(paths))
         rng = np.random.default_rng(self.seed + self._epoch)
@@ -216,6 +216,14 @@ class DeviceShardStreamer:
             widx = valid.copy()
             if self.shuffle:
                 rng.shuffle(widx)
+            yield dev_frames, dev_actions, widx
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        from carla_imitation_learning_tpu.data.pipeline import gather_windows
+
+        for dev_frames, dev_actions, widx in self.device_shards():
             nb = (len(widx) // self.batch if self.drop_last and
                   len(widx) >= self.batch else -(-len(widx) // self.batch))
             for b in range(nb):

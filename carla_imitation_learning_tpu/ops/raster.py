@@ -36,7 +36,11 @@ from carla_imitation_learning_tpu.render.jax_raster import SKY_HORIZON, SKY_TOP
 # 16-row tiles: re-measured after the coefficient-major SMEM tables — wider
 # bands now win (−1.7 ms/fleet-step vs 8; 32 regresses). The earlier "8 is
 # best" result was an artifact of padded (T, K) table staging per program.
-TILE_ROWS = 16
+import os as _os
+
+# band height in pixel rows; 16 measured best at 128² (PERFORMANCE.md log).
+# Env override for A/B sweeps only — not a user knob.
+TILE_ROWS = int(_os.environ.get("TPUIL_TILE_ROWS", 16))
 PACK_WIDTH = 17  # 9 edge + 3 znum + 3 rgb + 1 class + 1 zmin
 
 

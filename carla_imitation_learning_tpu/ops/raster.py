@@ -38,9 +38,11 @@ from carla_imitation_learning_tpu.render.jax_raster import SKY_HORIZON, SKY_TOP
 # best" result was an artifact of padded (T, K) table staging per program.
 import os as _os
 
-# band height in pixel rows; 16 measured best at 128² (PERFORMANCE.md log).
-# Env override for A/B sweeps only — not a user knob.
-TILE_ROWS = int(_os.environ.get("TPUIL_TILE_ROWS", 16))
+# band height in pixel rows; 32 measured best at 128² in round 3 (the round-2
+# optimum of 16 flipped once band lists and the sim became cheap —
+# PERFORMANCE.md log). Clamped to the image height per call. Env override for
+# A/B sweeps only — not a user knob.
+TILE_ROWS = int(_os.environ.get("TPUIL_TILE_ROWS", 32))
 PACK_WIDTH = 17  # 9 edge + 3 znum + 3 rgb + 1 class + 1 zmin
 
 
@@ -73,21 +75,22 @@ def pack_setup(setup: TriangleSetup, luma_only: bool = False) -> jnp.ndarray:
 
 
 def tile_lists(setup: TriangleSetup, height: int, k: int, width: int | None = None,
-               far: float = 300.0):
+               far: float = 300.0, rows_per_band: int | None = None):
     """Per tile row: nearest-first indices of intersecting triangles.
 
     → (idx (R, k) int32, count (R, 1) int32). Pure XLA (vectorized compare +
     one small argsort per row) — runs fused ahead of the kernel launch.
     Screen-x and far-plane culls apply globally (the bands span full width).
     """
-    n_rows = height // TILE_ROWS
+    rows = rows_per_band or min(TILE_ROWS, height)
+    n_rows = height // rows
     xmin, xmax = setup.bbox[:, 0], setup.bbox[:, 1]
     ymin, ymax = setup.bbox[:, 2], setup.bbox[:, 3]
     onscreen = setup.valid & (setup.zmin < far)
     if width is not None:
         onscreen &= (xmax >= 0.0) & (xmin <= width)
-    row_lo = (jnp.arange(n_rows, dtype=jnp.float32) * TILE_ROWS)[:, None]
-    row_hi = row_lo + TILE_ROWS
+    row_lo = (jnp.arange(n_rows, dtype=jnp.float32) * rows)[:, None]
+    row_hi = row_lo + rows
     hit = (ymax[None, :] >= row_lo) & (ymin[None, :] <= row_hi) & onscreen[None, :]
     count = jnp.minimum(hit.sum(axis=1), k).astype(jnp.int32)[:, None]
     # nearest-first ordering: hits sort ahead of misses, and overflow beyond k
@@ -99,19 +102,20 @@ def tile_lists(setup: TriangleSetup, height: int, k: int, width: int | None = No
 
 
 def _raster_kernel(tris_ref, idx_ref, count_ref, sem_ref, rgb_ref, depth_ref,
-                   zbuf, *, width, near, far, n_channels=3):
+                   zbuf, *, width, near, far, n_channels=3,
+                   tile_rows=TILE_ROWS):
     r = pl.program_id(0)
-    y0 = (r * TILE_ROWS).astype(jnp.float32)
+    y0 = (r * tile_rows).astype(jnp.float32)
 
     # tpu.iota must be integer-typed; cast to f32 afterwards
     py = y0 + jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_ROWS, width), 0).astype(jnp.float32) + 0.5
+        jnp.int32, (tile_rows, width), 0).astype(jnp.float32) + 0.5
     px = jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_ROWS, width), 1).astype(jnp.float32) + 0.5
+        jnp.int32, (tile_rows, width), 1).astype(jnp.float32) + 0.5
 
-    zbuf[:] = jnp.full((TILE_ROWS, width), far, jnp.float32)
-    sem_ref[:] = jnp.zeros((TILE_ROWS, width), jnp.int32)  # sky
-    rgb_ref[:] = jnp.zeros((n_channels, TILE_ROWS, width), jnp.float32)
+    zbuf[:] = jnp.full((tile_rows, width), far, jnp.float32)
+    sem_ref[:] = jnp.zeros((tile_rows, width), jnp.int32)  # sky
+    rgb_ref[:] = jnp.zeros((n_channels, tile_rows, width), jnp.float32)
 
     def tri_pass(t):
         e0 = tris_ref[0, t] * px + tris_ref[1, t] * py + tris_ref[2, t]
@@ -199,13 +203,15 @@ def _rasterize_core(setup, height, width, near, far, interpret,
     tris = pack_setup(setup, luma_only=luma_only)
     n_tris = tris.shape[1]  # (17, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
-    idx, count = tile_lists(setup, height, k, width=width, far=far)
-    assert height % TILE_ROWS == 0, f"height {height} % {TILE_ROWS} != 0"
-    n_rows = height // TILE_ROWS
+    rows = min(TILE_ROWS, height)
+    idx, count = tile_lists(setup, height, k, width=width, far=far,
+                            rows_per_band=rows)
+    assert height % rows == 0, f"height {height} % {rows} != 0"
+    n_rows = height // rows
     grid = (n_rows,)
 
     kernel = functools.partial(_raster_kernel, width=width, near=near, far=far,
-                               n_channels=n_channels)
+                               n_channels=n_channels, tile_rows=rows)
     sem, chan_p, depth = pl.pallas_call(
         kernel,
         grid=grid,
@@ -218,11 +224,11 @@ def _rasterize_core(setup, height, width, near, far, interpret,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_ROWS, width), lambda r: (r, 0),
+            pl.BlockSpec((rows, width), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_channels, TILE_ROWS, width), lambda r: (0, r, 0),
+            pl.BlockSpec((n_channels, rows, width), lambda r: (0, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, width), lambda r: (r, 0),
+            pl.BlockSpec((rows, width), lambda r: (r, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -230,7 +236,7 @@ def _rasterize_core(setup, height, width, near, far, interpret,
             jax.ShapeDtypeStruct((n_channels, height, width), jnp.float32),
             jax.ShapeDtypeStruct((height, width), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((TILE_ROWS, width), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rows, width), jnp.float32)],
         interpret=interpret,
     )(tris, idx, count)
     return chan_p, sem, depth

@@ -158,14 +158,14 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
 
 def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
                  height, sky_top_l, sky_hor_l, fog_density,
-                 list_band_factor=1):
+                 list_band_factor=1, tile_rows=TILE_ROWS):
     r = pl.program_id(0)
     lr = r // list_band_factor  # list row: bands may share a coarser list
-    y0 = (r * TILE_ROWS).astype(jnp.float32)
+    y0 = (r * tile_rows).astype(jnp.float32)
 
-    py_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, width), 0)
+    py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0)
     px = jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_ROWS, width), 1).astype(jnp.float32) + 0.5
+        jnp.int32, (tile_rows, width), 1).astype(jnp.float32) + 0.5
     py = py_i.astype(jnp.float32) + y0 + 0.5
 
     far_key = _pack_key_const(far)
@@ -196,7 +196,7 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
         b = tri_pass(idx_ref[lr, 2 * j + 1], kmin0)
         return jnp.minimum(kmin, jnp.minimum(a, b))
 
-    kmin0 = jnp.full((TILE_ROWS, width), MISS_KEY, jnp.int32)
+    kmin0 = jnp.full((tile_rows, width), MISS_KEY, jnp.int32)
     kmin = jax.lax.fori_loop(0, (count_ref[lr, 0] + 1) // 2, body, kmin0)
 
     hit = kmin < far_key
@@ -252,22 +252,24 @@ def rasterize_luma_fast(
     tris = pack_setup_fast(setup)
     n_tris = tris.shape[1]  # (13, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
+    rows = min(TILE_ROWS, height)
     idx, count = tile_lists_fast(setup, height, k, width=width, far=far,
                                  lod_px=lod_px,
-                                 rows_per_band=TILE_ROWS * list_band_factor)
+                                 rows_per_band=rows * list_band_factor)
     if k % 2:  # the 2-wide unrolled loop may overshoot to the next multiple
         idx = jnp.pad(idx, ((0, 0), (0, 1)))
         k += 1
-    band = TILE_ROWS * list_band_factor
+    band = rows * list_band_factor
     assert height % band == 0, f"height {height} % {band} != 0"
-    n_rows = height // TILE_ROWS
+    n_rows = height // rows
     n_list_rows = height // band
 
     kernel = functools.partial(
         _fast_kernel, width=width, near=near, far=far, height=height,
         sky_top_l=float(np.asarray(SKY_TOP) @ np.asarray(LUMA_W)),
         sky_hor_l=float(np.asarray(SKY_HORIZON) @ np.asarray(LUMA_W)),
-        fog_density=fog_density, list_band_factor=list_band_factor)
+        fog_density=fog_density, list_band_factor=list_band_factor,
+        tile_rows=rows)
 
     out = pl.pallas_call(
         kernel,
@@ -283,7 +285,7 @@ def rasterize_luma_fast(
             pl.BlockSpec((n_list_rows, 1), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_ROWS, width), lambda r: (r, 0),
+        out_specs=pl.BlockSpec((rows, width), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
         interpret=interpret,

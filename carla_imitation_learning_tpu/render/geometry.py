@@ -17,7 +17,7 @@ from carla_imitation_learning_tpu.sim.town import TownMap
 
 # Semantic classes (CARLA-like reduced set)
 (SEM_SKY, SEM_TERRAIN, SEM_ROAD, SEM_BUILDING, SEM_VEHICLE, SEM_LIGHT,
- SEM_PEDESTRIAN) = 0, 1, 2, 3, 4, 5, 6
+ SEM_PEDESTRIAN, SEM_ROADLINE) = 0, 1, 2, 3, 4, 5, 6, 7
 
 SEMANTIC_PALETTE = np.array([
     [70, 130, 180],   # sky
@@ -27,6 +27,7 @@ SEMANTIC_PALETTE = np.array([
     [0, 0, 142],      # vehicle
     [250, 170, 30],   # traffic light
     [220, 20, 60],    # pedestrian (CARLA's walker crimson)
+    [157, 234, 50],   # road line (lane markings / crosswalk stripes)
 ], dtype=np.float32) / 255.0
 
 
@@ -69,14 +70,84 @@ def _box_tris_banded(cx, cy, hw, hh, z0, z1, bands: int) -> list:
     return tris
 
 
+MARKING_Z = 0.004  # above the road plane (0.0), below blob shadows (0.01)
+_MARK_WHITE = np.array([0.85, 0.85, 0.85], np.float32)   # dashes / zebra
+_MARK_YELLOW = np.array([0.80, 0.70, 0.20], np.float32)  # center divider
+
+
+def _line_quads(a: np.ndarray, b: np.ndarray, half_w: float,
+                z: float = MARKING_Z) -> list:
+    """Two triangles for a flat stripe of half-width ``half_w`` from a to b."""
+    d = b - a
+    n = np.array([-d[1], d[0]])
+    n = n / (np.linalg.norm(n) + 1e-9) * half_w
+    return _quad([a[0] - n[0], a[1] - n[1], z], [b[0] - n[0], b[1] - n[1], z],
+                 [b[0] + n[0], b[1] + n[1], z], [a[0] + n[0], a[1] + n[1], z])
+
+
+def _marking_geometry(town: TownMap, dash_period: float = 16.0,
+                      dash_len: float = 3.0):
+    """Lane markings as flat quads just above the road plane (host numpy).
+
+    CARLA towns carry a RoadLine semantic class and visible paint; this is
+    the equivalent for the procedural grid town:
+      - a solid yellow center line per road segment (separates the travel
+        directions),
+      - dashed white lane dividers at every lane boundary when
+        ``town.lanes > 1`` (one dash of ``dash_len`` meters every
+        ``dash_period``),
+      - white zebra stripes along every crosswalk span (the same spans
+        sim/pedestrians.py walks).
+    Returns (tris list, colors list). All quads carry SEM_ROADLINE but keep
+    their VISUAL paint color — the semantic plane and the RGB/gray planes
+    tell consistent, different stories, exactly like CARLA's cameras."""
+    tris, colors = [], []
+
+    def add(quads, color):
+        for t in quads:
+            tris.append(t)
+            colors.append(color)
+
+    lane_w = float(town.road_half_width) / max(1, town.lanes)
+    for seg in np.asarray(town.road_segments):
+        a, b = np.array(seg[:2]), np.array(seg[2:])
+        d = b - a
+        length = float(np.linalg.norm(d))
+        u = d / (length + 1e-9)
+        n = np.array([-u[1], u[0]])
+        add(_line_quads(a, b, 0.12), _MARK_YELLOW)  # solid center line
+        for k in range(1, town.lanes):              # dashed lane dividers
+            for side in (-1.0, 1.0):
+                off = side * k * lane_w * n
+                s = dash_period * 0.5
+                while s + dash_len < length:
+                    add(_line_quads(a + off + u * s, a + off + u * (s + dash_len),
+                                    0.10), _MARK_WHITE)
+                    s += dash_period
+    for cr in np.asarray(town.crossings):           # zebra stripes
+        a, b = cr[0], cr[1]
+        d = b - a
+        span = float(np.linalg.norm(d))
+        u = d / (span + 1e-9)
+        v = np.array([-u[1], u[0]])                  # travel direction
+        n_stripes = max(2, int(span / 1.2))
+        for i in range(n_stripes):
+            c = a + u * ((i + 0.5) / n_stripes * span)
+            add(_line_quads(c - v * 1.25, c + v * 1.25, 0.30), _MARK_WHITE)
+    return tris, colors
+
+
 def build_static_scene(town: TownMap, seed: int = 0,
-                       facade_bands: int = 0) -> StaticScene:
+                       facade_bands: int = 0,
+                       markings: bool = False) -> StaticScene:
     """Host-side (numpy) static scene build — runs once per town.
 
     ``facade_bands > 0`` splits building walls into that many alternating
     dark/light horizontal stripes (window floors) — richer policy inputs at
     ~(8·bands − 6) extra triangles per building (CARLA-style facade texture,
-    done with geometry so every backend shades it identically)."""
+    done with geometry so every backend shades it identically).
+    ``markings=True`` paints lane markings + zebra crosswalks
+    (SEM_ROADLINE quads; see _marking_geometry)."""
     rng = np.random.default_rng(seed)
     size = 2.0 * float(town.extent)
     tris, colors, classes = [], [], []
@@ -123,6 +194,13 @@ def build_static_scene(town: TownMap, seed: int = 0,
         else:
             add(_box_tris(cx, cy, hw, hh, 0.0, h),
                 SEMANTIC_PALETTE[SEM_BUILDING] * tone, SEM_BUILDING)
+
+    if markings:
+        m_tris, m_colors = _marking_geometry(town)
+        for t, c in zip(m_tris, m_colors):
+            tris.append(t)
+            colors.append(c)
+            classes.append(SEM_ROADLINE)
 
     # light poles (heads are dynamic — colored by phase at render time)
     for lp in np.asarray(town.lights_pos):

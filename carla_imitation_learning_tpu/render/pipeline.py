@@ -44,6 +44,7 @@ class RenderConfig:
     facade_bands: int = 0     # >0: window-floor stripes on building walls
                               # (+~(8·bands−6) tris per building)
     shadows: bool = False     # blob contact shadows under vehicles/walkers
+    markings: bool = False    # lane markings + zebra crosswalks (SEM_ROADLINE)
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -60,7 +61,8 @@ class RenderConfig:
                    lod_px=float(r.get("lod_px", 0.0)),
                    rain=float(r.get("rain", 0.0)),
                    facade_bands=int(r.get("facade_bands", 0)),
-                   shadows=bool(r.get("shadows", False)))
+                   shadows=bool(r.get("shadows", False)),
+                   markings=bool(r.get("markings", False)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
@@ -73,7 +75,8 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
 
     yaw_off, fov_override = CAMERA_PRESETS.get(camera, (0.0, None))
     fov = fov_override or rcfg.fov_deg
-    static = geo.build_static_scene(town, facade_bands=rcfg.facade_bands)
+    static = geo.build_static_scene(town, facade_bands=rcfg.facade_bands,
+                                    markings=rcfg.markings)
 
     fast_raster = None
     if rcfg.backend == "pallas":

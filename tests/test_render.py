@@ -207,3 +207,49 @@ def test_blob_shadows_darken_under_vehicles():
     assert sh_mask.sum() == 2
     assert (np.asarray(c_sh)[sh_mask] < 0.3).all()
     np.testing.assert_allclose(np.asarray(t_sh)[sh_mask][:, :, 2], geo.SHADOW_Z)
+
+
+def test_road_markings_render():
+    """markings=True paints SEM_ROADLINE quads: solid center line per road
+    segment, zebra stripes per crossing, dashed dividers when lanes > 1 —
+    visible in both the semantic plane and (brighter than the road) the gray
+    plane."""
+    from carla_imitation_learning_tpu.render import geometry as geo
+    from carla_imitation_learning_tpu.render.pipeline import (
+        RenderConfig, make_renderer,
+    )
+    from carla_imitation_learning_tpu.sim import SimParams, make_town
+    from carla_imitation_learning_tpu.sim.world import reset_env
+
+    town = make_town(blocks=2, n_buildings=4, n_lights=4)
+    plain = geo.build_static_scene(town)
+    marked = geo.build_static_scene(town, markings=True)
+    n_lines = int((np.asarray(marked.classes) == geo.SEM_ROADLINE).sum())
+    assert n_lines > 0 and (np.asarray(plain.classes) != geo.SEM_ROADLINE).all()
+    # every segment gets a 2-tri center line; every crossing >= 2 stripes
+    n_segs = town.road_segments.shape[0]
+    n_cross = town.crossings.shape[0]
+    assert n_lines >= 2 * n_segs + 4 * n_cross
+    # markings sit above the road plane, below shadows
+    line_z = np.asarray(marked.tris)[np.asarray(marked.classes)
+                                     == geo.SEM_ROADLINE][:, :, 2]
+    np.testing.assert_allclose(line_z, geo.MARKING_Z)
+    assert geo.MARKING_Z < geo.SHADOW_Z
+
+    # multi-lane towns add dashed dividers on top of the center lines
+    multi = make_town(blocks=2, n_buildings=4, n_lights=4,
+                      lanes_per_direction=2)
+    m2 = geo.build_static_scene(multi, markings=True)
+    assert int((np.asarray(m2.classes) == geo.SEM_ROADLINE).sum()) > n_lines
+
+    params = SimParams(n_agents=2)
+    render = make_renderer(params, town, RenderConfig(
+        height=64, width=64, backend="jax", max_triangles=512, markings=True))
+    out = render(reset_env(params, town, jax.random.PRNGKey(0)))
+    sem = np.asarray(out["semantic"])
+    gray = np.asarray(out["gray"])
+    assert (sem == geo.SEM_ROADLINE).any()  # ego starts ON a marked road
+    # painted pixels are brighter than the road they cover
+    road_l = gray[sem == geo.SEM_ROAD].mean()
+    line_l = gray[sem == geo.SEM_ROADLINE].mean()
+    assert line_l > road_l

@@ -34,6 +34,11 @@ class TownMap(struct.PyTreeNode):
     crossings: jnp.ndarray
     # Junction centers (grid nodes), (J, 2) — agents yield right-of-way here.
     junctions: jnp.ndarray
+    # Sidewalk loops for strolling walkers: (K, SP, 2) closed polylines,
+    # uniformly resampled (position at normalized s is a pure gather+lerp),
+    # one per block just off the roadway; (K,) loop lengths in meters.
+    sidewalks: jnp.ndarray
+    sidewalk_total: jnp.ndarray
     # Lanes per direction (static): route r is lane r % lanes of grid cell
     # r // lanes; lanes > 1 enables agent lane changes (sim/agents.py).
     lanes: int = struct.field(pytree_node=False, default=1)
@@ -243,6 +248,20 @@ def make_town(
         cross.append([[cx + off, cy - w], [cx + off, cy + w]])  # over horizontal
     crossings = np.array(cross, dtype=np.float32)
 
+    # --- sidewalk loops: one per block, 1.2 m beyond the roadway edge --------
+    side_off = lanes * lane_width + 1.2
+    side_loops = []
+    for bi in range(blocks):
+        for bj in range(blocks):
+            x0, y0 = bi * block_size, bj * block_size
+            side_loops.append(_resample_loop(
+                rect_loop(x0, y0, x0 + block_size, y0 + block_size, side_off),
+                64))
+    sidewalks = np.stack(side_loops).astype(np.float32)  # (K, 64, 2)
+    side_d = np.diff(np.concatenate([sidewalks, sidewalks[:, :1]], axis=1),
+                     axis=1)
+    sidewalk_total = np.linalg.norm(side_d, axis=-1).sum(axis=1)
+
     return TownMap(
         routes=jnp.asarray(routes, jnp.float32),
         route_arclen=jnp.asarray(arclen, jnp.float32),
@@ -255,6 +274,8 @@ def make_town(
         road_half_width=jnp.float32(lanes * lane_width),
         extent=jnp.float32(size / 2.0),
         crossings=jnp.asarray(crossings, jnp.float32),
+        sidewalks=jnp.asarray(sidewalks, jnp.float32),
+        sidewalk_total=jnp.asarray(sidewalk_total, jnp.float32),
         junctions=jnp.asarray(
             [[i * block_size, j * block_size]
              for i in range(blocks + 1) for j in range(blocks + 1)],

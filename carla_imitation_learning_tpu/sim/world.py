@@ -36,6 +36,9 @@ class SimParams:
     agent_target_speed: float = 7.0
     n_pedestrians: int = 0   # crosswalk walkers (sim/pedestrians.py); 0 = off
     ped_speed: float = 1.4
+    # Expected fraction of walkers strolling sidewalk loops instead of
+    # working a crosswalk (sim/pedestrians.py); 0 = all-crosswalk.
+    ped_sidewalk_frac: float = 0.0
     light_green: float = 8.0
     light_yellow: float = 2.0
     light_red: float = 6.0
@@ -62,6 +65,7 @@ class SimParams:
             episode_len=int(s.episode_len),
             n_pedestrians=int(s.get("n_pedestrians", 0)),
             ped_speed=float(s.get("ped_speed", 1.4)),
+            ped_sidewalk_frac=float(s.get("ped_sidewalk_frac", 0.0)),
             lane_change_period=int(s.get("lane_change_period", 0)),
             lane_change_window=int(s.get("lane_change_window", 12)),
         )
@@ -106,7 +110,8 @@ def reset_env(params: SimParams, town: TownMap, rng) -> WorldState:
     base = (jnp.arange(a) + jax.random.uniform(k_as, (a,))) / a
     agents_s = base * town.route_total[agents_route]
     peds_crossing, peds_s, peds_phase = ped_lib.spawn_pedestrians(
-        town, k_ped, params.n_pedestrians)
+        town, k_ped, params.n_pedestrians,
+        sidewalk_frac=params.ped_sidewalk_frac)
     return WorldState(
         ego_pos=ego_pos, ego_yaw=ego_yaw,
         ego_v=jnp.zeros(()), ego_steer=jnp.zeros(()),
@@ -307,8 +312,11 @@ def autopilot_control(params: SimParams, town: TownMap, state: WorldState
                                           phases, stop_distance=15.0)
     if params.n_pedestrians > 0:  # static: no-op branch when walkers are off
         peds_pos = ped_lib.ped_positions(town, state.peds_crossing, state.peds_s)
+        # sidewalk strollers (path id >= n_crossings) never enter the roadway
+        # — only crosswalk-mode walkers may trigger braking
+        on_crossing = state.peds_crossing < town.crossings.shape[0]
         must_stop |= ped_lib.pedestrian_ahead(state.ego_pos, state.ego_yaw,
-                                              peds_pos)
+                                              peds_pos, mask=on_crossing)
     err = params.target_speed - state.ego_v
     throttle = jnp.where(err > 1.0, 1.0, jnp.where(err > -0.5, 0.5, 0.0))
     brake = jnp.where(err <= -0.5, 1.0, 0.0)

@@ -199,3 +199,74 @@ def test_rollout_with_walkers_jits():
     assert traj["gray"].shape == (3, 4, 32, 32)
     assert traj["lidar"].shape == (3, 4, 24)
     assert np.isfinite(np.asarray(traj["speed"])).all()
+
+
+def test_sidewalk_strollers():
+    """sidewalk_frac=1 walkers stroll their block's sidewalk loop: path ids
+    address town.sidewalks, s wraps (no curb pauses), and every position
+    stays OFF the roadway (sidewalks sit 1.2 m beyond the road edge)."""
+    t = town()
+    n_cross = t.crossings.shape[0]
+    path, s, phase = spawn_pedestrians(t, jax.random.PRNGKey(1), 8,
+                                       sidewalk_frac=1.0)
+    assert (np.asarray(path) >= n_cross).all()
+    assert (np.asarray(path) < n_cross + t.sidewalks.shape[0]).all()
+
+    road_half = float(t.road_half_width)
+    segs = np.asarray(t.road_segments)
+
+    def min_road_dist(pos):
+        d = np.inf
+        for x0, y0, x1, y1 in segs:
+            a, b = np.array([x0, y0]), np.array([x1, y1])
+            ab = b - a
+            tt = np.clip(((pos - a) @ ab) / (ab @ ab), 0.0, 1.0)
+            proj = a + tt[:, None] * ab if pos.ndim == 2 else a + tt * ab
+            d = np.minimum(d, np.linalg.norm(pos - proj, axis=-1))
+        return d
+
+    moved = 0.0
+    for _ in range(200):
+        s, phase = step_pedestrians(t, path, s, phase, dt=0.05)
+        pos = np.asarray(ped_positions(t, path, s))
+        assert np.isfinite(pos).all()
+        assert (min_road_dist(pos) > road_half).all()  # never on the roadway
+        assert ((np.asarray(s) >= 0.0) & (np.asarray(s) < 1.0)).all()
+    # strollers never pause: phase stays at +-1 (always walking)
+    assert (np.abs(np.asarray(phase)) == 1.0).all()
+    # and they actually move around the loop
+    p0 = np.asarray(ped_positions(t, path, s))
+    s2, _ = step_pedestrians(t, path, s, phase, dt=0.05)
+    p1 = np.asarray(ped_positions(t, path, s2))
+    moved = np.linalg.norm(p1 - p0, axis=-1)
+    np.testing.assert_allclose(moved, 1.4 * 0.05, rtol=0.2)
+
+
+def test_sidewalk_strollers_do_not_brake_ego():
+    """The autopilot's braking corridor ignores sidewalk-mode walkers
+    (pedestrian_ahead mask): a stroller directly ahead must not stop the
+    ego, an identically-placed crosswalk walker must."""
+    peds = jnp.asarray([[5.0, 0.0]])
+    assert bool(pedestrian_ahead(jnp.zeros(2), jnp.asarray(0.0), peds))
+    assert not bool(pedestrian_ahead(jnp.zeros(2), jnp.asarray(0.0), peds,
+                                     mask=jnp.asarray([False])))
+
+    t = town()
+    params = SimParams(n_agents=2, n_pedestrians=4, ped_sidewalk_frac=1.0)
+    state = reset_env(params, t, jax.random.PRNGKey(3))
+    n_cross = t.crossings.shape[0]
+    assert (np.asarray(state.peds_crossing) >= n_cross).all()
+    # stepping with all-sidewalk walkers stays finite and collision-free
+    for _ in range(20):
+        state, info = step_env(params, t, state,
+                               autopilot_control(params, t, state))
+    assert np.isfinite(float(state.ego_v))
+
+
+def test_mixed_spawn_covers_both_modes():
+    t = town()
+    path, _, _ = spawn_pedestrians(t, jax.random.PRNGKey(7), 64,
+                                   sidewalk_frac=0.5)
+    n_cross = t.crossings.shape[0]
+    frac = float((np.asarray(path) >= n_cross).mean())
+    assert 0.2 < frac < 0.8  # both modes present

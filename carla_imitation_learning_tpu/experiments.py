@@ -404,17 +404,28 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
     batch = int(cfg.get("BATCH_SIZE", 64))
     fs = int(cfg.get("frame_skip", 4))
     model = PolicyCNN(dtype=_dtype(cfg))
+    # build the reader FIRST: the LR schedule's milestones are in EPOCHS
+    # (reference MultiStepLR semantics), so the optimizer needs the real
+    # batches-per-epoch, not a placeholder
+    if tier == "direct":
+        streamer = DeviceShardStreamer(path, batch=batch, frame_skip=fs,
+                                       shuffle=True, seed=int(cfg.get("seed", 0)))
+        steps_per_epoch = max(1, len(streamer))
+    else:
+        nfs = NativeFrameStore(path)
+        host_reader = PrefetchReader(nfs, batch=batch, frame_skip=fs,
+                                     n_threads=4, shuffle=True,
+                                     seed=int(cfg.get("seed", 0)))
+        steps_per_epoch = max(1, len(host_reader))
     state = create_train_state(
         model, rng,
         jnp.zeros((1, rcfg.height, rcfg.width, 4)),
-        make_optimizer(cfg, steps_per_epoch=1))
+        make_optimizer(cfg, steps_per_epoch=steps_per_epoch))
     last = {}
     import time as _time
 
     n_images = 0
     if tier == "direct":
-        streamer = DeviceShardStreamer(path, batch=batch, frame_skip=fs,
-                                       shuffle=True, seed=int(cfg.get("seed", 0)))
 
         @_ft.partial(jax.jit, static_argnames=("fs_",))
         def shard_fused(state, rng, frames, actions, orders, fs_):
@@ -454,10 +465,6 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
         last = {k: v[-1] for k, v in m.items()}
         wall = _time.perf_counter() - t0
     else:
-        nfs = NativeFrameStore(path)
-        host_reader = PrefetchReader(nfs, batch=batch, frame_skip=fs,
-                                     n_threads=4, shuffle=True,
-                                     seed=int(cfg.get("seed", 0)))
         step = make_train_step(bc_loss_fn, donate=False)
         t0 = _time.perf_counter()
         for _ in range(epochs):

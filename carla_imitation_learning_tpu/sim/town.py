@@ -42,6 +42,16 @@ class TownMap(struct.PyTreeNode):
     # Lanes per direction (static): route r is lane r % lanes of grid cell
     # r // lanes; lanes > 1 enables agent lane changes (sim/agents.py).
     lanes: int = struct.field(pytree_node=False, default=1)
+    # Junction turn fans (make_town(turn_fans=True), else None): at sample
+    # point p of route r, up to K OTHER routes whose polyline runs through the
+    # same world point with the same heading (shared lane-line stretches —
+    # block loop vs super-block vs L-loop vs perimeter). Taking slot k
+    # rewrites (route, s) -> (transfer_route[r,p,k], transfer_s[r,p,k]):
+    # position-preserving by construction, only the turn taken at the next
+    # junction changes. (R, P, K) int32 / f32 / bool.
+    transfer_route: jnp.ndarray | None = None
+    transfer_s: jnp.ndarray | None = None
+    transfer_valid: jnp.ndarray | None = None
 
     @property
     def n_routes(self) -> int:
@@ -100,6 +110,70 @@ def _resample_loop(corners: np.ndarray, n_points: int) -> np.ndarray:
     return pts[idx] + frac[:, None] * seg[idx]
 
 
+def _build_transfer_table(routes: np.ndarray, arclen: np.ndarray,
+                          total: np.ndarray, K: int = 4, tol: float = 0.8,
+                          tangent_min: float = 0.95):
+    """Junction turn-fan table: for every sample point of every route, the
+    other routes whose polyline passes through that point with the same
+    heading.
+
+    Two loops that share a lane line (same right-lane offset, same travel
+    direction — e.g. a block loop and the super-block or L-loop covering that
+    cell) are geometrically coincident along the shared stretch; swapping
+    which loop the vehicle FOLLOWS there is invisible at the wheels and only
+    changes the turn taken at the next junction. Candidates are matched by
+    point-to-SEGMENT perpendicular distance (< ``tol`` m) — sample points of
+    different loops never line up, the lane lines do — plus a tangent
+    alignment test that rejects the opposite-direction lane of adjacent
+    blocks. ``transfer_s`` is the exact projected arclength on the target.
+
+    Host-side numpy, runs once per town build; the result is three static
+    (R, P, K) device tables read by pure gathers (sim/world.py
+    ``_apply_route_transfers``)."""
+    R, P, _ = routes.shape
+    seg = np.roll(routes, -1, axis=1) - routes            # (R, P, 2)
+    seg_len = np.linalg.norm(seg, axis=-1)                # (R, P)
+    tang = seg / np.maximum(seg_len, 1e-9)[..., None]
+    tr = np.zeros((R, P, K), np.int32)
+    ts = np.zeros((R, P, K), np.float32)
+    tv = np.zeros((R, P, K), bool)
+    flat_start = routes.reshape(R * P, 2)
+    flat_tang = tang.reshape(R * P, 2)
+    flat_len = seg_len.reshape(R * P)
+    rough = float(np.max(seg_len)) + tol  # start-point cull radius
+    for r in range(R):
+        pts = routes[r]
+        d0 = np.linalg.norm(pts[:, None] - flat_start[None], axis=-1)
+        dot = tang[r] @ flat_tang.T
+        cand_mask = (d0 < rough) & (dot > tangent_min)
+        cand_mask[:, r * P:(r + 1) * P] = False           # never self
+        for p in range(P):
+            cand = np.nonzero(cand_mask[p])[0]
+            if cand.size == 0:
+                continue
+            off = pts[p] - flat_start[cand]               # (C, 2)
+            proj = np.einsum("cd,cd->c", off, flat_tang[cand])
+            inside = (proj >= -0.25) & (proj <= flat_len[cand] + 0.25)
+            perp = np.linalg.norm(
+                off - proj[:, None] * flat_tang[cand], axis=-1)
+            good = inside & (perp < tol)
+            cand, proj, perp = cand[good], proj[good], perp[good]
+            if cand.size == 0:
+                continue
+            seen, k = set(), 0
+            for idx in np.argsort(perp):                  # nearest line first
+                rr, pp = divmod(int(cand[idx]), P)
+                if rr in seen or k >= K:
+                    continue
+                seen.add(rr)
+                tr[r, p, k] = rr
+                ts[r, p, k] = (arclen[rr, pp] + max(float(proj[idx]), 0.0)) \
+                    % total[rr]
+                tv[r, p, k] = True
+                k += 1
+    return tr, ts, tv
+
+
 def make_town(
     blocks: int = 3,
     block_size: float = 80.0,
@@ -111,6 +185,7 @@ def make_town(
     corner_radius: float = 0.0,
     lanes_per_direction: int = 1,
     superblocks: bool = False,
+    turn_fans: bool = False,
 ) -> TownMap:
     """Build a (blocks×blocks)-block grid town.
 
@@ -134,6 +209,11 @@ def make_town(
     ``corner_radius > 0`` fillets every route corner with a circular arc
     (curved intersection turns: smooth steering targets for the autopilot and
     smooth vehicle trajectories; stays within the junction pavement).
+    ``turn_fans=True`` builds the route-transfer table (junction turn fans —
+    ``_build_transfer_table``): vehicles can re-roll which loop they follow
+    wherever loops share a lane line, turning the fixed-loop network into a
+    route GRAPH with genuine per-junction turn decisions. Meaningful with
+    ``superblocks=True`` (plain block loops share no same-direction edges).
     """
     rng = np.random.default_rng(seed)
     size = blocks * block_size
@@ -262,6 +342,14 @@ def make_town(
                      axis=1)
     sidewalk_total = np.linalg.norm(side_d, axis=-1).sum(axis=1)
 
+    transfers = {}
+    if turn_fans:
+        tr, ts_, tv = _build_transfer_table(routes, arclen, total)
+        transfers = dict(
+            transfer_route=jnp.asarray(tr, jnp.int32),
+            transfer_s=jnp.asarray(ts_, jnp.float32),
+            transfer_valid=jnp.asarray(tv),
+        )
     return TownMap(
         routes=jnp.asarray(routes, jnp.float32),
         route_arclen=jnp.asarray(arclen, jnp.float32),
@@ -281,6 +369,7 @@ def make_town(
              for i in range(blocks + 1) for j in range(blocks + 1)],
             jnp.float32),
         lanes=lanes,
+        **transfers,
     )
 
 
@@ -293,6 +382,7 @@ def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
         corner_radius=float(t.get("corner_radius", 0.0)),
         lanes_per_direction=int(t.get("lanes_per_direction", 1)),
         superblocks=bool(t.get("superblocks", False)),
+        turn_fans=bool(t.get("turn_fans", False)),
     )
 
 

@@ -51,6 +51,16 @@ class SimParams:
     # ``lane_change_window`` steps around the switch. 0 = off.
     lane_change_period: int = 0
     lane_change_window: int = 12
+    # Junction turn fans (towns built with turn_fans=True): every
+    # ``turn_period`` steps the ego re-rolls which loop it follows among the
+    # routes running through its current position (town.transfer_* tables) —
+    # a genuine turn decision ahead of the next junction, which
+    # navigation_command then announces from the new route's geometry.
+    # ``agent_turn_prob`` is the per-step probability each traffic agent
+    # takes an available transfer (route variety in the background traffic).
+    # 0 = off (tables unused, no per-step cost).
+    turn_period: int = 0
+    agent_turn_prob: float = 0.0
 
     @classmethod
     def from_cfg(cls, cfg) -> "SimParams":
@@ -68,6 +78,8 @@ class SimParams:
             ped_sidewalk_frac=float(s.get("ped_sidewalk_frac", 0.0)),
             lane_change_period=int(s.get("lane_change_period", 0)),
             lane_change_window=int(s.get("lane_change_window", 12)),
+            turn_period=int(s.get("turn_period", 0)),
+            agent_turn_prob=float(s.get("agent_turn_prob", 0.0)),
         )
 
 
@@ -205,6 +217,69 @@ def navigation_command(params: SimParams, town: TownMap, state: WorldState
     return jnp.where(lane_cmd > 0, lane_cmd, base)
 
 
+def _route_index(town: TownMap, route, s):
+    """Sample-point index of arclength ``s`` on ``route`` (uniform resampling
+    makes this a multiply, same as route_point's i0; the ±1 chord correction
+    is irrelevant at transfer-table resolution)."""
+    n = town.routes.shape[1]
+    total = town.route_total[route]
+    return jnp.clip((jnp.mod(s, total) / total * n).astype(jnp.int32), 0, n - 1)
+
+
+def _apply_route_transfers(params: SimParams, town: TownMap,
+                           state: WorldState, mid: WorldState) -> WorldState:
+    """Junction turn fans: re-roll which loop the ego (and optionally each
+    traffic agent) follows among the routes running through its current
+    position (town.transfer_* — see sim/town.py _build_transfer_table).
+
+    A transfer is position-preserving: the target arclength lands on the same
+    world point with the same heading, so dynamics, rendering, pure pursuit
+    and the windowed arclength tracker all continue seamlessly — only the
+    turn taken at the next junction changes. The within-segment offset of the
+    source carries over (shared stretches are co-linear, locally metric).
+
+    Decision cadence: the ego re-rolls a uniform slot of the K-wide fan every
+    ``turn_period`` steps (an invalid slot means "stay" — so the stay
+    probability scales with how few options the current stretch offers);
+    agents roll with per-step probability ``agent_turn_prob``. All pure
+    gathers + one PRNG draw; compiles out entirely when disabled."""
+    if town.transfer_route is None or (
+            params.turn_period <= 0 and params.agent_turn_prob <= 0.0):
+        return mid
+    K = town.transfer_route.shape[-1]
+    key = jax.random.fold_in(jax.random.fold_in(state.rng, 0x7F2B), state.t)
+    k_slot, k_ag, k_agslot = jax.random.split(key, 3)
+    out = mid
+    if params.turn_period > 0:
+        i = _route_index(town, mid.ego_route, mid.ego_s)
+        slot = jax.random.randint(k_slot, (), 0, K)
+        hit = jnp.mod(mid.t, params.turn_period) == 0
+        do = hit & town.transfer_valid[mid.ego_route, i, slot]
+        new_route = town.transfer_route[mid.ego_route, i, slot]
+        frac_off = jnp.mod(mid.ego_s, town.route_total[mid.ego_route]) \
+            - town.route_arclen[mid.ego_route, i]
+        new_s = jnp.mod(town.transfer_s[mid.ego_route, i, slot] + frac_off,
+                        town.route_total[new_route])
+        out = out.replace(
+            ego_route=jnp.where(do, new_route, mid.ego_route),
+            ego_s=jnp.where(do, new_s, mid.ego_s))
+    if params.agent_turn_prob > 0.0:
+        A = mid.agents_route.shape[0]
+        ai = _route_index(town, mid.agents_route, mid.agents_s)  # broadcasts
+        slots = jax.random.randint(k_agslot, (A,), 0, K)
+        roll = jax.random.uniform(k_ag, (A,)) < params.agent_turn_prob
+        do = roll & town.transfer_valid[mid.agents_route, ai, slots]
+        new_route = town.transfer_route[mid.agents_route, ai, slots]
+        frac_off = jnp.mod(mid.agents_s, town.route_total[mid.agents_route]) \
+            - town.route_arclen[mid.agents_route, ai]
+        new_s = jnp.mod(town.transfer_s[mid.agents_route, ai, slots] + frac_off,
+                        town.route_total[new_route])
+        out = out.replace(
+            agents_route=jnp.where(do, new_route, mid.agents_route),
+            agents_s=jnp.where(do, new_s, mid.agents_s))
+    return out
+
+
 def _nearest_s_update(town: TownMap, state: WorldState) -> jnp.ndarray:
     """Track the ego's arclength on its route by local search around ego_s
     (window search = fixed-size gather; no global argmin needed)."""
@@ -269,6 +344,7 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
     )
     mid = _apply_ego_lane_change(params, town, state, mid)
     mid = mid.replace(ego_s=_nearest_s_update(town, mid))
+    mid = _apply_route_transfers(params, town, state, mid)
 
     # auto-reset: branchless select between continued and fresh state
     if fresh is None:

@@ -44,6 +44,7 @@ import os as _os
 # A/B sweeps only — not a user knob.
 TILE_ROWS = int(_os.environ.get("TPUIL_TILE_ROWS", 32))
 PACK_WIDTH = 17  # 9 edge + 3 znum + 3 rgb + 1 class + 1 zmin
+TEX_PACK_WIDTH = PACK_WIDTH + 6  # + 3 unum + 3 vnum (procedural textures)
 
 
 LUMA_W = jnp.asarray([0.299, 0.587, 0.114])  # reference imitation_dataset.py:121
@@ -64,13 +65,16 @@ def pack_setup(setup: TriangleSetup, luma_only: bool = False) -> jnp.ndarray:
     if luma_only:
         luma = colors @ LUMA_W
         colors = jnp.stack([luma, luma, luma], axis=-1)
-    flat = jnp.concatenate([
+    parts = [
         setup.edges.reshape(setup.edges.shape[0], 9),
         setup.znum,
         colors,
         setup.classes[:, None].astype(jnp.float32),
         setup.zmin[:, None],
-    ], axis=-1)
+    ]
+    if setup.unum is not None:  # procedural-texture UV rows (ops/texture.py)
+        parts += [setup.unum, setup.vnum]
+    flat = jnp.concatenate(parts, axis=-1)
     return jnp.where(setup.valid[:, None], flat, 0.0).T
 
 
@@ -103,7 +107,7 @@ def tile_lists(setup: TriangleSetup, height: int, k: int, width: int | None = No
 
 def _raster_kernel(tris_ref, idx_ref, count_ref, sem_ref, rgb_ref, depth_ref,
                    zbuf, *, width, near, far, n_channels=3,
-                   tile_rows=TILE_ROWS):
+                   tile_rows=TILE_ROWS, textures=False):
     r = pl.program_id(0)
     y0 = (r * tile_rows).astype(jnp.float32)
 
@@ -131,8 +135,23 @@ def _raster_kernel(tris_ref, idx_ref, count_ref, sem_ref, rgb_ref, depth_ref,
         ok = jnp.logical_and(inside, jnp.logical_and(z > near, z < zbuf[:]))
         zbuf[:] = jnp.where(ok, z, zbuf[:])
         sem_ref[:] = jnp.where(ok, jnp.int32(tris_ref[15, t]), sem_ref[:])
+        fac = 1.0
+        if textures:
+            # perspective-correct surface UV → procedural factor; the SAME
+            # texture_factor the XLA reference calls (ops/texture.py), with
+            # the same expression structure — textured backends stay
+            # pixel-exact with each other
+            from carla_imitation_learning_tpu.ops.texture import texture_factor
+
+            u = (tris_ref[17, t] * px + tris_ref[18, t] * py
+                 + tris_ref[19, t]) / den
+            v = (tris_ref[20, t] * px + tris_ref[21, t] * py
+                 + tris_ref[22, t]) / den
+            fac = texture_factor(u, v, jnp.int32(tris_ref[15, t]))
         for c in range(n_channels):
-            rgb_ref[c] = jnp.where(ok, tris_ref[12 + c, t], rgb_ref[c])
+            rgb_ref[c] = jnp.where(ok, tris_ref[12 + c, t] * fac
+                                   if textures else tris_ref[12 + c, t],
+                                   rgb_ref[c])
 
     # NOTE: an occlusion early-out (while_loop breaking once max(zbuf) <
     # next zmin on the nearest-first list) was measured 1.2-2.8x SLOWER here:
@@ -200,8 +219,9 @@ def rasterize_pallas_luma(
 
 def _rasterize_core(setup, height, width, near, far, interpret,
                     max_tris_per_tile, n_channels, luma_only):
+    textures = setup.unum is not None
     tris = pack_setup(setup, luma_only=luma_only)
-    n_tris = tris.shape[1]  # (17, T) coefficient-major table
+    n_tris = tris.shape[1]  # (17 or 23, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
     rows = min(TILE_ROWS, height)
     idx, count = tile_lists(setup, height, k, width=width, far=far,
@@ -211,12 +231,14 @@ def _rasterize_core(setup, height, width, near, far, interpret,
     grid = (n_rows,)
 
     kernel = functools.partial(_raster_kernel, width=width, near=near, far=far,
-                               n_channels=n_channels, tile_rows=rows)
+                               n_channels=n_channels, tile_rows=rows,
+                               textures=textures)
     sem, chan_p, depth = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((PACK_WIDTH, n_tris), lambda r: (0, 0),
+            pl.BlockSpec((TEX_PACK_WIDTH if textures else PACK_WIDTH, n_tris),
+                         lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((n_rows, k), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),

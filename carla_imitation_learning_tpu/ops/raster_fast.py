@@ -48,11 +48,17 @@ from carla_imitation_learning_tpu.ops.raster import LUMA_W, TILE_ROWS
 from carla_imitation_learning_tpu.render.camera import TriangleSetup
 from carla_imitation_learning_tpu.render.jax_raster import SKY_HORIZON, SKY_TOP
 
+import os as _os
+
 LUMA_BITS = 12
 LUMA_MASK = (1 << LUMA_BITS) - 1
 KEY_MASK = ~LUMA_MASK  # keeps sign+exponent+11 mantissa bits of the f32 depth
 MISS_KEY = np.int32(0x7FFFFFFF)
 FAST_PACK_WIDTH = 13   # 9 edge + 3 znum + 1 luma key
+# Triangle passes per loop body (packed-key candidates are independent until
+# the final min, so unrolled passes' latency chains overlap). Env override
+# for A/B sweeps only — not a user knob.
+FAST_UNROLL = int(_os.environ.get("TPUIL_FAST_UNROLL", 2))
 
 
 def _pack_key_const(z: float) -> int:
@@ -163,10 +169,16 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
     lr = r // list_band_factor  # list row: bands may share a coarser list
     y0 = (r * tile_rows).astype(jnp.float32)
 
-    py_i = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0)
+    # Rank-1 affine structure: a·px varies only along lanes, b·py + c only
+    # along sublanes. Keeping them as a (1, W) row and a (rows, 1) column
+    # until the final broadcast-add halves the full-tile VPU ops per pass
+    # (2 muls + 2 adds × 4 functions → 1 tiny mul + 1 tiny fma + 1 full-tile
+    # add each) and is BIT-exact: each pixel sees the same operand values
+    # combined in the same order as the all-(rows, W) form.
     px = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_rows, width), 1).astype(jnp.float32) + 0.5
-    py = py_i.astype(jnp.float32) + y0 + 0.5
+        jnp.int32, (1, width), 1).astype(jnp.float32) + 0.5
+    py = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, 1), 0).astype(jnp.float32) + (y0 + 0.5)
 
     far_key = _pack_key_const(far)
 
@@ -187,17 +199,22 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
         key = jnp.bitwise_or(jnp.bitwise_and(bits, KEY_MASK), lum_i)
         return jnp.minimum(kmin, jnp.where(ok, key, MISS_KEY))
 
-    # 2-wide unroll: unlike a z-buffer select chain, packed-key candidates are
-    # independent until the final min, so adjacent triangles' latency chains
-    # overlap. Tail overshoot (count odd / beyond-count entries) is safe: list
-    # tails hold non-hit or invalid triangles, which produce no passing pixels.
+    # FAST_UNROLL-wide unroll: unlike a z-buffer select chain, packed-key
+    # candidates are independent until the final min, so adjacent triangles'
+    # latency chains (scalar SMEM loads included) overlap. Tail overshoot
+    # (count not a multiple / beyond-count entries) is safe: list tails hold
+    # non-hit or invalid triangles, which produce no passing pixels.
+    u = FAST_UNROLL
+
     def body(j, kmin):
-        a = tri_pass(idx_ref[lr, 2 * j], kmin0)
-        b = tri_pass(idx_ref[lr, 2 * j + 1], kmin0)
-        return jnp.minimum(kmin, jnp.minimum(a, b))
+        vals = [tri_pass(idx_ref[lr, u * j + i], kmin0) for i in range(u)]
+        m = vals[0]
+        for v in vals[1:]:
+            m = jnp.minimum(m, v)
+        return jnp.minimum(kmin, m)
 
     kmin0 = jnp.full((tile_rows, width), MISS_KEY, jnp.int32)
-    kmin = jax.lax.fori_loop(0, (count_ref[lr, 0] + 1) // 2, body, kmin0)
+    kmin = jax.lax.fori_loop(0, (count_ref[lr, 0] + u - 1) // u, body, kmin0)
 
     hit = kmin < far_key
     depth = jax.lax.bitcast_convert_type(
@@ -256,9 +273,10 @@ def rasterize_luma_fast(
     idx, count = tile_lists_fast(setup, height, k, width=width, far=far,
                                  lod_px=lod_px,
                                  rows_per_band=rows * list_band_factor)
-    if k % 2:  # the 2-wide unrolled loop may overshoot to the next multiple
-        idx = jnp.pad(idx, ((0, 0), (0, 1)))
-        k += 1
+    if k % FAST_UNROLL:  # the unrolled loop may overshoot to the next multiple
+        pad = FAST_UNROLL - k % FAST_UNROLL
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        k += pad
     band = rows * list_band_factor
     assert height % band == 0, f"height {height} % {band} != 0"
     n_rows = height // rows

@@ -69,6 +69,10 @@ class TriangleSetup(struct.PyTreeNode):
     valid: jnp.ndarray   # (T,) bool — non-degenerate and not fully behind
     bbox: jnp.ndarray    # (T, 4) screen-space xmin, xmax, ymin, ymax (conservative)
     zmin: jnp.ndarray    # (T,) nearest camera depth (tile-cull priority)
+    # Surface-UV numerator rows (Σ_i U_i E_i, like znum) for procedural
+    # texturing (ops/texture.py); None when projected with textures=False.
+    unum: jnp.ndarray | None = None  # (T, 3)
+    vnum: jnp.ndarray | None = None  # (T, 3)
 
 
 def project_triangles(
@@ -81,6 +85,7 @@ def project_triangles(
     fov_deg: float = 90.0,
     near: float = 0.5,
     cullable: jnp.ndarray | None = None,  # (T,) bool — backface-cull these
+    textures: bool = False,
 ) -> TriangleSetup:
     rel = tris - cam.pos  # (T,3,3)
     x = rel @ cam.right   # (T,3) camera-right coords
@@ -140,6 +145,20 @@ def project_triangles(
     ymax = jnp.where(behind, float(height), jnp.max(py, axis=1))
     bbox = jnp.stack([xmin, xmax, ymin, ymax], axis=-1)
 
+    unum = vnum = None
+    if textures:
+        # Surface-UV rows for procedural texturing (ops/texture.py): the
+        # world-space UV of each vertex interpolates perspective-correctly as
+        # u(p) = (Σ_i U_i E_i) · p / den(p) — identical machinery to znum.
+        # Buildings parameterize by (x + y, z): x + y runs along either
+        # axis-aligned facade; everything else by the ground plane (x, y).
+        from carla_imitation_learning_tpu.render.geometry import SEM_BUILDING
+
+        is_wall = (classes == SEM_BUILDING)[:, None]
+        U = jnp.where(is_wall, tris[..., 0] + tris[..., 1], tris[..., 0])
+        V = jnp.where(is_wall, tris[..., 2], tris[..., 1])
+        unum = jnp.einsum("tv,tvc->tc", U, edges)
+        vnum = jnp.einsum("tv,tvc->tc", V, edges)
     return TriangleSetup(edges=edges, znum=znum, colors=colors,
                          classes=classes, valid=valid, bbox=bbox,
-                         zmin=jnp.min(z, axis=1))
+                         zmin=jnp.min(z, axis=1), unum=unum, vnum=vnum)

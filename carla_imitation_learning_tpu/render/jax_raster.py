@@ -48,18 +48,24 @@ def rasterize_jax(
     colors = setup.colors.reshape(T // chunk, chunk, 3)
     classes = setup.classes.reshape(T // chunk, chunk)
     valid = setup.valid.reshape(T // chunk, chunk)
+    textured = setup.unum is not None
+    xs = (edges, znum, colors, classes, valid)
+    if textured:
+        xs = xs + (setup.unum.reshape(T // chunk, chunk, 3),
+                   setup.vnum.reshape(T // chunk, chunk, 3))
 
     def body(carry, xs):
         zbuf, rgb, sem = carry
-        e_c, zn_c, col_c, cls_c, val_c = xs
+        e_c, zn_c, col_c, cls_c, val_c = xs[:5]
 
         # e_i(p) per chunk triangle: (C, 3, H, W)
         e = (e_c[:, :, 0, None, None] * PX + e_c[:, :, 1, None, None] * PY
              + e_c[:, :, 2, None, None])
         inside = jnp.all(e > 0.0, axis=1) | jnp.all(e < 0.0, axis=1)  # (C,H,W)
         den = jnp.sum(e, axis=1)
+        den_safe = jnp.where(den == 0, 1e-9, den)
         z = (zn_c[:, 0, None, None] * PX + zn_c[:, 1, None, None] * PY
-             + zn_c[:, 2, None, None]) / jnp.where(den == 0, 1e-9, den)
+             + zn_c[:, 2, None, None]) / den_safe
         ok = inside & val_c[:, None, None] & (z > near) & (z < far)
         zm = jnp.where(ok, z, jnp.inf)  # (C,H,W)
 
@@ -67,7 +73,22 @@ def rasterize_jax(
         zwin = jnp.take_along_axis(zm, win[None], axis=0)[0]
         better = zwin < zbuf
         zbuf = jnp.where(better, zwin, zbuf)
-        rgb = jnp.where(better[..., None], col_c[win], rgb)
+        col_win = col_c[win]  # (H,W,3)
+        if textured:
+            # perspective-correct surface UV → procedural factor; the SAME
+            # texture_factor the Pallas kernel calls (ops/texture.py), so
+            # both backends stay pixel-exact with each other
+            from carla_imitation_learning_tpu.ops.texture import texture_factor
+
+            un_c, vn_c = xs[5], xs[6]
+            u = (un_c[:, 0, None, None] * PX + un_c[:, 1, None, None] * PY
+                 + un_c[:, 2, None, None]) / den_safe
+            v = (vn_c[:, 0, None, None] * PX + vn_c[:, 1, None, None] * PY
+                 + vn_c[:, 2, None, None]) / den_safe
+            fac = texture_factor(u, v, cls_c[:, None, None])  # (C,H,W)
+            col_win = col_win * jnp.take_along_axis(
+                fac, win[None], axis=0)[0][..., None]
+        rgb = jnp.where(better[..., None], col_win, rgb)
         sem = jnp.where(better, cls_c[win], sem)
         return (zbuf, rgb, sem), None
 
@@ -76,8 +97,7 @@ def rasterize_jax(
         sky_image(height, width),
         jnp.full((height, width), SEM_SKY, jnp.int32),
     )
-    (zbuf, rgb, sem), _ = jax.lax.scan(
-        body, init, (edges, znum, colors, classes, valid))
+    (zbuf, rgb, sem), _ = jax.lax.scan(body, init, xs)
 
     # simple distance shading on hit pixels (depth cue, keeps flat look)
     hit = jnp.isfinite(zbuf)

@@ -45,6 +45,10 @@ class RenderConfig:
                               # (+~(8·bands−6) tris per building)
     shadows: bool = False     # blob contact shadows under vehicles/walkers
     markings: bool = False    # lane markings + zebra crosswalks (SEM_ROADLINE)
+    texture_detail: bool = False  # perspective-correct procedural textures
+                                  # (window grids, asphalt/grass speckle —
+                                  # ops/texture.py). Exact backends only; the
+                                  # fast rollout kernel ignores it.
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -62,7 +66,8 @@ class RenderConfig:
                    rain=float(r.get("rain", 0.0)),
                    facade_bands=int(r.get("facade_bands", 0)),
                    shadows=bool(r.get("shadows", False)),
-                   markings=bool(r.get("markings", False)))
+                   markings=bool(r.get("markings", False)),
+                   texture_detail=bool(r.get("texture_detail", False)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
@@ -132,7 +137,9 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
                     | (classes == geo.SEM_PEDESTRIAN))
         setup = project_triangles(tris, colors, classes, cam,
                                   rcfg.width, rcfg.height, fov, rcfg.near,
-                                  cullable=cullable)
+                                  cullable=cullable,
+                                  textures=(rcfg.texture_detail
+                                            and fast_raster is None))
         if fast_raster is not None:  # rollout kernel: gray plane ONLY
             gray = fast_raster(setup, rcfg.height, rcfg.width,
                                near=rcfg.near, far=rcfg.far,

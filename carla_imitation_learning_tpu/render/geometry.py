@@ -277,19 +277,26 @@ def light_head_triangles(lights_pos: jnp.ndarray, phases: jnp.ndarray):
 
 SHADOW_Z = 0.01  # just above the road, below every occupant
 SHADOW_TONE = jnp.asarray([0.25, 0.25, 0.27])
+# Penumbra ring: a wider, lighter quad UNDER the core (z slightly lower, so
+# the core wins the depth test where they overlap and only the rim shows) —
+# a two-tier gradient edge, the cheap version of soft shadows (+2 tris each).
+PENUMBRA_Z = 0.008
+PENUMBRA_TONE = jnp.asarray([0.47, 0.47, 0.50])
+PENUMBRA_SCALE = 1.5
 
 
 def _shadow_quads(pos: jnp.ndarray, yaw: jnp.ndarray,
-                  half_len: float, half_wid: float) -> jnp.ndarray:
+                  half_len: float, half_wid: float,
+                  scale: float = 1.15, z: float = SHADOW_Z) -> jnp.ndarray:
     """(A,2) + (A,) → (A·2, 3, 3) dark ground quads under rotated footprints
     (blob shadows: flat contact shadows, the cheap 90% of shadow realism)."""
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     local = jnp.asarray([[half_len, half_wid], [-half_len, half_wid],
-                         [-half_len, -half_wid], [half_len, -half_wid]]) * 1.15
+                         [-half_len, -half_wid], [half_len, -half_wid]]) * scale
     rot = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
     corners = jnp.einsum("aij,kj->aki", rot, local) + pos[:, None, :]  # (A,4,2)
-    z = jnp.full(corners.shape[:-1] + (1,), SHADOW_Z)
-    p = jnp.concatenate([corners, z], axis=-1)  # (A,4,3)
+    zc = jnp.full(corners.shape[:-1] + (1,), z)
+    p = jnp.concatenate([corners, zc], axis=-1)  # (A,4,3)
     t0 = jnp.stack([p[:, 0], p[:, 1], p[:, 2]], axis=1)
     t1 = jnp.stack([p[:, 0], p[:, 2], p[:, 3]], axis=1)
     return jnp.concatenate([t0, t1], axis=0)
@@ -330,14 +337,19 @@ def assemble_scene(
                                 (ped.shape[0], 1)))
         parts_k.append(jnp.full((ped.shape[0],), SEM_PEDESTRIAN, jnp.int32))
     if shadows:
-        sh = [_shadow_quads(agents_pos, agents_yaw, 2.25, 1.0)]
-        if peds_pos is not None and peds_pos.shape[0] > 0:
-            sh.append(_shadow_quads(peds_pos, jnp.zeros(peds_pos.shape[0]),
-                                    0.25, 0.25))
-        sh = jnp.concatenate(sh, axis=0)
-        parts_t.append(sh)
-        parts_c.append(jnp.tile(SHADOW_TONE, (sh.shape[0], 1)))
-        parts_k.append(jnp.full((sh.shape[0],), SEM_ROAD, jnp.int32))
+        ped_yaw = (jnp.zeros(peds_pos.shape[0])
+                   if peds_pos is not None and peds_pos.shape[0] > 0 else None)
+        for scale, z, tone in ((1.15, SHADOW_Z, SHADOW_TONE),
+                               (PENUMBRA_SCALE, PENUMBRA_Z, PENUMBRA_TONE)):
+            sh = [_shadow_quads(agents_pos, agents_yaw, 2.25, 1.0,
+                                scale=scale, z=z)]
+            if ped_yaw is not None:
+                sh.append(_shadow_quads(peds_pos, ped_yaw, 0.25, 0.25,
+                                        scale=scale, z=z))
+            sh = jnp.concatenate(sh, axis=0)
+            parts_t.append(sh)
+            parts_c.append(jnp.tile(tone, (sh.shape[0], 1)))
+            parts_k.append(jnp.full((sh.shape[0],), SEM_ROAD, jnp.int32))
     tris = jnp.concatenate(parts_t, axis=0)
     colors = jnp.concatenate(parts_c, axis=0)
     classes = jnp.concatenate(parts_k, axis=0)

@@ -1,7 +1,9 @@
 """Regenerate docs/demo_rollout.gif: the autopilot driving a rich multi-lane
-town — banded facades, blob shadows, lane markings + zebra crosswalks,
-crosswalk walkers AND sidewalk strollers, light fog — RGB camera on the left,
-semantic camera on the right, both from the exact-parity rasterizer.
+town — banded facades with procedural window grids, asphalt speckle, blob
+shadows, lane markings + zebra crosswalks, crosswalk walkers AND sidewalk
+strollers, junction turn fans (the expert genuinely picks turns), light fog —
+RGB camera on the left, semantic camera on the right, both from the
+exact-parity rasterizer.
 
 Run on any platform (TPU default; slow-but-fine on CPU):
     python docs/make_demo_gif.py
@@ -26,12 +28,14 @@ OUT = "docs/demo_rollout.gif"
 
 def main() -> None:
     town = make_town(blocks=3, n_buildings=24, n_lights=8, corner_radius=6.0,
-                     lanes_per_direction=2, superblocks=True, seed=3)
+                     lanes_per_direction=2, superblocks=True, turn_fans=True,
+                     seed=3)
     params = SimParams(n_agents=15, n_pedestrians=12, ped_sidewalk_frac=0.4,
-                       lane_change_period=120)
+                       lane_change_period=120, turn_period=80,
+                       agent_turn_prob=0.01)
     rcfg = RenderConfig(height=128, width=128, backend="pallas", rgb=True,
                         max_triangles=2048, facade_bands=3, shadows=True,
-                        markings=True, fog_density=0.008)
+                        markings=True, fog_density=0.008, texture_detail=True)
     render = jax.jit(make_renderer(params, town, rcfg))
     step = jax.jit(lambda s: step_env(params, town, s,
                                       autopilot_control(params, town, s))[0])

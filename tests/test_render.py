@@ -199,14 +199,22 @@ def test_blob_shadows_darken_under_vehicles():
                                           agents_yaw, 64, shadows=False)
     t_sh, c_sh, k_sh = geo.assemble_scene(static, lights, phases, agents_pos,
                                           agents_yaw, 64, shadows=True)
-    # two extra dark quads classified as road, at ground level
+    # four extra dark quads classified as road: the core blob + the wider,
+    # lighter penumbra ring beneath it (two-tier soft shadow)
     extra = int((np.asarray(t_sh) != 0).any(axis=(1, 2)).sum()
                 - (np.asarray(t_no) != 0).any(axis=(1, 2)).sum())
-    assert extra == 2
-    sh_mask = (np.asarray(k_sh) == geo.SEM_ROAD) & (np.asarray(t_sh)[:, :, 2] > 0).any(axis=1)
-    assert sh_mask.sum() == 2
-    assert (np.asarray(c_sh)[sh_mask] < 0.3).all()
-    np.testing.assert_allclose(np.asarray(t_sh)[sh_mask][:, :, 2], geo.SHADOW_Z)
+    assert extra == 4
+    zs = np.asarray(t_sh)[:, :, 2]
+    core = (np.asarray(k_sh) == geo.SEM_ROAD) & np.isclose(zs, geo.SHADOW_Z).all(axis=1)
+    pen = (np.asarray(k_sh) == geo.SEM_ROAD) & np.isclose(zs, geo.PENUMBRA_Z).all(axis=1)
+    assert core.sum() == 2 and pen.sum() == 2
+    assert (np.asarray(c_sh)[core] < 0.3).all()
+    # penumbra is lighter than the core and wider than it
+    assert (np.asarray(c_sh)[pen] > np.asarray(c_sh)[core].max()).all()
+    span = lambda m: np.abs(np.asarray(t_sh)[m][:, :, :2] - agents_pos[0]).max()  # noqa: E731
+    assert span(pen) > span(core)
+    # core sits ABOVE the penumbra so it wins the depth test where they overlap
+    assert geo.SHADOW_Z > geo.PENUMBRA_Z
 
 
 def test_road_markings_render():

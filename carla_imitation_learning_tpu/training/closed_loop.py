@@ -6,8 +6,10 @@ loop, rebuilt as single-jit programs (BASELINE.json configs #4-#5):
 - ``make_rollout``      — policy-in-the-loop fleet rollout: sim step → Pallas
   render → 4-frame stack → policy forward → discrete action → sim step, all
   inside one lax.scan. ZERO host round-trips per step.
-- ``evaluate_policy``   — driving metrics over N envs × T steps (collision /
-  off-road / red-light infraction rates, mean speed, episodes completed).
+- ``evaluate_policy``   — driving metrics over N envs × T steps: raw rates
+  (collision / off-road / red-light, mean speed, episodes completed) PLUS
+  CARLA-leaderboard-style normalized metrics (km driven, infractions per km,
+  per-env route completion × infraction penalty → ``driving_score``).
 - ``collect_dataset``   — autopilot (expert) rollouts → a FrameStore, i.e.
   on-device generation of exactly the data contract the reference consumes
   from CARLA logs (frames + state.csv columns).
@@ -226,20 +228,61 @@ def evaluate_policy(
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 200,
     frame_skip: int = 4, mesh=None,
 ) -> dict:
-    """Driving metrics for a policy (or the expert when policy_fn is None)."""
+    """Driving metrics for a policy (or the expert when policy_fn is None).
+
+    Beyond the raw per-step rates this reports the CARLA-leaderboard-shaped
+    composite: per env stream, route completion (driven distance as a
+    fraction of the cruise-speed ideal for the horizon, clipped to 1) times
+    a multiplicative infraction penalty (0.60^collisions × 0.65^offroads ×
+    0.70^red-light-violations — the leaderboard's per-event factors), then
+    the mean over streams. A policy that parks forever scores ~0 despite a
+    perfect infraction record; a policy that speeds through reds is cut
+    multiplicatively — the same failure modes the leaderboard score exists
+    to expose. A red-light *violation* is a rising edge of (red light ahead
+    in the stop zone) ∧ (speed > 2 m/s): discrete run-the-light events, not
+    per-step exposure (exposure is still reported separately).
+    """
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
                                        mesh=mesh)
     carry = init_fn(rng, n_envs)
     _, traj = rollout_fn(carry, n_steps)
     steps = n_envs * n_steps
+    speed = np.asarray(traj["speed"], np.float64)    # (T, B)
+    coll = np.asarray(traj["collision"], bool)
+    off = np.asarray(traj["offroad"], bool)
+    red = np.asarray(traj["red_light"], bool)
+    done = np.asarray(traj["done"], bool)
+    km_env = speed.sum(axis=0) * params.dt / 1000.0  # (B,) km per env stream
+    km = float(km_env.sum())
+    viol = red & (speed > 2.0)
+    ran_red = viol & ~np.vstack([np.zeros((1, n_envs), bool), viol[:-1]])
+
+    def per_km(count: float) -> float:
+        if km > 0:
+            return count / km
+        return float("inf") if count else 0.0
+
+    ideal_km = n_steps * params.dt * params.target_speed / 1000.0
+    completion = np.clip(km_env / ideal_km, 0.0, 1.0)
+    penalty = (0.60 ** coll.sum(0)) * (0.65 ** off.sum(0)) \
+        * (0.70 ** ran_red.sum(0))
     return {
-        "mean_speed": float(traj["speed"].mean()),
-        "collisions_per_1k_steps": float(traj["collision"].sum()) / steps * 1000,
-        "offroad_per_1k_steps": float(traj["offroad"].sum()) / steps * 1000,
-        "episodes_ended": int(traj["done"].sum()),
-        "red_light_exposure": float(traj["red_light"].mean()),
+        "mean_speed": float(speed.mean()),
+        "collisions_per_1k_steps": float(coll.sum()) / steps * 1000,
+        "offroad_per_1k_steps": float(off.sum()) / steps * 1000,
+        "episodes_ended": int(done.sum()),
+        "red_light_exposure": float(red.mean()),
         "action_agreement": float((traj["action"] == traj["expert_action"]).mean()),
         "env_steps": steps,
+        # CARLA-leaderboard-style normalized tier
+        "km_driven": km,
+        "collisions_per_km": per_km(float(coll.sum())),
+        "offroad_per_km": per_km(float(off.sum())),
+        "red_violations_per_km": per_km(float(ran_red.sum())),
+        "success_rate": float((~(coll.any(0) | off.any(0))).mean()),
+        "mean_episode_steps": steps / (int(done.sum()) + n_envs),
+        "route_completion": float(completion.mean()),
+        "driving_score": float((completion * penalty).mean()),
     }
 
 

@@ -50,6 +50,32 @@ def test_evaluate_expert_metrics():
     assert m["mean_speed"] > 0.1  # the expert drives
     assert m["action_agreement"] == 1.0
     assert m["collisions_per_1k_steps"] < 200
+    # leaderboard-style tier: the expert actually covers ground
+    assert m["km_driven"] > 0
+    assert 0.0 < m["route_completion"] <= 1.0
+    assert 0.0 <= m["driving_score"] <= m["route_completion"] + 1e-9
+    # km-normalized rates agree with the raw counts
+    np.testing.assert_allclose(
+        m["collisions_per_km"] * m["km_driven"],
+        m["collisions_per_1k_steps"] * m["env_steps"] / 1000, rtol=1e-9)
+
+
+def test_parked_policy_scores_zero():
+    """A policy that never moves has a clean infraction record but must score
+    ~0 on the leaderboard composite — completion gates the score."""
+    import jax.numpy as jnp
+
+    brake_straight = 1  # accel class 0 (full brake) * 3 + steer class 1
+
+    def parked(obs):
+        return jnp.full((obs.shape[0],), brake_straight, jnp.int32)
+
+    m = evaluate_policy(PARAMS, TOWN, RCFG, parked, jax.random.PRNGKey(2),
+                        n_envs=2, n_steps=25)
+    assert m["km_driven"] < 0.01
+    assert m["success_rate"] == 1.0         # no infractions while parked...
+    assert m["driving_score"] < 0.1         # ...but no credit either
+    assert m["collisions_per_km"] == 0.0    # zero count over ~zero km stays 0
 
 
 def test_collect_dataset_contract():

@@ -1,0 +1,173 @@
+"""End-to-end driving quality: expert vs untrained vs BC vs DAgger.
+
+The reference trains BC offline and never closes the loop (SURVEY.md §2.3 —
+no closed-loop eval exists in /root/reference). This harness is the proof
+that the whole TPU-native pipeline composes: on-device expert collection →
+BC training on the packed FrameStore → policy-in-the-loop evaluation with
+CARLA-leaderboard-style metrics (evaluate_policy) → DAgger refinement — all
+on one chip, no host round-trips inside any rollout.
+
+Reported per policy tier: driving_score (route completion × multiplicative
+infraction penalty), route_completion, collisions_per_km, success_rate,
+action agreement with the expert. Expected ordering:
+    untrained  <<  BC  <=  DAgger  <=  expert (same controller that labels)
+
+Usage: python benchmarks/driving_quality.py [--envs 256] [--steps 300]
+         [--collect-envs 64] [--collect-steps 500] [--epochs 8] [--dagger 2]
+Writes reports/driving_quality.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=256, help="eval fleet size")
+    ap.add_argument("--steps", type=int, default=300, help="eval horizon")
+    ap.add_argument("--collect-envs", type=int, default=64)
+    ap.add_argument("--collect-steps", type=int, default=500)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--dagger", type=int, default=2,
+                    help="DAgger rounds on top of BC (0 to skip)")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from carla_imitation_learning_tpu.data import pipeline as pipe
+    from carla_imitation_learning_tpu.models import PolicyCNN
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.sim import SimParams, make_town
+    from carla_imitation_learning_tpu.training import closed_loop as cl
+    from carla_imitation_learning_tpu.training.losses import bc_loss_fn
+    from carla_imitation_learning_tpu.training.steps import (
+        create_train_state, make_train_step,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    town = make_town(blocks=3, n_buildings=24, n_lights=8)
+    params = SimParams(n_agents=15)
+    rcfg = RenderConfig(height=128, width=128,
+                        backend="pallas" if on_tpu else "jax")
+    rng = jax.random.PRNGKey(args.seed)
+    model = PolicyCNN(dtype=jnp.bfloat16)
+
+    def policy_from(p):
+        def policy_fn(obs):
+            return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
+        return policy_fn
+
+    def ev(policy_fn, key):
+        return cl.evaluate_policy(params, town, rcfg, policy_fn,
+                                  jax.random.PRNGKey(key),
+                                  n_envs=args.envs, n_steps=args.steps)
+
+    keep = ("driving_score", "route_completion", "success_rate",
+            "collisions_per_km", "red_violations_per_km", "mean_speed",
+            "action_agreement", "km_driven")
+
+    def trim(m):
+        # non-finite (inf per-km rate over ~zero km) → None: strict-JSON safe
+        return {k: round(float(m[k]), 4) if np.isfinite(m[k]) else None
+                for k in keep}
+
+    t0 = time.perf_counter()
+    result: dict = {"config": vars(args), "platform": jax.devices()[0].platform}
+    out = Path(__file__).resolve().parents[1] / "reports" / "driving_quality.json"
+
+    def save():
+        # incremental: a wedged tunnel mid-run must not lose finished tiers
+        out.write_text(json.dumps(result, indent=2))
+
+    # --- expert + untrained baselines -------------------------------------
+    result["expert"] = trim(ev(None, 100))
+    print(f"expert: {result['expert']}", flush=True)
+    save()
+
+    rng, ki = jax.random.split(rng)
+    tx = optax.adam(1e-3)
+    state = create_train_state(
+        model, ki, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+    result["untrained"] = trim(ev(policy_from(state.params), 101))
+    print(f"untrained: {result['untrained']}", flush=True)
+    save()
+
+    # --- collect expert data + BC training --------------------------------
+    rng, kc = jax.random.split(rng)
+    tc = time.perf_counter()
+    store, _, _ = cl.collect_dataset(params, town, rcfg, kc,
+                                     args.collect_envs, args.collect_steps)
+    result["collect_seconds"] = round(time.perf_counter() - tc, 1)
+    result["dataset_frames"] = len(store)
+
+    step = make_train_step(bc_loss_fn, donate=False)
+    tt = time.perf_counter()
+    last = {}
+    for ep in range(args.epochs):
+        ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=ep)
+        for batch in ds:
+            rng, sk = jax.random.split(rng)
+            state, last = step(state, batch, sk)
+    jax.block_until_ready(last["loss"])
+    result["train_seconds"] = round(time.perf_counter() - tt, 1)
+    result["bc_final_loss"] = round(float(last["loss"]), 4)
+    result["bc_final_accuracy"] = round(float(last["accuracy"]), 4)
+    result["bc"] = trim(ev(policy_from(state.params), 102))
+    print(f"bc: {result['bc']}", flush=True)
+    save()
+
+    # --- DAgger refinement -------------------------------------------------
+    stores = [store]
+    for rnd in range(args.dagger):
+        print(f"dagger round {rnd}: collecting...", flush=True)
+        rng, kd = jax.random.split(rng)
+        # same (envs, steps) as the expert collect → the rollout program is
+        # already compiled (persistent cache); a fresh scan length would pay
+        # a multi-minute remote compile on the tunneled chip
+        dstore, _, _ = cl.dagger_iteration(
+            params, town, rcfg, policy_from(state.params), kd,
+            args.collect_envs, args.collect_steps)
+        stores.append(dstore)
+        agg = pipe.FrameStore.concat(stores)
+        for ep in range(max(2, args.epochs // 2)):
+            ds = pipe.DeviceDataset(agg, args.batch, shuffle=True,
+                                    seed=1000 + rnd * 100 + ep)
+            for batch in ds:
+                rng, sk = jax.random.split(rng)
+                state, last = step(state, batch, sk)
+    if args.dagger:
+        jax.block_until_ready(last["loss"])
+        result["dagger_frames"] = sum(len(s) for s in stores)
+        result["dagger"] = trim(ev(policy_from(state.params), 103))
+        print(f"dagger: {result['dagger']}", flush=True)
+
+    result["wall_seconds"] = round(time.perf_counter() - t0, 1)
+    save()
+    print(json.dumps({
+        "metric": "closed_loop_driving_score_bc",
+        "value": result["bc"]["driving_score"],
+        "unit": "leaderboard score (0-1)",
+        "expert": result["expert"]["driving_score"],
+        "untrained": result["untrained"]["driving_score"],
+        "dagger": result.get("dagger", {}).get("driving_score"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

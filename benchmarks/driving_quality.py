@@ -41,6 +41,8 @@ def main() -> None:
                     help="DAgger rounds on top of BC (0 to skip)")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--balanced", action="store_true",
+                    help="inverse-frequency action balancing during training")
     args = ap.parse_args()
 
     from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
@@ -120,7 +122,8 @@ def main() -> None:
     tt = time.perf_counter()
     last = {}
     for ep in range(args.epochs):
-        ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=ep)
+        ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=ep,
+                                balanced=args.balanced)
         for batch in ds:
             rng, sk = jax.random.split(rng)
             state, last = step(state, batch, sk)
@@ -147,7 +150,8 @@ def main() -> None:
         agg = pipe.FrameStore.concat(stores)
         for ep in range(max(2, args.epochs // 2)):
             ds = pipe.DeviceDataset(agg, args.batch, shuffle=True,
-                                    seed=1000 + rnd * 100 + ep)
+                                    seed=1000 + rnd * 100 + ep,
+                                    balanced=args.balanced)
             for batch in ds:
                 rng, sk = jax.random.split(rng)
                 state, last = step(state, batch, sk)

@@ -216,6 +216,7 @@ class DeviceDataset:
         label_offset: int | None = None,
         cil: bool = False,
         sample_mask: np.ndarray | None = None,
+        balanced: bool = False,
     ):
         self.store = store
         self.batch_size = batch_size
@@ -265,6 +266,16 @@ class DeviceDataset:
                 raise ValueError("sample_mask excludes every training window")
         self.n_samples = len(valid)
         self._all_valid = len(valid) == n_starts
+        # Inverse-frequency class balancing (driving data is dominated by
+        # the cruise action — CIL's known steering-imbalance problem): each
+        # epoch draws n_samples windows WITH replacement, weighted 1/freq of
+        # the labeled action, so every action class contributes ~equally.
+        self._balance_p = None
+        if balanced:
+            labels = np.asarray(store.actions, np.int64)[valid + self.label_offset]
+            counts = np.bincount(labels)
+            w = 1.0 / counts[labels]
+            self._balance_p = w / w.sum()
         # Device-resident packed arrays (replicated under a mesh; batches are
         # sharded by sharding the index vector).
         if sharding is not None:
@@ -293,6 +304,9 @@ class DeviceDataset:
         return -(-self.n_samples // self.batch_size)
 
     def epoch_indices(self) -> np.ndarray:
+        if self._balance_p is not None:
+            return self._rng.choice(self.n_samples, size=self.n_samples,
+                                    replace=True, p=self._balance_p)
         order = np.arange(self.n_samples)
         if self.shuffle:
             self._rng.shuffle(order)
@@ -516,6 +530,10 @@ def _loaders_from_stores(cfg, stores: dict[str, FrameStore], aux: bool, frame_sk
             dtype=str(cfg.get("compute_dtype_input", "float32")),
             sharding=(sharding if split == "train" else None),
             label_offset=label_offset,
+            # inverse-frequency action balancing, train split only — eval
+            # metrics must reflect the true label distribution
+            balanced=(bool(cfg.get("balanced_sampling", False))
+                      and split == "train"),
         )
     return out
 

@@ -108,3 +108,39 @@ def test_luminance_matches_reference_formula():
     gray = rgb.astype(np.float64) @ fl.LUMA / 255.0  # imitation_dataset.py:121
     packed = np.round(rgb.astype(np.float64) @ fl.LUMA).astype(np.uint8) / 255.0
     assert np.abs(gray - packed).max() <= 0.5 / 255 + 1e-9
+
+
+def test_balanced_sampling_flattens_label_histogram():
+    """balanced=True draws each epoch inverse-frequency over the LABELED
+    action, so a 90/10-imbalanced store yields a ~uniform training stream."""
+    n = 400
+    store = FrameStore.synthetic(n=n, height=8, width=8, seed=0)
+    # heavy imbalance: 90% action 4 ("cruise"), 10% action 0
+    actions = np.full(n, 4, np.int32)
+    actions[::10] = 0
+    store = FrameStore(store.frames, actions, store.traffic, store.sensors)
+    ds = DeviceDataset(store, batch_size=16, frame_skip=4, seed=7, balanced=True)
+    labels = actions[ds.epoch_indices() + 4]
+    frac0 = float((labels == 0).mean())
+    assert 0.35 < frac0 < 0.65  # ~0.5 expected; unbalanced would be ~0.1
+    # deterministic per seed, fresh draw per epoch
+    ds2 = DeviceDataset(store, batch_size=16, frame_skip=4, seed=7, balanced=True)
+    np.testing.assert_array_equal(ds2.epoch_indices(), DeviceDataset(
+        store, batch_size=16, frame_skip=4, seed=7, balanced=True).epoch_indices())
+    assert not np.array_equal(ds.epoch_indices(), ds.epoch_indices())
+
+
+def test_balanced_respects_episode_boundaries():
+    """Balanced draws must still come only from episode-valid window starts."""
+    n = 60
+    store = FrameStore.synthetic(n=n, height=8, width=8, seed=1)
+    starts = np.zeros(n, bool)
+    starts[0] = starts[30] = True
+    store = FrameStore(store.frames, store.actions, store.traffic,
+                       store.sensors, starts=starts)
+    ds = DeviceDataset(store, batch_size=8, frame_skip=4, seed=3, balanced=True)
+    # sample indices must all be < n_samples (they map through _valid_starts)
+    idx = ds.epoch_indices()
+    assert idx.min() >= 0 and idx.max() < ds.n_samples
+    x, y = ds.make_batch(idx[:8])
+    assert x.shape == (8, 8, 8, 4)

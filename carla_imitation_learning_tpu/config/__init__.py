@@ -33,6 +33,14 @@ class Config(dict):
     ``hparams['camera']`` and ``hparams.camera`` are used, train.py:21,34).
     """
 
+    def __init__(self, *args: Any, **kwargs: Any) -> None:
+        # route initial items through __setitem__ so nested dicts are wrapped
+        # (dict's C-level init would bypass it: Config({'a': {'b': 1}}).a.b
+        # must work — Config.copy() builds from a plain to_dict() tree)
+        super().__init__()
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
     def __getattr__(self, name: str) -> Any:
         try:
             return self[name]

@@ -518,6 +518,75 @@ def closed_loop_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
     return {"policy": metrics, "expert": expert}
 
 
+# Named evaluation scenarios — minimal config deltas over the composed cfg,
+# so user overrides (tiny test shapes, fleet sizes) survive. The CARLA
+# leaderboard evaluates one agent across route+weather suites; this is the
+# equivalent for the on-device world: same policy, varied conditions.
+SCENARIOS: dict[str, dict] = {
+    "clear": {},
+    "fog": {"render.fog_density": 0.04},              # ~115 m visibility
+    "storm": {"render.fog_density": 0.02, "render.rain": 0.8},
+    "busy": {"sim.n_pedestrians": 12, "sim.n_agents": 24},
+    "multilane": {"sim.town.lanes_per_direction": 2,
+                  "sim.town.superblocks": True,
+                  "sim.lane_change_period": 120, "sim.lane_change_window": 12},
+    "turns": {"sim.town.lanes_per_direction": 2, "sim.town.superblocks": True,
+              "sim.town.turn_fans": True, "sim.turn_period": 80,
+              "sim.agent_turn_prob": 0.01},
+}
+
+
+@experiment("scenario_eval")
+def scenario_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
+                  n_steps: int = 200, scenarios: str = "all", **kw):
+    """Leaderboard-style scenario suite: ONE policy evaluated across named
+    world/weather conditions (SCENARIOS), with the privileged expert's score
+    under each condition as its ceiling. No reference equivalent — the
+    reference never closes the loop at all; this mirrors how the CARLA
+    leaderboard aggregates driving scores over route/weather suites."""
+    names = (list(SCENARIOS) if scenarios in ("all", "", None)
+             else [s.strip() for s in str(scenarios).split(",")])
+    unknown = [n for n in names if n not in SCENARIOS]
+    if unknown:
+        raise ValueError(f"unknown scenarios {unknown}; have {list(SCENARIOS)}")
+    model = PolicyCNN(obs_size=int(cfg.get("frame_skip", 4)),
+                      n_actions=int(cfg.get("n_actions", 9)), dtype=_dtype(cfg))
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    h = int(cfg.get_dotted("render.height", 128))
+    w = int(cfg.get_dotted("render.width", 128))
+    mparams = model.init(rng, jnp.zeros((1, h, w, 4)))["params"]
+    if checkpoint:
+        from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
+
+        mparams = restore_pytree(checkpoint, {"params": mparams})["params"]
+
+    def policy_fn(obs):
+        return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
+
+    out, summary = {}, {}
+    for name in names:
+        scfg = cfg.copy()
+        for k, v in SCENARIOS[name].items():
+            scfg.set_dotted(k, v)
+        ped = int(scfg.get_dotted("sim.n_pedestrians", 0))
+        if ped:
+            # walkers add 10 triangles each (configs/sim/town.yaml note)
+            cur = int(scfg.get_dotted("render.max_triangles", 512))
+            scfg.set_dotted("render.max_triangles", cur + 10 * ped)
+        town, params, rcfg = _sim_bits(scfg)
+        mesh, _ = _mesh_bits(scfg, batch_size=n_envs)
+        pm = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
+                                n_envs=n_envs, n_steps=n_steps, mesh=mesh)
+        em = cl.evaluate_policy(params, town, rcfg, None, rng,
+                                n_envs=n_envs, n_steps=n_steps, mesh=mesh)
+        out[name] = {"policy": pm, "expert": em}
+        summary[name] = {"policy": pm["driving_score"],
+                         "expert": em["driving_score"]}
+    return {"scenarios": out, "summary": summary,
+            "mean_driving_score": float(np.mean(
+                [summary[n]["policy"] for n in names]))}
+
+
 @experiment("dagger")
 def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
            epochs_per_round: int = 3, **kw):

@@ -43,3 +43,16 @@ def test_attribute_access_and_mutation():
     assert cfg["camera"] == "semantic"
     cfg["train_logs"] = ["Log1"]
     assert cfg.train_logs == ["Log1"]
+
+
+def test_config_copy_preserves_nested_attribute_access():
+    """Config.copy()/Config(plain_dict) must wrap nested dicts — dict's
+    C-level init would bypass __setitem__ and break cfg.sim.town access."""
+    from carla_imitation_learning_tpu.config import Config
+
+    cfg = Config({"sim": {"town": {"blocks": 3}}})
+    assert cfg.sim.town.blocks == 3
+    c = cfg.copy()
+    assert c.sim.town.blocks == 3
+    c.set_dotted("sim.town.blocks", 5)
+    assert c.sim.town.blocks == 5 and cfg.sim.town.blocks == 3  # deep copy

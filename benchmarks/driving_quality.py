@@ -85,8 +85,8 @@ def main() -> None:
             "action_agreement", "km_driven")
 
     def trim(m):
-        # non-finite (inf per-km rate over ~zero km) → None: strict-JSON safe
-        return {k: round(float(m[k]), 4) if np.isfinite(m[k]) else None
+        # per-km rates are already None over ~zero km (strict-JSON safe)
+        return {k: None if m[k] is None else round(float(m[k]), 4)
                 for k in keep}
 
     t0 = time.perf_counter()
@@ -121,16 +121,21 @@ def main() -> None:
     step = make_train_step(bc_loss_fn, donate=False)
     tt = time.perf_counter()
     last = {}
+    # ONE dataset per store: DeviceDataset uploads the full frame store to
+    # HBM at construction (~512 MB at default shapes over a slow tunnel);
+    # its internal rng reshuffles (or re-draws balanced) every epoch
+    ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=args.seed,
+                            balanced=args.balanced)
     for ep in range(args.epochs):
-        ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=ep,
-                                balanced=args.balanced)
         for batch in ds:
             rng, sk = jax.random.split(rng)
             state, last = step(state, batch, sk)
-    jax.block_until_ready(last["loss"])
+    if last:
+        jax.block_until_ready(last["loss"])
+        result["bc_final_loss"] = round(float(last["loss"]), 4)
+        result["bc_final_accuracy"] = round(float(last["accuracy"]), 4)
     result["train_seconds"] = round(time.perf_counter() - tt, 1)
-    result["bc_final_loss"] = round(float(last["loss"]), 4)
-    result["bc_final_accuracy"] = round(float(last["accuracy"]), 4)
+    save()  # training metadata survives even if the BC eval wedges
     result["bc"] = trim(ev(policy_from(state.params), 102))
     print(f"bc: {result['bc']}", flush=True)
     save()
@@ -140,18 +145,17 @@ def main() -> None:
     for rnd in range(args.dagger):
         print(f"dagger round {rnd}: collecting...", flush=True)
         rng, kd = jax.random.split(rng)
-        # same (envs, steps) as the expert collect → the rollout program is
-        # already compiled (persistent cache); a fresh scan length would pay
-        # a multi-minute remote compile on the tunneled chip
+        # same (envs, steps) as the expert collect so ROUND 2+ hits the
+        # persistent compile cache (round 1's policy-driven rollout is a
+        # different program from the expert collect and still compiles)
         dstore, _, _ = cl.dagger_iteration(
             params, town, rcfg, policy_from(state.params), kd,
             args.collect_envs, args.collect_steps)
         stores.append(dstore)
         agg = pipe.FrameStore.concat(stores)
+        ds = pipe.DeviceDataset(agg, args.batch, shuffle=True,
+                                seed=1000 + rnd, balanced=args.balanced)
         for ep in range(max(2, args.epochs // 2)):
-            ds = pipe.DeviceDataset(agg, args.batch, shuffle=True,
-                                    seed=1000 + rnd * 100 + ep,
-                                    balanced=args.balanced)
             for batch in ds:
                 rng, sk = jax.random.split(rng)
                 state, last = step(state, batch, sk)

@@ -493,15 +493,14 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
     return out
 
 
-@experiment("closed_loop_eval")
-def closed_loop_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
-                     n_steps: int = 200, **kw):
-    """BASELINE config #4: policy-in-the-loop driving metrics."""
-    town, params, rcfg = _sim_bits(cfg)
+def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
+    """PolicyCNN + (optionally checkpoint-restored) params → argmax policy_fn.
+    Shared by every closed-loop eval entry point so the restore contract
+    stays in one place."""
     model = PolicyCNN(obs_size=int(cfg.get("frame_skip", 4)),
                       n_actions=int(cfg.get("n_actions", 9)), dtype=_dtype(cfg))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    mparams = model.init(rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)))["params"]
+    mparams = model.init(rng, jnp.zeros((1, height, width, 4)))["params"]
     if checkpoint:
         from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
 
@@ -510,6 +509,15 @@ def closed_loop_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
     def policy_fn(obs):
         return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
 
+    return policy_fn, rng
+
+
+@experiment("closed_loop_eval")
+def closed_loop_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
+                     n_steps: int = 200, **kw):
+    """BASELINE config #4: policy-in-the-loop driving metrics."""
+    town, params, rcfg = _sim_bits(cfg)
+    policy_fn, rng = _policy_bits(cfg, checkpoint, rcfg.height, rcfg.width)
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                  n_envs=n_envs, n_steps=n_steps, mesh=mesh)
@@ -549,20 +557,9 @@ def scenario_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
     unknown = [n for n in names if n not in SCENARIOS]
     if unknown:
         raise ValueError(f"unknown scenarios {unknown}; have {list(SCENARIOS)}")
-    model = PolicyCNN(obs_size=int(cfg.get("frame_skip", 4)),
-                      n_actions=int(cfg.get("n_actions", 9)), dtype=_dtype(cfg))
-    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    h = int(cfg.get_dotted("render.height", 128))
-    w = int(cfg.get_dotted("render.width", 128))
-    mparams = model.init(rng, jnp.zeros((1, h, w, 4)))["params"]
-    if checkpoint:
-        from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
-
-        mparams = restore_pytree(checkpoint, {"params": mparams})["params"]
-
-    def policy_fn(obs):
-        return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
-
+    policy_fn, rng = _policy_bits(
+        cfg, checkpoint, int(cfg.get_dotted("render.height", 128)),
+        int(cfg.get_dotted("render.width", 128)))
     out, summary = {}, {}
     for name in names:
         scfg = cfg.copy()

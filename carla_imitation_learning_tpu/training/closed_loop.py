@@ -257,10 +257,13 @@ def evaluate_policy(
     viol = red & (speed > 2.0)
     ran_red = viol & ~np.vstack([np.zeros((1, n_envs), bool), viol[:-1]])
 
-    def per_km(count: float) -> float:
+    def per_km(count: float) -> float | None:
         if km > 0:
             return count / km
-        return float("inf") if count else 0.0
+        # N infractions over ~zero km: rate is unbounded — None keeps every
+        # consumer strict-JSON safe (json.dumps(inf) emits the non-standard
+        # `Infinity` token, which jq / JS JSON.parse reject)
+        return None if count else 0.0
 
     ideal_km = n_steps * params.dt * params.target_speed / 1000.0
     completion = np.clip(km_env / ideal_km, 0.0, 1.0)

@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--envs", type=int, default=1024)
     ap.add_argument("--rich", action="store_true",
                     help="rich-scene config (facade bands, shadows, 1024 tris)")
-    ap.add_argument("--lod", type=float, default=0.0)
+    ap.add_argument("--lod", type=float, default=-1.0,
+                    help="-1 = auto (rollout default 2px), 0 = off")
     args = ap.parse_args()
 
     from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
@@ -155,7 +156,7 @@ def main() -> None:
             else:
                 tris = pack_setup_fast(setup)
                 _idx, count = tile_lists_fast(setup, H, T, width=W,
-                                              lod_px=rcfg.lod_px)
+                                              lod_px=max(rcfg.lod_px, 0.0))
                 acc = acc + jnp.sum(tris[0]) + jnp.sum(count).astype(jnp.float32)
             return s, acc
 

@@ -73,7 +73,8 @@ class FrameStore:
         return self.frames.shape[2]
 
     @classmethod
-    def from_arrays(cls, frames: np.ndarray, state: fl.StateLog, file_idx=None) -> "FrameStore":
+    def from_arrays(cls, frames: np.ndarray, state: fl.StateLog, file_idx=None,
+                    starts: np.ndarray | None = None) -> "FrameStore":
         """Align a (N,H,W) frame array with a StateLog via 1-based file indices."""
         if file_idx is None:
             file_idx = np.arange(len(frames))
@@ -85,6 +86,7 @@ class FrameStore:
             actions=acts[file_idx],
             traffic=np.asarray(state.trafficlight).astype(np.int32)[file_idx],
             sensors=state.sensors[file_idx],
+            starts=starts,
             file_idx=np.asarray(file_idx),
         )
 
@@ -194,6 +196,27 @@ def gather_windows(frames, idx, frame_skip: int, dtype_name: str = "float32"):
     return _normalize(jnp.transpose(windows, (0, 2, 3, 1)), dtype)
 
 
+def valid_window_starts(n_frames: int, starts: np.ndarray | None, span: int,
+                        n_starts: int | None = None) -> np.ndarray:
+    """Window-start indices whose span stays inside one episode.
+
+    A window starting at i touches frames (i, i+span]; it is dropped if any
+    of those frames BEGINS a new episode/stream (``starts`` bitmap). The ONE
+    boundary rule shared by DeviceDataset (span = window ∪ label),
+    SequenceDataset (span = seq_len-1) and DeviceShardStreamer — fix it here,
+    it applies everywhere.
+    """
+    n = n_starts if n_starts is not None else n_frames - span
+    base = np.arange(max(n, 0), dtype=np.int32)
+    if starts is None or span <= 0 or len(base) == 0:
+        return base
+    st = np.asarray(starts, bool)
+    crosses = np.zeros(len(base), bool)
+    for d in range(1, span + 1):
+        crosses |= st[d:d + len(base)]
+    return base[~crosses]
+
+
 class DeviceDataset:
     """Iterator over on-device batches from a FrameStore.
 
@@ -242,16 +265,10 @@ class DeviceDataset:
         # reference's windows are single-stream by construction
         # (imitation_dataset.py:115-131); collected/aggregated stores mark
         # their stream/reset boundaries in store.starts.
-        if store.starts is not None and span > 0:
-            starts = np.asarray(store.starts, bool)
-            crosses = np.zeros(n_starts, bool)
-            for d in range(1, span + 1):
-                crosses |= starts[d:d + n_starts]
-            valid = np.nonzero(~crosses)[0].astype(np.int32)
-            if len(valid) == 0:
-                raise ValueError("no episode is long enough for a full window")
-        else:
-            valid = np.arange(n_starts, dtype=np.int32)
+        valid = valid_window_starts(len(store), store.starts, span,
+                                    n_starts=n_starts)
+        if len(valid) == 0:
+            raise ValueError("no episode is long enough for a full window")
         if sample_mask is not None:
             # per-frame gate on the LABELED frame (e.g. uncertainty-gated
             # DAgger trains only windows whose queried state was uncertain);
@@ -469,11 +486,9 @@ class SequenceDataset:
         if store.starts is not None and seq_len > 1:
             # sequence i covers frames [i, i+seq_len) — drop it if any frame
             # in (i, i+seq_len) begins a new episode
-            ep = np.asarray(store.starts, bool)
-            crosses = np.zeros(n - seq_len, bool)
-            for d in range(1, seq_len):
-                crosses |= ep[d:d + (n - seq_len)]
-            starts = starts[~crosses[starts]]
+            ok = valid_window_starts(n, store.starts, seq_len - 1,
+                                     n_starts=n - seq_len)
+            starts = starts[np.isin(starts, ok)]
         if len(starts) == 0:
             raise ValueError(f"no length-{seq_len} sequences in store of {n}")
         self.starts = starts

@@ -71,11 +71,17 @@ def _camera_dir(data_dir: Path, log: str, camera: str, image_size) -> Path:
 def _load_frames(cfg, logs, camera) -> np.ndarray:
     data_dir = Path(cfg["data_dir"])
     parts = []
+    h = (cfg.get("image_size") or [1, 224, 224])
+    h = h[1] if isinstance(h, (list, tuple)) else 224
     for log in logs:
-        # packed framestore tier first (collect_multicamera writes
-        # <cam>.tpuilfs at memcpy speed — no PNG decode on load either)
+        # The reference's '<camera>_resized_<h>_bw' layout wins when present:
+        # it is the only tier guaranteed to match cfg image_size (the packed
+        # framestore stores collection-resolution frames). Packed tier next
+        # (collect_multicamera writes <cam>.tpuilfs at memcpy speed — no PNG
+        # decode on load either), raw per-file folder last.
+        resized = data_dir / "raw" / log / f"{camera}_resized_{h}_bw"
         packed = data_dir / "raw" / log / f"{camera}.tpuilfs"
-        if packed.exists():
+        if packed.exists() and not resized.is_dir():
             try:
                 from carla_imitation_learning_tpu.native import NativeFrameStore
 

@@ -449,6 +449,7 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
 
         t0 = _time.perf_counter()
         epoch_walls = []
+        m = None
         for _ in range(epochs):
             te = _time.perf_counter()
             for frames, actions, widx in streamer.device_shards():
@@ -460,6 +461,10 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
                 state, rng, m = shard_fused(state, rng, frames, actions,
                                             orders, fs)
                 n_images += nb * batch
+            if m is None:
+                raise ValueError(
+                    f"bc_streaming: no shard holds a full batch of {batch} "
+                    "windows — lower BATCH_SIZE or collect more frames")
             float(jnp.sum(m["loss"]))  # completion barrier per epoch
             epoch_walls.append(_time.perf_counter() - te)
         last = {k: v[-1] for k, v in m.items()}
@@ -749,7 +754,7 @@ def collect_multicamera_data(cfg, n_envs: int = 8, n_steps: int = 128,
     cameras = tuple(kw.get("cameras", ("camera", "FL", "FR", "SL", "SR", "RR")))
     town, params, rcfg = _sim_bits(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    frames, state_log = cl.collect_multicamera(
+    frames, state_log, starts = cl.collect_multicamera(
         params, town, rcfg, rng, cameras=cameras, n_envs=n_envs, n_steps=n_steps)
     data_dir = Path(cfg["data_dir"])
     log = kw.get("log_name", "SimLog1")
@@ -762,7 +767,9 @@ def collect_multicamera_data(cfg, n_envs: int = 8, n_steps: int = 128,
         if write_png:
             fl.save_frames(data_dir / "raw" / log / cam, arr)
         if save_framestore is not None:
-            store = pipe.FrameStore.from_arrays(arr, state_log)
+            # starts bitmap rides into the v2 framestore so windowed readers
+            # never span env-stream boundaries or auto-resets
+            store = pipe.FrameStore.from_arrays(arr, state_log, starts=starts)
             p = data_dir / "raw" / log / f"{cam}.tpuilfs"
             packed[cam] = str(save_framestore(p, store))
     fl.save_state_csv(data_dir / "raw" / log / "state.csv", state_log)

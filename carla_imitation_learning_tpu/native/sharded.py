@@ -169,14 +169,9 @@ class DeviceShardStreamer:
 
     @staticmethod
     def _valid_starts(n: int, starts: np.ndarray | None, span: int) -> np.ndarray:
-        base = np.arange(max(n - span, 0), dtype=np.int32)
-        if starts is None or span == 0 or len(base) == 0:
-            return base
-        st = np.asarray(starts, bool)
-        crosses = np.zeros(len(base), bool)
-        for d in range(1, span + 1):
-            crosses |= st[d:d + len(base)]
-        return base[~crosses]
+        from carla_imitation_learning_tpu.data.pipeline import valid_window_starts
+
+        return valid_window_starts(n, starts, span)
 
     def _load_shard(self, path: Path):
         """mmap → (async device frames, device actions, valid starts)."""
@@ -224,8 +219,10 @@ class DeviceShardStreamer:
         from carla_imitation_learning_tpu.data.pipeline import gather_windows
 
         for dev_frames, dev_actions, widx in self.device_shards():
-            nb = (len(widx) // self.batch if self.drop_last and
-                  len(widx) >= self.batch else -(-len(widx) // self.batch))
+            # drop_last is strict per shard: a short batch mid-epoch would
+            # force a jit recompile per unique shape (expensive remotely)
+            nb = (len(widx) // self.batch if self.drop_last
+                  else -(-len(widx) // self.batch))
             for b in range(nb):
                 idx = jnp.asarray(widx[b * self.batch:(b + 1) * self.batch],
                                   jnp.int32)
@@ -242,7 +239,7 @@ class DeviceShardStreamer:
             finally:
                 nfs.close()
             if v:
-                total += (v // self.batch if self.drop_last and v >= self.batch
+                total += (v // self.batch if self.drop_last
                           else -(-v // self.batch))
         return total
 

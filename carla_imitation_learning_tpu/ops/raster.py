@@ -43,6 +43,18 @@ import os as _os
 # PERFORMANCE.md log). Clamped to the image height per call. Env override for
 # A/B sweeps only — not a user knob.
 TILE_ROWS = int(_os.environ.get("TPUIL_TILE_ROWS", 32))
+
+
+def band_rows(height: int, cap: int | None = None) -> int:
+    """Largest divisor of ``height`` that is ≤ TILE_ROWS (or ``cap``).
+
+    A bare ``min(TILE_ROWS, height)`` breaks heights that are multiples of
+    16 but not 32 (48, 80, 112, ...) — the band grid requires rows | height.
+    """
+    rows = min(cap or TILE_ROWS, height)
+    while height % rows:
+        rows -= 1
+    return rows
 PACK_WIDTH = 17  # 9 edge + 3 znum + 3 rgb + 1 class + 1 zmin
 TEX_PACK_WIDTH = PACK_WIDTH + 6  # + 3 unum + 3 vnum (procedural textures)
 
@@ -86,7 +98,7 @@ def tile_lists(setup: TriangleSetup, height: int, k: int, width: int | None = No
     one small argsort per row) — runs fused ahead of the kernel launch.
     Screen-x and far-plane culls apply globally (the bands span full width).
     """
-    rows = rows_per_band or min(TILE_ROWS, height)
+    rows = rows_per_band or band_rows(height)
     n_rows = height // rows
     xmin, xmax = setup.bbox[:, 0], setup.bbox[:, 1]
     ymin, ymax = setup.bbox[:, 2], setup.bbox[:, 3]
@@ -223,7 +235,7 @@ def _rasterize_core(setup, height, width, near, far, interpret,
     tris = pack_setup(setup, luma_only=luma_only)
     n_tris = tris.shape[1]  # (17 or 23, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
-    rows = min(TILE_ROWS, height)
+    rows = band_rows(height)
     idx, count = tile_lists(setup, height, k, width=width, far=far,
                             rows_per_band=rows)
     assert height % rows == 0, f"height {height} % {rows} != 0"

@@ -44,7 +44,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from carla_imitation_learning_tpu.ops.raster import LUMA_W, TILE_ROWS
+from carla_imitation_learning_tpu.ops.raster import LUMA_W, TILE_ROWS, band_rows
 from carla_imitation_learning_tpu.render.camera import TriangleSetup
 from carla_imitation_learning_tpu.render.jax_raster import SKY_HORIZON, SKY_TOP
 
@@ -269,7 +269,7 @@ def rasterize_luma_fast(
     tris = pack_setup_fast(setup)
     n_tris = tris.shape[1]  # (13, T) coefficient-major table
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
-    rows = min(TILE_ROWS, height)
+    rows = band_rows(height)
     idx, count = tile_lists_fast(setup, height, k, width=width, far=far,
                                  lod_px=lod_px,
                                  rows_per_band=rows * list_band_factor)

@@ -80,14 +80,15 @@ def rasterize_jax(
             # both backends stay pixel-exact with each other
             from carla_imitation_learning_tpu.ops.texture import texture_factor
 
+            # gather the WINNER's affine rows first: u/v/fac at (H,W), not
+            # (C,H,W) — identical math on the winning triangle, C× less work
             un_c, vn_c = xs[5], xs[6]
-            u = (un_c[:, 0, None, None] * PX + un_c[:, 1, None, None] * PY
-                 + un_c[:, 2, None, None]) / den_safe
-            v = (vn_c[:, 0, None, None] * PX + vn_c[:, 1, None, None] * PY
-                 + vn_c[:, 2, None, None]) / den_safe
-            fac = texture_factor(u, v, cls_c[:, None, None])  # (C,H,W)
-            col_win = col_win * jnp.take_along_axis(
-                fac, win[None], axis=0)[0][..., None]
+            un_w, vn_w = un_c[win], vn_c[win]  # (H,W,3)
+            den_w = jnp.take_along_axis(den_safe, win[None], axis=0)[0]
+            u = (un_w[..., 0] * PX + un_w[..., 1] * PY + un_w[..., 2]) / den_w
+            v = (vn_w[..., 0] * PX + vn_w[..., 1] * PY + vn_w[..., 2]) / den_w
+            fac = texture_factor(u, v, cls_c[win])  # (H,W)
+            col_win = col_win * fac[..., None]
         rgb = jnp.where(better[..., None], col_win, rgb)
         sem = jnp.where(better, cls_c[win], sem)
         return (zbuf, rgb, sem), None

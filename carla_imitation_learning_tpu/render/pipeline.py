@@ -38,8 +38,10 @@ class RenderConfig:
     active_cap: int | None = None  # fast path: pre-compact the valid tris to
                                    # this table width (raster_fast.compact_setup)
     fog_density: float = 0.0  # exponential fog β (1/m); 0 = clear weather
-    lod_px: float = 0.0       # fast path: cull triangles whose projected bbox
-                              # is under this many pixels both ways (scene LOD)
+    lod_px: float = -1.0      # fast path: cull triangles whose projected bbox
+                              # is under this many pixels both ways (scene LOD).
+                              # -1 = auto (2 px inside rollouts, off in direct
+                              # renders); 0 = explicitly OFF everywhere
     rain: float = 0.0         # rain intensity in [0, 1]; 0 = dry
     facade_bands: int = 0     # >0: window-floor stripes on building walls
                               # (+~(8·bands−6) tris per building)
@@ -62,7 +64,7 @@ class RenderConfig:
                    active_cap=(int(r["active_cap"]) if r.get("active_cap")
                                else None),
                    fog_density=float(r.get("fog_density", 0.0)),
-                   lod_px=float(r.get("lod_px", 0.0)),
+                   lod_px=float(r.get("lod_px", -1.0)),
                    rain=float(r.get("rain", 0.0)),
                    facade_bands=int(r.get("facade_bands", 0)),
                    shadows=bool(r.get("shadows", False)),
@@ -145,7 +147,7 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
                                near=rcfg.near, far=rcfg.far,
                                compact_cap=rcfg.active_cap,
                                fog_density=rcfg.fog_density,  # fused in-kernel
-                               lod_px=rcfg.lod_px)
+                               lod_px=max(rcfg.lod_px, 0.0))
             return {"gray": _rain(gray, state)}
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,

@@ -85,12 +85,12 @@ def make_rollout(
         # rollouts only consume the grayscale channel — use the fast rollout
         # kernel (ops/raster_fast.py: packed z|luma key, corner-culled lists)
         rcfg = _dc.replace(rcfg, rgb=False, fast=True)
-    if rcfg.backend == "pallas" and rcfg.fast and rcfg.lod_px == 0.0:
-        # rollout LOD default: triangles whose projected bbox is under 2px
-        # both ways cost a full pass per touched band for ≤ ~1 lit pixel —
-        # culling them is measurement-neutral for the policy observation
-        # (+2% env-steps/s base scene, measured). Set rcfg.lod_px explicitly
-        # to override.
+    if rcfg.backend == "pallas" and rcfg.fast and rcfg.lod_px < 0.0:
+        # rollout LOD default (lod_px=-1 "auto"): triangles whose projected
+        # bbox is under 2px both ways cost a full pass per touched band for
+        # ≤ ~1 lit pixel — culling them is measurement-neutral for the policy
+        # observation (+2% env-steps/s base scene, measured). lod_px=0.0
+        # disables LOD even here; any positive value is used as-is.
         rcfg = _dc.replace(rcfg, lod_px=2.0)
     render = make_renderer(params, town, rcfg)
     render_batch = jax.vmap(render)
@@ -377,10 +377,11 @@ def collect_multicamera(
         sensors = sensor_batch(states)
         traffic = light_batch(states)
         fresh = jax.vmap(lambda s: pick_fresh_packed(*spawn_pool, s))(states)
-        new_states, _info = step_batch(states, expert, fresh)
+        new_states, info = step_batch(states, expert, fresh)
         return new_states, {"views": views, "steer": expert.steer,
                             "throttle": expert.throttle, "brake": expert.brake,
-                            "sensor": sensors, "traffic": traffic}
+                            "sensor": sensors, "traffic": traffic,
+                            "done": info["done"]}
 
     @_ft.partial(jax.jit, static_argnames=("n_steps",))
     def run(states, n_steps: int):
@@ -403,7 +404,14 @@ def collect_multicamera(
         speed_long=flat(traj["sensor"])[:, 1].astype(np.float64),
         speed=flat(traj["sensor"])[:, 2].astype(np.float64),
     )
-    return frames, state_log
+    # episode starts, exactly as collect_dataset: env-stream firsts + the
+    # frame after every auto-reset — packed framestores carry this bitmap so
+    # windowed consumers never span a crash-and-respawn
+    done_flat = flat(traj["done"]).astype(bool)
+    starts = np.zeros(n_envs * n_steps, bool)
+    starts[::n_steps] = True
+    starts[1:] |= done_flat[:-1]
+    return frames, state_log, starts
 
 
 def dagger_iteration(

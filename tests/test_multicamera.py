@@ -34,7 +34,7 @@ def test_views_differ_by_camera(rng):
 
 
 def test_collect_multicamera_contract(tmp_path):
-    frames, state_log = collect_multicamera(
+    frames, state_log, starts = collect_multicamera(
         PARAMS, TOWN, RCFG, jax.random.PRNGKey(0),
         cameras=("camera", "SL"), n_envs=2, n_steps=10)
     assert set(frames) == {"camera", "SL"}
@@ -42,6 +42,8 @@ def test_collect_multicamera_contract(tmp_path):
     assert frames["camera"].dtype == np.uint8
     assert len(state_log) == 20
     assert not np.array_equal(frames["camera"], frames["SL"])
+    # env-stream boundaries marked (frame 0 of each of the 2 env streams)
+    assert starts.shape == (20,) and starts[0] and starts[10]
 
 
 def test_multicamera_feeds_vae_pipeline(tmp_path):

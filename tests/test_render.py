@@ -261,3 +261,34 @@ def test_road_markings_render():
     road_l = gray[sem == geo.SEM_ROAD].mean()
     line_l = gray[sem == geo.SEM_ROADLINE].mean()
     assert line_l > road_l
+
+
+def test_band_rows_divides_any_height():
+    """TILE_ROWS=32 must not break heights that are multiples of 16 but not
+    32 (48, 80, 112...): the band grid picks the largest divisor ≤ the cap."""
+    from carla_imitation_learning_tpu.ops.raster import band_rows
+
+    for h in (8, 16, 32, 48, 64, 80, 112, 128, 144, 176, 208, 240, 256):
+        rows = band_rows(h)
+        assert h % rows == 0, (h, rows)
+        assert rows <= 32
+    assert band_rows(48) == 24
+    assert band_rows(128) == 32
+    # interpreted Pallas render at a 48-row viewport must build (CPU)
+    import functools
+
+    import carla_imitation_learning_tpu.ops.raster as rk
+
+    town = make_town(blocks=2, n_buildings=6, n_lights=4)
+    params = SimParams(n_agents=2)
+    orig = rk.rasterize_pallas
+    try:
+        rk.rasterize_pallas = functools.partial(orig, interpret=True)
+        rcfg = RenderConfig(height=48, width=64, max_triangles=256,
+                            backend="pallas")
+        out = make_renderer(params, town, rcfg)(
+            reset_env(params, town, jax.random.PRNGKey(0)))
+    finally:
+        rk.rasterize_pallas = orig
+    assert out["gray"].shape == (48, 64)
+    assert np.isfinite(np.asarray(out["gray"])).all()

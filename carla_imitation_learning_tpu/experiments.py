@@ -539,6 +539,8 @@ SCENARIOS: dict[str, dict] = {
     "clear": {},
     "fog": {"render.fog_density": 0.04},              # ~115 m visibility
     "storm": {"render.fog_density": 0.02, "render.rain": 0.8},
+    "night": {"render.sun": 0.2},
+    "night_rain": {"render.sun": 0.25, "render.rain": 0.6},
     "busy": {"sim.n_pedestrians": 12, "sim.n_agents": 24},
     "multilane": {"sim.town.lanes_per_direction": 2,
                   "sim.town.superblocks": True,

@@ -43,6 +43,11 @@ class RenderConfig:
                               # -1 = auto (2 px inside rollouts, off in direct
                               # renders); 0 = explicitly OFF everywhere
     rain: float = 0.0         # rain intensity in [0, 1]; 0 = dry
+    sun: float = 1.0          # time-of-day exposure: 1 = noon, ~0.5 dusk,
+                              # ~0.2 night. Scales the FINAL gray/rgb frame
+                              # (sky included) so both backends stay exact;
+                              # semantic labels are unaffected (CARLA's
+                              # semantic camera ignores lighting)
     facade_bands: int = 0     # >0: window-floor stripes on building walls
                               # (+~(8·bands−6) tris per building)
     shadows: bool = False     # blob contact shadows under vehicles/walkers
@@ -66,6 +71,7 @@ class RenderConfig:
                    fog_density=float(r.get("fog_density", 0.0)),
                    lod_px=float(r.get("lod_px", -1.0)),
                    rain=float(r.get("rain", 0.0)),
+                   sun=float(r.get("sun", 1.0)),
                    facade_bands=int(r.get("facade_bands", 0)),
                    shadows=bool(r.get("shadows", False)),
                    markings=bool(r.get("markings", False)),
@@ -116,6 +122,13 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
             return img
         return apply_rain(img, state.rng, state.t, rcfg.rain)
 
+    def _sun(img):
+        # applied LAST (after fog/rain) — a pure exposure scale, so rain
+        # streaks dim with the scene and the XLA/Pallas outputs stay equal
+        if rcfg.sun >= 1.0:
+            return img
+        return img * rcfg.sun
+
     def render(state: WorldState):
         phases = agent_lib.light_phases(
             town, state.t.astype(jnp.float32) * params.dt,
@@ -148,23 +161,23 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
                                compact_cap=rcfg.active_cap,
                                fog_density=rcfg.fog_density,  # fused in-kernel
                                lod_px=max(rcfg.lod_px, 0.0))
-            return {"gray": _rain(gray, state)}
+            return {"gray": _sun(_rain(gray, state))}
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,
                                            near=rcfg.near, far=rcfg.far)
             gray = apply_fog(gray, depth, _sky_luma(*gray.shape),
                              rcfg.fog_density)
             # semantic labels stay fog-free (CARLA's semantic camera behavior)
-            return {"semantic": sem, "gray": _rain(gray, state), "depth": depth,
-                    "semantic_rgb": semantic_to_rgb(sem)}
+            return {"semantic": sem, "gray": _sun(_rain(gray, state)),
+                    "depth": depth, "semantic_rgb": semantic_to_rgb(sem)}
         if raster is not None:
             rgb, sem, depth = raster(setup, rcfg.height, rcfg.width,
                                      near=rcfg.near, far=rcfg.far)
         else:
             rgb, sem, depth = rasterize_jax(setup, rcfg.height, rcfg.width,
                                             near=rcfg.near, far=rcfg.far)
-        rgb = _rain(apply_fog(rgb, depth, sky_image(*depth.shape),
-                              rcfg.fog_density), state)
+        rgb = _sun(_rain(apply_fog(rgb, depth, sky_image(*depth.shape),
+                                   rcfg.fog_density), state))
         gray = rgb @ LUMA  # (H,W) in [0,1] — the policy's observation channel
         return {"rgb": rgb, "semantic": sem, "gray": gray, "depth": depth,
                 "semantic_rgb": semantic_to_rgb(sem)}

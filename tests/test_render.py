@@ -292,3 +292,20 @@ def test_band_rows_divides_any_height():
         rk.rasterize_pallas = orig
     assert out["gray"].shape == (48, 64)
     assert np.isfinite(np.asarray(out["gray"])).all()
+
+
+def test_sun_factor_darkens_gray_not_semantic():
+    """render.sun is a pure exposure scale: night frames are exactly
+    sun x day frames; semantic labels ignore lighting (CARLA behavior)."""
+    town = make_town(blocks=2, n_buildings=6, n_lights=4)
+    params = SimParams(n_agents=2)
+    state = reset_env(params, town, jax.random.PRNGKey(1))
+    day = make_renderer(params, town, RenderConfig(
+        height=32, width=32, max_triangles=256, backend="jax"))(state)
+    night = make_renderer(params, town, RenderConfig(
+        height=32, width=32, max_triangles=256, backend="jax", sun=0.2))(state)
+    np.testing.assert_allclose(np.asarray(night["gray"]),
+                               np.asarray(day["gray"]) * 0.2, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(night["semantic"]),
+                                  np.asarray(day["semantic"]))
+    assert night["gray"].mean() < day["gray"].mean()

@@ -630,7 +630,8 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         agg = pipe.FrameStore.concat(stores)
         ds = pipe.DeviceDataset(agg, int(cfg.get("BATCH_SIZE", 64)),
                                 frame_skip=int(cfg.get("frame_skip", 4)),
-                                shuffle=True, seed=rnd, sharding=sharding)
+                                shuffle=True, seed=rnd, sharding=sharding,
+                                balanced=bool(cfg.get("balanced_sampling", False)))
         last = {}
         for _ in range(epochs_per_round):
             for batch in ds:
@@ -672,7 +673,8 @@ def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
     loaders = {f"{k}_dataloader": pipe.DeviceDataset(
         v, int(cfg.get("BATCH_SIZE", 64)), frame_skip=int(cfg.get("frame_skip", 4)),
         shuffle=(k == "train"), cil=True, drop_last=(k == "train"),
-        sharding=(sharding if k == "train" else None))
+        sharding=(sharding if k == "train" else None),
+        balanced=(bool(cfg.get("balanced_sampling", False)) and k == "train"))
         for k, v in splits.items()}
     n_commands = int(cfg.get("n_commands", 6))
     model = BranchedCILPolicy(n_commands=n_commands, dtype=_dtype(cfg))
@@ -1044,7 +1046,8 @@ def dagger_uncertain(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         ds = pipe.DeviceDataset(agg, int(cfg.get("BATCH_SIZE", 64)),
                                 frame_skip=int(cfg.get("frame_skip", 4)),
                                 shuffle=True, seed=rnd,
-                                sample_mask=np.concatenate(masks))
+                                sample_mask=np.concatenate(masks),
+                                balanced=bool(cfg.get("balanced_sampling", False)))
         last = {}
         for _ in range(epochs_per_round):
             for batch in ds:

@@ -82,7 +82,8 @@ def main() -> None:
 
     keep = ("driving_score", "route_completion", "success_rate",
             "collisions_per_km", "red_violations_per_km", "mean_speed",
-            "action_agreement", "km_driven")
+            "action_agreement", "km_driven",
+            "driving_score_arc", "route_completion_arc", "route_km")
 
     def trim(m):
         # per-km rates are already None over ~zero km (strict-JSON safe)

@@ -201,7 +201,19 @@ def make_rollout(
         command = command_batch(states)
         fresh = jax.vmap(lambda s: pick_fresh_packed(*spawn_pool, s))(states)
         new_states, info = step_batch(states, control, fresh)
+        # along-route progress this step (meters): wrapped signed diff of
+        # ego_s on the SAME route. Masked to 0 on resets and on route
+        # rewrites (lane changes, turn-fan transfers) where the s-coordinate
+        # jumps between route frames; those steps are rare (≤ 1/turn_period
+        # of steps) so the omission is a small, conservative bias. Feeds the
+        # route-arclength completion tier of evaluate_policy.
+        total = town.route_total[states.ego_route]
+        raw_ds = jnp.mod(new_states.ego_s - states.ego_s + 0.5 * total,
+                         total) - 0.5 * total
+        same = (new_states.ego_route == states.ego_route) & ~info["done"]
+        route_ds = jnp.where(same, raw_ds, 0.0)
         out = {
+            "route_ds": route_ds,
             "gray": gray_u8, "action": action, "expert_action": expert_action,
             "sensor": sensors, "traffic": traffic, "command": command,
             "collision": info["collision"], "offroad": info["offroad"],
@@ -241,6 +253,15 @@ def evaluate_policy(
     to expose. A red-light *violation* is a rising edge of (red light ahead
     in the stop zone) ∧ (speed > 2 m/s): discrete run-the-light events, not
     per-step exposure (exposure is still reported separately).
+
+    Completion is reported two ways: ``route_completion`` uses the odometer
+    (∫speed·dt — distance the car moved, on-route or not) while
+    ``route_completion_arc`` uses accumulated ALONG-ROUTE arclength
+    (per-step wrapped ego_s deltas, ``route_ds`` in the trajectory) — a car
+    spinning in place or weaving off-route earns odometer km but ~zero arc
+    km, matching the CARLA leaderboard's along-route definition more
+    closely. ``driving_score_arc`` is the same composite built on the arc
+    completion.
     """
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
                                        mesh=mesh)
@@ -267,6 +288,12 @@ def evaluate_policy(
 
     ideal_km = n_steps * params.dt * params.target_speed / 1000.0
     completion = np.clip(km_env / ideal_km, 0.0, 1.0)
+    # along-route tier: per-step wrapped ego_s deltas accumulated per env
+    # (negative totals — a car that netted backward progress — clip to 0)
+    route_km_env = np.clip(
+        np.asarray(traj["route_ds"], np.float64).sum(axis=0), 0.0, None
+    ) / 1000.0
+    arc_completion = np.clip(route_km_env / ideal_km, 0.0, 1.0)
     penalty = (0.60 ** coll.sum(0)) * (0.65 ** off.sum(0)) \
         * (0.70 ** ran_red.sum(0))
     return {
@@ -286,6 +313,9 @@ def evaluate_policy(
         "mean_episode_steps": steps / (int(done.sum()) + n_envs),
         "route_completion": float(completion.mean()),
         "driving_score": float((completion * penalty).mean()),
+        "route_km": float(route_km_env.sum()),
+        "route_completion_arc": float(arc_completion.mean()),
+        "driving_score_arc": float((arc_completion * penalty).mean()),
     }
 
 

@@ -60,6 +60,42 @@ def test_evaluate_expert_metrics():
         m["collisions_per_1k_steps"] * m["env_steps"] / 1000, rtol=1e-9)
 
 
+def test_route_arclength_completion():
+    """Arc-completion tier: per-step route_ds is physically bounded, the
+    expert accrues real along-route km (close to its odometer km — it drives
+    ON the route), and the composite obeys the same penalty gate."""
+    m = evaluate_policy(PARAMS, TOWN, RCFG, None, jax.random.PRNGKey(2),
+                        n_envs=4, n_steps=30)
+    assert m["route_km"] > 0
+    assert 0.0 < m["route_completion_arc"] <= 1.0
+    assert 0.0 <= m["driving_score_arc"] <= m["route_completion_arc"] + 1e-9
+    # the expert tracks its route: arc km within the odometer km (plus the
+    # nearest-s search quantization) and never wildly above it
+    assert m["route_km"] <= m["km_driven"] * 1.25 + 1e-6
+    assert m["route_km"] >= m["km_driven"] * 0.3
+
+    # per-step deltas are bounded by the nearest-s local search window
+    init_fn, rollout_fn = make_rollout(PARAMS, TOWN, RCFG, policy_fn=None)
+    carry = init_fn(jax.random.PRNGKey(5), n_envs=4)
+    _, traj = rollout_fn(carry, 30)
+    ds = np.asarray(traj["route_ds"])
+    assert ds.shape == (30, 4)
+    assert np.all(ds <= 8.0 + 1e-5) and np.all(ds >= -4.0 - 1e-5)
+
+
+def test_route_arclength_with_turn_fans():
+    """Route transfers rewrite (route, s) position-preservingly; the arc
+    metric must mask those steps, never booking a coordinate jump as km."""
+    town = make_town(blocks=2, n_buildings=8, n_lights=4, turn_fans=True)
+    params = SimParams(n_agents=4, episode_len=1000, turn_period=5,
+                       agent_turn_prob=0.2)
+    init_fn, rollout_fn = make_rollout(params, town, RCFG, policy_fn=None)
+    carry = init_fn(jax.random.PRNGKey(6), n_envs=4)
+    _, traj = rollout_fn(carry, 40)
+    ds = np.asarray(traj["route_ds"])
+    assert np.all(np.abs(ds) <= 8.0 + 1e-5)
+
+
 def test_parked_policy_scores_zero():
     """A policy that never moves has a clean infraction record but must score
     ~0 on the leaderboard composite — completion gates the score."""

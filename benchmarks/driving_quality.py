@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--balanced", action="store_true",
                     help="inverse-frequency action balancing during training")
+    ap.add_argument("--noise", action="store_true",
+                    help="CIL-style steering-noise injection during expert "
+                         "collection (recovery-state data; labels stay clean)")
     args = ap.parse_args()
 
     from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
@@ -114,8 +117,10 @@ def main() -> None:
     # --- collect expert data + BC training --------------------------------
     rng, kc = jax.random.split(rng)
     tc = time.perf_counter()
+    noise = cl.NoiseConfig(seed=args.seed) if args.noise else None
     store, _, _ = cl.collect_dataset(params, town, rcfg, kc,
-                                     args.collect_envs, args.collect_steps)
+                                     args.collect_envs, args.collect_steps,
+                                     noise=noise)
     result["collect_seconds"] = round(time.perf_counter() - tc, 1)
     result["dataset_frames"] = len(store)
 

@@ -344,15 +344,30 @@ def _sim_bits(cfg, backend: str | None = None):
     return town, params, rcfg
 
 
+def _noise_bits(cfg) -> "cl.NoiseConfig | None":
+    """CIL-style collection noise from cfg (off unless noise_injection=true).
+    noise_prob / noise_duration / noise_magnitude override the defaults."""
+    if not bool(cfg.get("noise_injection", False)):
+        return None
+    return cl.NoiseConfig(
+        prob=float(cfg.get("noise_prob", 0.005)),
+        duration=int(cfg.get("noise_duration", 20)),
+        magnitude=float(cfg.get("noise_magnitude", 0.6)),
+        seed=int(cfg.get("seed", 0)))
+
+
 @experiment("collect_data")
 def collect_data(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
     """On-device expert data collection — the CARLA-server replacement: writes
-    a raw log (frames + state.csv) in the reference's exact contract."""
+    a raw log (frames + state.csv) in the reference's exact contract.
+    ``-o noise_injection=true`` adds CIL-style recovery-state exploration
+    (executed steering perturbed, supervision stays clean — cl.NoiseConfig)."""
     town, params, rcfg = _sim_bits(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     store, state_log, _ = cl.collect_dataset(params, town, rcfg, rng,
                                              n_envs=n_envs, n_steps=n_steps,
-                                             frame_skip=int(cfg.get("frame_skip", 4)))
+                                             frame_skip=int(cfg.get("frame_skip", 4)),
+                                             noise=_noise_bits(cfg))
     data_dir = Path(cfg["data_dir"])
     log = kw.get("log_name", "SimLog1")
     fl.save_frames(data_dir / "raw" / log / "camera", store.frames)
@@ -615,7 +630,8 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
     for rnd in range(rounds):
         rng, k = jax.random.split(rng)
         if rnd == 0:
-            store, _, _ = cl.collect_dataset(params, town, rcfg, k, n_envs, n_steps)
+            store, _, _ = cl.collect_dataset(params, town, rcfg, k, n_envs,
+                                             n_steps, noise=_noise_bits(cfg))
         else:
             p = state.params
 
@@ -664,7 +680,8 @@ def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
     trained on on-device collected data."""
     town, params, rcfg = _sim_bits(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    store, _, _ = cl.collect_dataset(params, town, rcfg, rng, n_envs, n_steps)
+    store, _, _ = cl.collect_dataset(params, town, rcfg, rng, n_envs, n_steps,
+                                     noise=_noise_bits(cfg))
     n = len(store)
     splits = {"train": store.slice(0, int(0.8 * n)),
               "val": store.slice(int(0.8 * n), int(0.9 * n)),

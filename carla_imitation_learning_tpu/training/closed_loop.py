@@ -23,6 +23,7 @@ Observation contract matches the reference BC setup: the policy sees the last
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable
 
@@ -60,6 +61,48 @@ def control_from_discrete(action: jnp.ndarray) -> VehicleControl:
     return VehicleControl(steer=steer, throttle=throttle, brake=brake)
 
 
+@dataclasses.dataclass(frozen=True)
+class NoiseConfig:
+    """CIL-style exploration noise for data collection (Codevilla et al.'s
+    recovery-data trick — the capability CARLA collection scripts implement
+    host-side; here it is part of the jitted rollout program).
+
+    Temporally-correlated triangular steering impulses are ADDED to the
+    EXECUTED control while the recorded supervision (``expert_action`` and
+    the state-log steer column) stays the clean driver signal. The
+    self-correcting expert then demonstrates recovery from the perturbed
+    states — the classic fix for BC's covariate-shift problem without
+    needing DAgger's policy-in-the-loop relabeling.
+
+    prob:      per-step per-env probability that a new impulse starts
+               (expected active fraction ≈ prob × duration).
+    duration:  impulse length in sim steps (triangular ramp up then down).
+    magnitude: peak |steer| offset; overlapping impulses clip to this.
+    seed:      schedule PRNG seed (folded with the rollout's env keys, so
+               different collection rollouts draw different schedules).
+    """
+
+    prob: float = 0.005
+    duration: int = 20
+    magnitude: float = 0.6
+    seed: int = 0
+
+
+def _noise_schedule(key, n_steps: int, n_envs: int, ncfg: NoiseConfig):
+    """(T, B) steering-noise schedule: sparse signed impulse train convolved
+    with a causal triangle window, clipped to ±magnitude."""
+    kb, ks, km = jax.random.split(key, 3)
+    starts = jax.random.bernoulli(kb, ncfg.prob, (n_steps, n_envs))
+    sign = jnp.where(jax.random.bernoulli(ks, 0.5, (n_steps, n_envs)), 1.0, -1.0)
+    # impulse peaks in [0.3, 1]·magnitude — tiny bursts teach nothing
+    mag = jax.random.uniform(km, (n_steps, n_envs), minval=0.3, maxval=1.0)
+    train = starts * sign * mag * ncfg.magnitude
+    tri = 1.0 - jnp.abs(jnp.linspace(-1.0, 1.0, max(int(ncfg.duration), 3)))
+    conv = jax.vmap(lambda v: jnp.convolve(v, tri, mode="full")[:n_steps],
+                    in_axes=1, out_axes=1)(train)
+    return jnp.clip(conv, -ncfg.magnitude, ncfg.magnitude)
+
+
 def make_rollout(
     params: SimParams,
     town: TownMap,
@@ -68,6 +111,7 @@ def make_rollout(
     frame_skip: int = 4,
     mesh=None,
     lidar_beams: int = 0,
+    noise: NoiseConfig | None = None,
 ):
     """Build (init_fn, rollout_fn).
 
@@ -78,6 +122,14 @@ def make_rollout(
     gray frames (T,B,H,W), actions (T,B), sensors (T,B,3), traffic (T,B),
     info scalars. carry = (states, framebuf). ``lidar_beams > 0`` adds a
     (T,B,lidar_beams) planar range scan (render/lidar.py ray caster) to traj.
+
+    ``noise`` (NoiseConfig) perturbs the EXECUTED steering with triangular
+    exploration impulses while every recorded supervision signal stays clean:
+    ``traj["action"]``/``traj["expert_action"]`` discretize the pre-noise
+    driver control and ``traj["clean_steer"]`` (emitted only when noise is
+    on) carries the pre-noise steer for the state-log contract. The realized
+    wheel angle in ``traj["sensor"][...,0]`` reflects the noise — it is
+    physical state the policy legitimately observes.
     """
     import dataclasses as _dc
 
@@ -162,7 +214,7 @@ def make_rollout(
             carry = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), carry)
         return carry
 
-    def one_step(carry, _):
+    def one_step(carry, steer_noise):
         states, framebuf, just_reset = carry
         gray_u8 = _quantize(render_batch(states)["gray"])  # (B,H,W) uint8
         framebuf = update_framebuf(framebuf, gray_u8, just_reset)
@@ -196,6 +248,13 @@ def make_rollout(
         expert_action = continuous_to_discrete(
             expert.steer, expert.throttle, expert.brake).astype(jnp.int32)
 
+        clean_steer = None
+        if noise is not None:
+            # exploration noise on the EXECUTED steer only; labels stay clean
+            clean_steer = control.steer
+            control = control.replace(
+                steer=jnp.clip(control.steer + steer_noise, -1.0, 1.0))
+
         sensors = sensor_batch(states)
         traffic = light_batch(states)
         command = command_batch(states)
@@ -226,11 +285,23 @@ def make_rollout(
             out["lidar"] = lidar_batch(states)
         if policy_extra is not None:
             out["policy_extra"] = policy_extra
+        if clean_steer is not None:
+            out["clean_steer"] = clean_steer
         return (new_states, framebuf, info["done"]), out
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def rollout_fn(carry, n_steps: int):
-        return jax.lax.scan(one_step, carry, None, length=n_steps)
+        xs = None
+        if noise is not None:
+            states0 = carry[0]
+            n_envs = states0.t.shape[0]
+            # fold the fleet's env keys into the schedule seed so each
+            # collection rollout (different init rng) draws fresh noise
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(noise.seed),
+                jnp.sum(states0.rng.astype(jnp.uint32)))
+            xs = _noise_schedule(key, n_steps, n_envs, noise)
+        return jax.lax.scan(one_step, carry, xs, length=n_steps)
 
     return init_fn, rollout_fn
 
@@ -323,6 +394,7 @@ def collect_dataset(
     params: SimParams, town: TownMap, rcfg: RenderConfig, rng,
     n_envs: int = 16, n_steps: int = 256, frame_skip: int = 4,
     policy_fn: Callable | None = None,
+    noise: NoiseConfig | None = None,
 ):
     """Rollouts → FrameStore (frames packed uint8 + expert labels + sensors).
 
@@ -332,11 +404,19 @@ def collect_dataset(
     Episode boundaries are respected: frames are laid out env-major and
     ``store.starts`` marks every env-stream start and auto-reset, which
     DeviceDataset uses to never sample a window across a boundary.
+
+    ``noise`` enables CIL-style exploration impulses on the executed steering
+    (NoiseConfig): the car visits recovery states, but the state log records
+    the CLEAN driver steer, so labels re-derived from the raw-log contract
+    (continous_to_discreet over state.csv columns,
+    imitation_dataset.py:317-339) match ``store.actions`` exactly — the same
+    noise-free-supervision convention CARLA CIL collection used.
     """
     from carla_imitation_learning_tpu.data.frame_log import StateLog
     from carla_imitation_learning_tpu.data.pipeline import FrameStore
 
-    init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip)
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
+                                       noise=noise)
     carry = init_fn(rng, n_envs)
     _, traj = rollout_fn(carry, n_steps)
 
@@ -346,7 +426,7 @@ def collect_dataset(
 
     frames_u8 = flat(traj["gray"])  # already uint8 from the rollout
     state = StateLog(
-        steer=flat(traj["steer"]).astype(np.float64),
+        steer=flat(traj.get("clean_steer", traj["steer"])).astype(np.float64),
         throttle=flat(traj["throttle"]).astype(np.float64),
         brake=flat(traj["brake"]).astype(np.float64),
         trafficlight=flat(traj["traffic"]).astype(np.float64),
@@ -447,8 +527,10 @@ def collect_multicamera(
 def dagger_iteration(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable, rng, n_envs: int = 16, n_steps: int = 256,
-    frame_skip: int = 4,
+    frame_skip: int = 4, noise: NoiseConfig | None = None,
 ):
-    """One DAgger round: policy drives, expert labels → aggregation store."""
+    """One DAgger round: policy drives, expert labels → aggregation store.
+    ``noise`` adds exploration impulses on top of the policy's steering —
+    labels are the expert's regardless."""
     return collect_dataset(params, town, rcfg, rng, n_envs, n_steps, frame_skip,
-                           policy_fn=policy_fn)
+                           policy_fn=policy_fn, noise=noise)

@@ -600,10 +600,14 @@ def scenario_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
         out[name] = {"policy": pm, "expert": em}
         summary[name] = {"policy": pm["driving_score"],
-                         "expert": em["driving_score"]}
+                         "expert": em["driving_score"],
+                         "policy_arc": pm["driving_score_arc"],
+                         "expert_arc": em["driving_score_arc"]}
     return {"scenarios": out, "summary": summary,
             "mean_driving_score": float(np.mean(
-                [summary[n]["policy"] for n in names]))}
+                [summary[n]["policy"] for n in names])),
+            "mean_driving_score_arc": float(np.mean(
+                [summary[n]["policy_arc"] for n in names]))}
 
 
 @experiment("dagger")

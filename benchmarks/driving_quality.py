@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--noise", action="store_true",
                     help="CIL-style steering-noise injection during expert "
                          "collection (recovery-state data; labels stay clean)")
+    ap.add_argument("--out", default=None,
+                    help="report path (default reports/driving_quality.json; "
+                         "A/B runs should pick distinct files)")
     args = ap.parse_args()
 
     from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
@@ -95,7 +98,9 @@ def main() -> None:
 
     t0 = time.perf_counter()
     result: dict = {"config": vars(args), "platform": jax.devices()[0].platform}
-    out = Path(__file__).resolve().parents[1] / "reports" / "driving_quality.json"
+    out = (Path(args.out) if args.out else
+           Path(__file__).resolve().parents[1] / "reports" / "driving_quality.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
 
     def save():
         # incremental: a wedged tunnel mid-run must not lose finished tiers

@@ -217,9 +217,37 @@ def bench_bc_fused(batch: int = 256, hw: int = 256) -> float:
     return rate
 
 
+def wait_for_device(max_wait_s: float = 2400.0) -> bool:
+    """The tunneled platform can wedge for tens of minutes after an OOM
+    elsewhere (probes hang rather than erroring). Probe with short-lived
+    subprocesses — safe to kill, unlike this process's own backend init —
+    and wait out the wedge so an unlucky bench launch still measures."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.numpy.arange(4.0).sum().item(); print('ok')"],
+                timeout=120, capture_output=True)
+            if r.returncode == 0 and b"ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return False
+        log("device probe failed (tunnel wedged?) — retrying in 60s")
+        time.sleep(60)
+
+
 def main() -> None:
     from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
 
+    if not wait_for_device():
+        log("FATAL: no device answered within the wait budget; "
+            "refusing to hang — re-run when the tunnel recovers")
+        sys.exit(1)
     setup_jax()
     log(f"devices: {jax.devices()}")
     if jax.devices()[0].platform != "cpu":

@@ -678,6 +678,50 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
     return {"rounds": history}
 
 
+@experiment("dagger_online")
+def dagger_online(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
+                  train_steps_per_round: int = 200, eval_steps: int = 100,
+                  **kw):
+    """DAgger with the WHOLE imitate→aggregate→retrain loop compiled as one
+    XLA program (training/online_dagger.py): β-mixed rollouts, HBM-resident
+    aggregation buffer, masked-window sampled train steps — zero host
+    round-trips inside the algorithm (the host-mediated ``dagger`` pays
+    ~rounds×(epochs+2) dispatches; the reference's CARLA socket loop pays
+    one per frame). ``beta`` (cfg, default 0.0) is Ross et al.'s expert-mix
+    schedule β_r = beta**r."""
+    from carla_imitation_learning_tpu.training.online_dagger import (
+        make_online_dagger,
+    )
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    model = PolicyCNN(dtype=_dtype(cfg))
+    tx = make_optimizer(cfg, 1)
+    state = create_train_state(
+        model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+    run = make_online_dagger(
+        model.apply, tx, params, town, rcfg,
+        n_envs=n_envs, n_steps=n_steps, rounds=rounds,
+        train_steps=train_steps_per_round,
+        batch=int(cfg.get("BATCH_SIZE", 64)),
+        frame_skip=int(cfg.get("frame_skip", 4)),
+        beta=float(cfg.get("beta", 0.0)))
+    rng, k_run, k_eval = jax.random.split(rng, 3)
+    state, metrics = run(state, k_run)
+
+    p = state.params
+
+    def policy_fn(obs):
+        return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
+
+    final = cl.evaluate_policy(params, town, rcfg, policy_fn, k_eval,
+                               n_envs=min(n_envs, 32), n_steps=eval_steps)
+    return {"loss_per_round": [float(x) for x in metrics["loss"]],
+            "agreement_per_round": [float(x) for x in metrics["agreement"]],
+            "valid_frac_per_round": [float(x) for x in metrics["valid_frac"]],
+            "final_eval": final}
+
+
 @experiment("bc_cil")
 def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
     """BASELINE config #2: command-conditioned branched policy + speed head,

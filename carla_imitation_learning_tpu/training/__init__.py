@@ -25,3 +25,7 @@ from carla_imitation_learning_tpu.training.steps import (  # noqa: F401
     make_fused_eval,
 )
 from carla_imitation_learning_tpu.training.loop import Trainer, FitResult  # noqa: F401
+from carla_imitation_learning_tpu.training.online_dagger import (  # noqa: F401
+    make_online_dagger,
+    sample_windows,
+)

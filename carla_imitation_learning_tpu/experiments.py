@@ -700,7 +700,7 @@ def dagger_online(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
     state = create_train_state(
         model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
     run = make_online_dagger(
-        model.apply, tx, params, town, rcfg,
+        model.apply, params, town, rcfg,
         n_envs=n_envs, n_steps=n_steps, rounds=rounds,
         train_steps=train_steps_per_round,
         batch=int(cfg.get("BATCH_SIZE", 64)),

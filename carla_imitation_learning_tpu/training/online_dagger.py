@@ -87,7 +87,6 @@ def sample_windows(key, frames, labels, dones, r, batch: int, frame_skip: int):
 
 def make_online_dagger(
     model_apply,
-    tx,
     params: SimParams,
     town: TownMap,
     rcfg: RenderConfig,

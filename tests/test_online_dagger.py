@@ -81,7 +81,7 @@ def test_online_dagger_end_to_end():
     tx = optax.adam(1e-3)
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)), tx)
-    run = make_online_dagger(model.apply, tx, PARAMS, TOWN, RCFG,
+    run = make_online_dagger(model.apply, PARAMS, TOWN, RCFG,
                              n_envs=4, n_steps=16, rounds=2, train_steps=4,
                              batch=16, beta=0.0)
     state2, m = run(state, jax.random.PRNGKey(1))
@@ -101,7 +101,7 @@ def test_online_dagger_beta_one_stays_expert():
     tx = optax.adam(1e-3)
     state = create_train_state(
         model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)), tx)
-    run = make_online_dagger(model.apply, tx, PARAMS, TOWN, RCFG,
+    run = make_online_dagger(model.apply, PARAMS, TOWN, RCFG,
                              n_envs=2, n_steps=8, rounds=2, train_steps=2,
                              batch=8, beta=1.0)
     _, m = run(state, jax.random.PRNGKey(1))

@@ -699,13 +699,14 @@ def dagger_online(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
     tx = make_optimizer(cfg, 1)
     state = create_train_state(
         model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+    mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     run = make_online_dagger(
         model.apply, params, town, rcfg,
         n_envs=n_envs, n_steps=n_steps, rounds=rounds,
         train_steps=train_steps_per_round,
         batch=int(cfg.get("BATCH_SIZE", 64)),
         frame_skip=int(cfg.get("frame_skip", 4)),
-        beta=float(cfg.get("beta", 0.0)))
+        beta=float(cfg.get("beta", 0.0)), mesh=mesh)
     rng, k_run, k_eval = jax.random.split(rng, 3)
     state, metrics = run(state, k_run)
 

@@ -52,37 +52,54 @@ from carla_imitation_learning_tpu.training.closed_loop import (
 from carla_imitation_learning_tpu.training.steps import TrainState
 
 
-def sample_windows(key, frames, labels, dones, r, batch: int, frame_skip: int):
-    """Draw ``batch`` training samples from the aggregation buffer.
+def sample_windows(key, frames, labels, dones, r, k_per_env: int,
+                   frame_skip: int):
+    """Draw ``B × k_per_env`` training samples from the aggregation buffer,
+    stratified by env: each env stream contributes exactly ``k_per_env``
+    windows per step.
 
     frames (R,T,B,H,W) uint8, labels/dones (R,T,B); only rounds ≤ r are
-    eligible. Returns (obs (batch,H,W,fs) float32 in [0,1], label (batch,),
-    weight (batch,) float32) — weight is 0 where the window [t-fs+1, t]
-    would start before the trajectory or cross a done (an auto-reset between
-    its frames), exactly the windows DeviceDataset's starts mask forbids.
+    eligible. Returns (obs (B·k,H,W,fs) float32 in [0,1], label (B·k,),
+    weight (B·k,) float32) — weight is 0 where the window [t-fs+1, t] would
+    start before the trajectory or cross a done (an auto-reset between its
+    frames), exactly the windows DeviceDataset's starts mask forbids.
+
+    Stratification is what makes the program SPMD-clean: every gather is
+    batched over the env axis (vmap in_axes on B), so when the buffer is
+    sharded on B each device reads only ITS OWN envs' frames — no cross-chip
+    gathers, and the only collective in the whole train step is the gradient
+    all-reduce XLA inserts from the sharding annotations.
     """
     R, T, B = labels.shape
     fs = frame_skip
-    kr, kt, kb = jax.random.split(key, 3)
-    r_i = jax.random.randint(kr, (batch,), 0, jnp.minimum(r + 1, R))
-    t_i = jax.random.randint(kt, (batch,), 0, T)
-    b_i = jax.random.randint(kb, (batch,), 0, B)
+    kr, kt = jax.random.split(key)
+    r_i = jax.random.randint(kr, (B, k_per_env), 0, jnp.minimum(r + 1, R))
+    t_i = jax.random.randint(kt, (B, k_per_env), 0, T)
 
-    def one(ri, ti, bi):
-        # dynamic_slice clamps out-of-range starts; t<fs-1 is weight-0 anyway
-        win = jax.lax.dynamic_slice(
-            frames, (ri, ti - (fs - 1), bi, 0, 0),
-            (1, fs, 1, frames.shape[3], frames.shape[4]))[0, :, 0]  # (fs,H,W)
-        dwin = jax.lax.dynamic_slice(
-            dones, (ri, ti - (fs - 1), bi), (1, fs, 1))[0, :, 0]    # (fs,)
-        # done[t] marks a reset AFTER frame t → a window is torn if any of
-        # its first fs-1 frames is followed by a reset (starts convention)
-        torn = jnp.any(dwin[:-1])
-        ok = (ti >= fs - 1) & ~torn
-        obs = jnp.transpose(win, (1, 2, 0)).astype(jnp.float32) / 255.0
-        return obs, labels[ri, ti, bi], ok.astype(jnp.float32)
+    def per_env(frames_b, labels_b, dones_b, r_row, t_row):
+        # frames_b (R,T,H,W), labels_b/dones_b (R,T), r_row/t_row (k,)
+        def one(ri, ti):
+            # dynamic_slice clamps OOB starts; t<fs-1 is weight-0 anyway
+            win = jax.lax.dynamic_slice(
+                frames_b, (ri, ti - (fs - 1), 0, 0),
+                (1, fs, frames_b.shape[2], frames_b.shape[3]))[0]  # (fs,H,W)
+            dwin = jax.lax.dynamic_slice(
+                dones_b, (ri, ti - (fs - 1)), (1, fs))[0]          # (fs,)
+            # done[t] marks a reset AFTER frame t → a window is torn if any
+            # of its first fs-1 frames is followed by a reset
+            torn = jnp.any(dwin[:-1])
+            ok = (ti >= fs - 1) & ~torn
+            obs = jnp.transpose(win, (1, 2, 0)).astype(jnp.float32) / 255.0
+            return obs, labels_b[ri, ti], ok.astype(jnp.float32)
 
-    return jax.vmap(one)(r_i, t_i, b_i)
+        return jax.vmap(one)(r_row, t_row)
+
+    obs, y, w = jax.vmap(per_env, in_axes=(2, 2, 2, 0, 0))(
+        frames, labels, dones, r_i, t_i)
+    # (B,k,...) → (B·k, ...): env-major, so a B-sharded buffer yields a
+    # batch sharded the same way with zero resharding
+    flat = lambda a: a.reshape((B * k_per_env,) + a.shape[2:])
+    return flat(obs), flat(y), flat(w)
 
 
 def make_online_dagger(
@@ -97,19 +114,30 @@ def make_online_dagger(
     batch: int,
     frame_skip: int = 4,
     beta: float = 0.0,
+    mesh=None,
 ):
     """Build ``run(state: TrainState, rng) -> (state, metrics)`` — one jit.
+
+    ``batch`` is rounded to a multiple of ``n_envs`` (stratified sampling
+    draws batch//n_envs windows per env per step, at least one).
 
     metrics: per-round arrays — ``loss`` (rounds,) mean masked CE over the
     round's train steps, ``agreement`` (rounds,) fraction of rollout steps
     where the EXECUTED action equals the expert's (β_0=1 ⇒ exactly 1.0 at
     round 0), ``valid_frac`` (rounds,) mean sample weight (fraction of drawn
     windows that were trainable).
+
+    ``mesh``: shard the env axis over the mesh's 'data' axis — env state,
+    framebuf, the aggregation buffer, AND every training batch shard on B
+    (stratified sampling keeps all gathers shard-local), so the single
+    program runs SPMD end-to-end with exactly one collective per train step
+    (the O(params) gradient all-reduce) and none in the rollout.
     """
     import dataclasses as _dc
 
     if rcfg.backend == "pallas" and (rcfg.rgb or not rcfg.fast):
         rcfg = _dc.replace(rcfg, rgb=False, fast=True)
+    k_per_env = max(1, batch // n_envs)
     render_batch = jax.vmap(make_renderer(params, town, rcfg))
     spawn_pool = pack_spawn_pool(
         make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024))
@@ -158,9 +186,10 @@ def make_online_dagger(
 
             def loss_fn(p):
                 obs, y, w = sample_windows(k, frames, labels, dones, r,
-                                           batch, frame_skip)
+                                           k_per_env, frame_skip)
                 logits = model_apply({"params": p}, obs)
-                ce = -jax.nn.log_softmax(logits)[jnp.arange(batch), y]
+                ce = -jax.nn.log_softmax(logits)[
+                    jnp.arange(n_envs * k_per_env), y]
                 return (jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1.0),
                         jnp.mean(w))
 
@@ -172,18 +201,29 @@ def make_online_dagger(
         state, (losses, vfracs) = jax.lax.scan(body, state, keys)
         return state, jnp.mean(losses), jnp.mean(vfracs)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        env_sh = NamedSharding(mesh, P("data"))              # (B, ...) leaves
+        buf_sh = NamedSharding(mesh, P(None, None, "data"))  # (R, T, B, ...)
+        c_env = lambda x: jax.lax.with_sharding_constraint(x, env_sh)  # noqa: E731
+        c_buf = lambda x: jax.lax.with_sharding_constraint(x, buf_sh)  # noqa: E731
+    else:
+        c_env = c_buf = lambda x: x  # noqa: E731
+
     @jax.jit
     def run(state: TrainState, rng):
         k_init, k_loop = jax.random.split(rng)
         states = jax.vmap(lambda k: reset_env(params, town, k))(
             jax.random.split(k_init, n_envs))
+        states = jax.tree_util.tree_map(c_env, states)
         gray0 = jnp.clip(render_batch(states)["gray"] * 255.0 + 0.5,
                          0, 255).astype(jnp.uint8)
-        framebuf = jnp.repeat(gray0[..., None], frame_skip, axis=-1)
+        framebuf = c_env(jnp.repeat(gray0[..., None], frame_skip, axis=-1))
 
-        frames = jnp.zeros((rounds, n_steps, n_envs, H, W), jnp.uint8)
-        labels = jnp.zeros((rounds, n_steps, n_envs), jnp.int32)
-        dones = jnp.zeros((rounds, n_steps, n_envs), bool)
+        frames = c_buf(jnp.zeros((rounds, n_steps, n_envs, H, W), jnp.uint8))
+        labels = c_buf(jnp.zeros((rounds, n_steps, n_envs), jnp.int32))
+        dones = c_buf(jnp.zeros((rounds, n_steps, n_envs), bool))
         loss_r = jnp.zeros((rounds,))
         agree_r = jnp.zeros((rounds,))
         valid_r = jnp.zeros((rounds,))

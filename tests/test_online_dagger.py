@@ -32,8 +32,8 @@ def _buffer(R=2, T=10, B=3, H=4, W=4, dones=None):
 def test_sample_windows_clean_buffer():
     frames, labels, dones = _buffer()
     obs, y, w = sample_windows(jax.random.PRNGKey(0), frames, labels, dones,
-                               r=jnp.int32(1), batch=64, frame_skip=4)
-    assert obs.shape == (64, 4, 4, 4) and y.shape == (64,) and w.shape == (64,)
+                               r=jnp.int32(1), k_per_env=21, frame_skip=4)
+    assert obs.shape == (63, 4, 4, 4) and y.shape == (63,) and w.shape == (63,)
     assert float(obs.min()) >= 0.0 and float(obs.max()) <= 1.0
     # with no dones, weight is exactly the t >= fs-1 predicate: both classes
     # must appear at T=10 (P(all 64 same side) ~ 0)
@@ -43,7 +43,7 @@ def test_sample_windows_clean_buffer():
 def test_sample_windows_all_done_all_masked():
     frames, labels, dones = _buffer(dones=jnp.ones((2, 10, 3), bool))
     _, _, w = sample_windows(jax.random.PRNGKey(1), frames, labels, dones,
-                             r=jnp.int32(1), batch=128, frame_skip=4)
+                             r=jnp.int32(1), k_per_env=40, frame_skip=4)
     # every window's trailing frames contain a reset → nothing is trainable
     assert float(w.sum()) == 0.0
 
@@ -54,7 +54,7 @@ def test_sample_windows_respects_round_bound():
     labels = labels.at[1].set(8)
     labels = labels.at[0].set(jnp.clip(labels[0], 0, 7))
     _, y, _ = sample_windows(jax.random.PRNGKey(2), frames, labels, dones,
-                             r=jnp.int32(0), batch=256, frame_skip=4)
+                             r=jnp.int32(0), k_per_env=80, frame_skip=4)
     assert int(jnp.max(y)) <= 7
 
 
@@ -67,7 +67,7 @@ def test_single_window_boundary_semantics():
     dones = jnp.zeros((R, T, B), bool).at[0, 4, 0].set(True)
     # probe every t by sampling many and checking the weight pattern
     obs, y, w = sample_windows(jax.random.PRNGKey(3), frames, labels, dones,
-                               r=jnp.int32(0), batch=512, frame_skip=4)
+                               r=jnp.int32(0), k_per_env=512, frame_skip=4)
     # reconstruct which t each sample used is not exposed; instead check the
     # analytic set: valid t are {3, 4} ∪ {t >= 8} minus torn {5,6,7} → {3,4}
     # over T=8. So the mean weight must equal the empirical fraction of
@@ -106,3 +106,25 @@ def test_online_dagger_beta_one_stays_expert():
                              batch=8, beta=1.0)
     _, m = run(state, jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(m["agreement"]), 1.0)
+
+
+def test_online_dagger_sharded_spmd():
+    """The whole single-program DAgger under an 8-device mesh: env state,
+    aggregation buffer, and training batches shard on the env axis
+    (stratified sampling keeps every gather shard-local)."""
+    from carla_imitation_learning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(axis_sizes={"data": 8})
+    model = PolicyCNN()
+    tx = optax.adam(1e-3)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)), tx)
+    run = make_online_dagger(model.apply, PARAMS, TOWN, RCFG,
+                             n_envs=8, n_steps=12, rounds=2, train_steps=3,
+                             batch=16, beta=0.0, mesh=mesh)
+    state2, m = run(state, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+    assert float(m["agreement"][0]) == 1.0
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0

@@ -1186,3 +1186,55 @@ def world_model_imagine(cfg, horizon: int = 8, n_envs: int = 16,
             "ssim_per_step": [float(v) for v in ssim_h],
             "train_val_loss": r["best_metric"],
             "strip_path": str(path)}
+
+
+@experiment("export_policy")
+def export_policy_exp(cfg, checkpoint: str | None = None,
+                      artifact_dir: str | None = None,
+                      height: int = 256, width: int = 256,
+                      verify_batches: tuple = (1, 7), **kw):
+    """Deployment tier: export a (checkpoint-restored) PolicyCNN to a
+    self-contained multi-platform StableHLO servable (serving/export.py),
+    then verify the deserialized program against the live model and report
+    bucketed-engine latency. The reference's only reuse path is
+    load_from_checkpoint + the torch source (train.py:198-201); this artifact
+    needs neither."""
+    from carla_imitation_learning_tpu.serving import (
+        InferenceEngine, export_policy, load_policy,
+    )
+
+    model = PolicyCNN(obs_size=int(cfg.get("frame_skip", 4)),
+                      n_actions=int(cfg.get("n_actions", 9)), dtype=_dtype(cfg))
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    params = model.init(rng, jnp.zeros((1, height, width, 4)))["params"]
+    if checkpoint:
+        from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
+
+        params = restore_pytree(checkpoint, {"params": params})["params"]
+
+    out = Path(artifact_dir or (Path(cfg["log_dir"]) / "policy_artifact"))
+    export_policy(model, params, out, height=height, width=width,
+                  obs_size=int(cfg.get("frame_skip", 4)),
+                  extra_meta={"n_actions": int(cfg.get("n_actions", 9)),
+                              "checkpoint": checkpoint or ""})
+
+    servable = load_policy(out)
+    eng = InferenceEngine(servable, max_batch=int(cfg.get("serve_max_batch", 64)))
+    rng_np = np.random.default_rng(0)
+    max_err = 0.0
+    for b in verify_batches:
+        x = rng_np.integers(0, 256, (int(b), height, width,
+                                     int(cfg.get("frame_skip", 4))), dtype=np.uint8)
+        live = np.asarray(model.apply({"params": params},
+                                      x.astype(np.float32) / 255.0), np.float32)
+        max_err = max(max_err, float(np.abs(np.asarray(servable.call(x),
+                                                       np.float32) - live).max()))
+    eng.warmup(height, width, int(cfg.get("frame_skip", 4)))
+    eng.infer(rng_np.integers(0, 256, (3, height, width,
+                                       int(cfg.get("frame_skip", 4))),
+                              dtype=np.uint8))
+    blob = (out / "policy.stablehlo").stat().st_size
+    return {"artifact": str(out), "blob_bytes": int(blob),
+            "platforms": list(servable.platforms),
+            "roundtrip_max_abs_err": max_err,
+            "engine": eng.stats()}

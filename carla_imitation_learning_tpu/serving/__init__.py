@@ -1,0 +1,23 @@
+"""Deployment/serving tier: StableHLO policy export + bucketed inference.
+
+beyond-reference capability — the reference (HemuManju/carla-imitation-learning)
+can only reuse a trained net by re-importing the torch class from source
+(train.py:198-201); here a policy ships as one self-contained multi-platform
+AOT artifact and serves through a shape-stable batching engine.
+"""
+
+from carla_imitation_learning_tpu.serving.engine import InferenceEngine
+from carla_imitation_learning_tpu.serving.export import (
+    LoadedPolicy,
+    export_fn,
+    export_policy,
+    load_policy,
+)
+
+__all__ = [
+    "InferenceEngine",
+    "LoadedPolicy",
+    "export_fn",
+    "export_policy",
+    "load_policy",
+]

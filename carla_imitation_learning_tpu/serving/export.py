@@ -1,0 +1,149 @@
+"""Policy export: serialize a trained policy to a self-contained StableHLO
+artifact (``jax.export``) that deploys WITHOUT the model source code.
+
+The reference has no deployment story at all — a trained Lightning checkpoint
+can only be used by re-importing the torch model class
+(reference train.py:198-201 ``load_from_checkpoint``). The TPU-native
+equivalent of "a servable" is an ahead-of-time-lowered StableHLO program:
+
+- **params are baked in** as program constants — one file is the whole policy;
+- **the batch dimension is symbolic** (``jax.export.symbolic_shape``) — one
+  artifact serves any request size, no bucket re-export;
+- **multi-platform lowering** (``platforms=("tpu", "cpu")``) — the same
+  artifact runs on a TPU server and in a CPU integration test;
+- the input contract is the *transport* format: the raw uint8 NHWC frame
+  window exactly as the rollout framebuffer/framestore holds it
+  (training/closed_loop.py ``_quantize``); the /255 normalization is fused
+  into the program so clients never touch floats.
+
+Artifact layout (a directory):
+    policy.stablehlo   — serialized jax.export blob
+    meta.json          — input spec, output spec, platforms, format version
+
+``load_policy`` needs only jax — no flax, no model class, no param pytree.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+FORMAT_VERSION = 1
+_BLOB = "policy.stablehlo"
+_META = "meta.json"
+
+
+def _spec_to_json(s: jax.ShapeDtypeStruct) -> dict:
+    return {"shape": [str(d) for d in s.shape], "dtype": str(s.dtype)}
+
+
+def export_fn(
+    fn: Callable,
+    example_specs: Sequence[jax.ShapeDtypeStruct],
+    path: str | Path,
+    *,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    meta: dict | None = None,
+) -> Path:
+    """Export ``fn(*args)`` (params already closed over) to ``path``.
+
+    ``example_specs`` are ShapeDtypeStructs; dims given as strings (e.g.
+    ``"b"``) become symbolic — the exported program accepts any size there.
+    """
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    scope = jax_export.SymbolicScope()
+    specs = []
+    for s in example_specs:
+        dims = tuple(
+            jax_export.symbolic_shape(d, scope=scope)[0]
+            if isinstance(d, str) else d
+            for d in s.shape
+        )
+        specs.append(jax.ShapeDtypeStruct(dims, s.dtype))
+    exp = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(*specs)
+    (path / _BLOB).write_bytes(exp.serialize())
+    out_specs = [
+        {"shape": [str(d) for d in t.shape], "dtype": str(t.dtype)}
+        for t in exp.out_avals
+    ]
+    info = {
+        "format_version": FORMAT_VERSION,
+        "platforms": list(exp.platforms),
+        "inputs": [_spec_to_json(s) for s in specs],
+        "outputs": out_specs,
+        "jax_version": jax.__version__,
+    }
+    info.update(meta or {})
+    (path / _META).write_text(json.dumps(info, indent=1))
+    return path
+
+
+def export_policy(
+    model: Any,
+    params: Any,
+    path: str | Path,
+    *,
+    height: int,
+    width: int,
+    obs_size: int = 4,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    extra_meta: dict | None = None,
+) -> Path:
+    """Export a flax policy (PolicyCNN-shaped: frames → logits) as a servable.
+
+    Input contract: uint8 NHWC ``(b, height, width, obs_size)`` — the raw
+    4-frame grayscale window as stored/rolled-out. Outputs float32 logits
+    ``(b, n_actions)``; argmax/softmax is the engine's job (serving/engine.py)
+    so the artifact stays a pure function.
+    """
+    params = jax.device_get(params)  # bake host copies, not device refs
+
+    def infer(frames_u8: jnp.ndarray) -> jnp.ndarray:
+        obs = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+        return model.apply({"params": params}, obs)
+
+    spec = jax.ShapeDtypeStruct(("b", height, width, obs_size), jnp.uint8)
+    meta = {"kind": "policy", "model": type(model).__name__,
+            "height": height, "width": width, "obs_size": obs_size}
+    meta.update(extra_meta or {})
+    return export_fn(infer, [spec], path, platforms=platforms, meta=meta)
+
+
+class LoadedPolicy:
+    """A deserialized servable: ``call(*arrays)`` runs the baked program.
+
+    Requires only jax at load time (no flax/model source). The call is a
+    compiled XLA computation on the default backend; wrap it in
+    serving.engine.InferenceEngine for padding/batching/latency stats.
+    """
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+
+    @property
+    def platforms(self) -> tuple:
+        return tuple(self._exported.platforms)
+
+    def call(self, *args):
+        out = self._exported.call(*args)
+        return out[0] if isinstance(out, (tuple, list)) and len(out) == 1 else out
+
+    def __call__(self, *args):
+        return self.call(*args)
+
+
+def load_policy(path: str | Path) -> LoadedPolicy:
+    path = Path(path)
+    meta = json.loads((path / _META).read_text())
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"artifact format {meta.get('format_version')} != {FORMAT_VERSION}")
+    exported = jax_export.deserialize((path / _BLOB).read_bytes())
+    return LoadedPolicy(exported, meta)

@@ -1,0 +1,137 @@
+"""Serving tier tests: StableHLO export roundtrip, symbolic batch, engine
+bucketing/splitting exactness (CPU; the artifact also carries a tpu lowering)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_imitation_learning_tpu.models import PolicyCNN
+from carla_imitation_learning_tpu.serving import (
+    InferenceEngine,
+    export_policy,
+    load_policy,
+)
+
+H = W = 32
+
+
+@pytest.fixture(scope="module")
+def trained():
+    model = PolicyCNN(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, H, W, 4)))["params"]
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def artifact(trained, tmp_path_factory):
+    model, params = trained
+    path = tmp_path_factory.mktemp("servable") / "policy"
+    return export_policy(model, params, path, height=H, width=W,
+                         platforms=("tpu", "cpu"),
+                         extra_meta={"n_actions": 9})
+
+
+def _frames(rng, b):
+    return rng.integers(0, 256, (b, H, W, 4), dtype=np.uint8)
+
+
+def test_export_roundtrip_exact(trained, artifact):
+    """Deserialized program == live apply, at several symbolic batch sizes."""
+    model, params = trained
+    servable = load_policy(artifact)
+    rng = np.random.default_rng(0)
+    for b in (1, 3, 16):
+        x = _frames(rng, b)
+        got = np.asarray(servable.call(x))
+        want = np.asarray(model.apply(
+            {"params": params}, x.astype(np.float32) / 255.0))
+        assert got.shape == (b, 9)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_artifact_metadata(artifact):
+    meta = json.loads((artifact / "meta.json").read_text())
+    assert meta["model"] == "PolicyCNN"
+    assert set(meta["platforms"]) == {"tpu", "cpu"}
+    assert meta["inputs"][0]["shape"] == ["b", str(H), str(W), "4"]
+    assert meta["inputs"][0]["dtype"] == "uint8"
+    assert meta["n_actions"] == 9
+    # the blob is self-contained: params are baked in, so it outweighs them
+    param_bytes = 0
+    # (PolicyCNN at 32² is small; just sanity-check the blob is non-trivial)
+    assert (artifact / "policy.stablehlo").stat().st_size > 10_000 + param_bytes
+
+
+def test_loaded_policy_needs_no_model_source(artifact):
+    """load_policy touches only jax + the artifact (no flax/model imports)."""
+    servable = load_policy(artifact)
+    assert servable.meta["kind"] == "policy"
+    out = servable.call(np.zeros((2, H, W, 4), np.uint8))
+    assert np.asarray(out).shape == (2, 9)
+
+
+def test_engine_bucketing_matches_direct(trained, artifact):
+    """Odd request sizes (pad) and oversize requests (split) are exact."""
+    model, params = trained
+    servable = load_policy(artifact)
+    eng = InferenceEngine(servable, max_batch=8)
+    assert eng.buckets == (1, 2, 4, 8)
+    rng = np.random.default_rng(1)
+    for b in (1, 5, 8, 13, 20):  # pad / exact / split-with-tail
+        x = _frames(rng, b)
+        want = np.argmax(np.asarray(model.apply(
+            {"params": params}, x.astype(np.float32) / 255.0)), axis=-1)
+        got = eng.infer(x)
+        assert got.dtype == np.int32 and got.shape == (b,)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_engine_stats_and_warmup(artifact):
+    eng = InferenceEngine(load_policy(artifact), max_batch=4)
+    eng.warmup(H, W)
+    assert eng.stats()["count"] == 0  # warmup doesn't pollute stats
+    eng.infer(np.zeros((3, H, W, 4), np.uint8))
+    s = eng.stats()
+    assert s["count"] == 1 and s["latency_ms_p50"] > 0
+    assert s["pad_waste_frac"] == pytest.approx(0.25)  # 3 padded to 4
+
+
+def test_engine_rejects_bad_rank(artifact):
+    eng = InferenceEngine(load_policy(artifact))
+    with pytest.raises(ValueError):
+        eng.infer(np.zeros((H, W, 4), np.uint8))
+
+
+def test_export_live_fn_engine(trained):
+    """The engine also wraps a live jitted apply (no artifact)."""
+    model, params = trained
+
+    @jax.jit
+    def live(frames_u8):
+        return model.apply({"params": params},
+                           frames_u8.astype(jnp.float32) / 255.0)
+
+    eng = InferenceEngine(live, buckets=(2, 4))
+    out = eng.infer(np.zeros((3, H, W, 4), np.uint8))
+    assert out.shape == (3,)
+
+
+def test_cli_export_policy(tmp_path, capsys):
+    """CLI surface: export → verify roundtrip → engine stats, tiny shapes."""
+    from carla_imitation_learning_tpu.cli import main as cli_main
+
+    overrides = []
+    for o in ("height=32", "width=32", "serve_max_batch=4",
+              f"log_dir={tmp_path}/logs", "compute_dtype=float32"):
+        overrides += ["-o", o]
+    rc = cli_main(["run", "export_policy", "--json"] + overrides)
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert result["roundtrip_max_abs_err"] < 1e-4
+    assert result["blob_bytes"] > 10_000
+    assert set(result["platforms"]) == {"tpu", "cpu"}
+    assert result["engine"]["count"] == 1
+    assert (tmp_path / "logs" / "policy_artifact" / "meta.json").exists()

@@ -62,9 +62,13 @@ def main() -> None:
     export_policy(model, params, art, height=H, width=W)
     report["export_seconds"] = round(time.perf_counter() - t0, 2)
     report["blob_bytes"] = (art / "policy.stablehlo").stat().st_size
+    art_q = Path("/tmp/bench_policy_artifact_int8")
+    export_policy(model, params, art_q, height=H, width=W, quantize="int8")
+    report["blob_bytes_int8"] = (art_q / "policy.stablehlo").stat().st_size
     save()
 
     servable = load_policy(art)
+    servable_int8 = load_policy(art_q)
 
     @jax.jit
     def live(frames_u8):
@@ -78,7 +82,9 @@ def main() -> None:
         buckets.append(b)
         b *= 4
 
-    for name, fn in (("servable", servable.call), ("live_jit", live)):
+    for name, fn in (("servable", servable.call),
+                     ("servable_int8", servable_int8.call),
+                     ("live_jit", live)):
         rows = {}
         for bsz in buckets:
             # distinct inputs per rep (memoization-proof), fetched results

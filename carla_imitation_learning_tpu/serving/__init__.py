@@ -13,6 +13,10 @@ from carla_imitation_learning_tpu.serving.export import (
     export_policy,
     load_policy,
 )
+from carla_imitation_learning_tpu.serving.quant import (
+    make_quantized_policy,
+    quantized_apply,
+)
 
 __all__ = [
     "InferenceEngine",
@@ -20,4 +24,6 @@ __all__ = [
     "export_fn",
     "export_policy",
     "load_policy",
+    "make_quantized_policy",
+    "quantized_apply",
 ]

@@ -93,6 +93,7 @@ def export_policy(
     width: int,
     obs_size: int = 4,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    quantize: str | None = None,
     extra_meta: dict | None = None,
 ) -> Path:
     """Export a flax policy (PolicyCNN-shaped: frames → logits) as a servable.
@@ -101,16 +102,30 @@ def export_policy(
     4-frame grayscale window as stored/rolled-out. Outputs float32 logits
     ``(b, n_actions)``; argmax/softmax is the engine's job (serving/engine.py)
     so the artifact stays a pure function.
+
+    ``quantize="int8"`` exports the int8 inference program (serving/quant.py):
+    per-channel int8 weights are constant-folded into the artifact, int8
+    dynamic-activation contractions run on the MXU at 2× the bf16 rate.
     """
     params = jax.device_get(params)  # bake host copies, not device refs
 
-    def infer(frames_u8: jnp.ndarray) -> jnp.ndarray:
-        obs = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
-        return model.apply({"params": params}, obs)
+    if quantize is None:
+        def infer(frames_u8: jnp.ndarray) -> jnp.ndarray:
+            obs = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+            return model.apply({"params": params}, obs)
+    elif quantize == "int8":
+        from carla_imitation_learning_tpu.serving.quant import (
+            make_quantized_policy,
+        )
+
+        infer = make_quantized_policy(model, params)
+    else:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
 
     spec = jax.ShapeDtypeStruct(("b", height, width, obs_size), jnp.uint8)
     meta = {"kind": "policy", "model": type(model).__name__,
-            "height": height, "width": width, "obs_size": obs_size}
+            "height": height, "width": width, "obs_size": obs_size,
+            "quantize": quantize or "none"}
     meta.update(extra_meta or {})
     return export_fn(infer, [spec], path, platforms=platforms, meta=meta)
 

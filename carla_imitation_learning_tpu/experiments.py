@@ -1238,3 +1238,93 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
             "platforms": list(servable.platforms),
             "roundtrip_max_abs_err": max_err,
             "engine": eng.stats()}
+
+
+@experiment("rl_finetune")
+def rl_finetune(cfg, checkpoint: str | None = None, n_envs: int = 256,
+                rollout_steps: int = 128, iterations: int = 20,
+                eval_envs: int = 64, eval_steps: int = 300, **kw):
+    """On-device PPO fine-tuning on the leaderboard-shaped driving objective
+    (training/rl.py) — fully beyond the reference (imitation-only). Warm-start
+    from a BC checkpoint (``checkpoint=``) or train from scratch; reports the
+    driving score before and after plus the per-iteration PPO metrics, and
+    writes the fine-tuned actor as a PolicyCNN-shaped checkpoint every
+    downstream surface (closed_loop_eval, export_policy, dagger) accepts."""
+    import optax
+
+    from carla_imitation_learning_tpu.training.rl import (
+        ActorCriticCNN, PPOConfig, actor_policy_params_from, ppo_train,
+        warm_start_from_policy,
+    )
+    from carla_imitation_learning_tpu.utils.checkpoint import (
+        restore_pytree, save_pytree,
+    )
+
+    town, params, rcfg = _sim_bits(cfg)
+    frame_skip = int(cfg.get("frame_skip", 4))
+    n_actions = int(cfg.get("n_actions", 9))
+    model = ActorCriticCNN(obs_size=frame_skip, n_actions=n_actions,
+                           dtype=_dtype(cfg))
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    ac_params = model.init(
+        rng, model.example_input(1, rcfg.height, rcfg.width))["params"]
+    if checkpoint:
+        pol = PolicyCNN(obs_size=frame_skip, n_actions=n_actions,
+                        dtype=_dtype(cfg))
+        template = pol.init(
+            rng, jnp.zeros((1, rcfg.height, rcfg.width, frame_skip)))["params"]
+        bc = restore_pytree(checkpoint, {"params": template})["params"]
+        ac_params = warm_start_from_policy(ac_params, bc)
+
+    pcfg = PPOConfig(
+        w_progress=float(cfg.get("rl_w_progress", 1.0)),
+        w_collision=float(cfg.get("rl_w_collision", 25.0)),
+        w_red=float(cfg.get("rl_w_red", 10.0)),
+        w_offroad=float(cfg.get("rl_w_offroad", 10.0)),
+        gamma=float(cfg.get("rl_gamma", 0.99)),
+        gae_lambda=float(cfg.get("rl_gae_lambda", 0.95)),
+        clip_eps=float(cfg.get("rl_clip_eps", 0.2)),
+        entropy_coef=float(cfg.get("rl_entropy_coef", 0.01)),
+        update_epochs=int(cfg.get("rl_update_epochs", 4)),
+        num_minibatches=int(cfg.get("rl_num_minibatches", 8)),
+        learning_rate=float(cfg.get("rl_lr", 3e-4)),
+        max_grad_norm=float(cfg.get("rl_max_grad_norm", 0.5)),
+    )
+    tx = optax.chain(optax.clip_by_global_norm(pcfg.max_grad_norm),
+                     optax.adam(pcfg.learning_rate))
+    opt_state = tx.init(ac_params)
+    mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
+
+    def argmax_policy(p):
+        def fn(obs):
+            logits, _ = model.apply({"params": p}, obs)
+            return jnp.argmax(logits, axis=-1)
+        return fn
+
+    eval_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 101)
+    before = cl.evaluate_policy(params, town, rcfg, argmax_policy(ac_params),
+                                eval_rng, n_envs=eval_envs, n_steps=eval_steps,
+                                mesh=mesh)
+
+    from carla_imitation_learning_tpu.utils import ColorPrint
+
+    def report(i, m):
+        ColorPrint.print_run(
+            f"  ppo iter {i}: reward/step {m['reward_per_step']:+.4f} "
+            f"progress {m['progress_m_per_step']:.3f} m "
+            f"kl {m['approx_kl']:.4f} entropy {m['entropy']:.3f}")
+
+    ac_params, opt_state, history = ppo_train(
+        params, town, rcfg, model, ac_params, tx, opt_state, rng,
+        n_envs=n_envs, rollout_steps=rollout_steps, iterations=iterations,
+        cfg=pcfg, frame_skip=frame_skip, mesh=mesh, on_iteration=report)
+
+    after = cl.evaluate_policy(params, town, rcfg, argmax_policy(ac_params),
+                               eval_rng, n_envs=eval_envs, n_steps=eval_steps,
+                               mesh=mesh)
+    out = Path(cfg["log_dir"]) / "rl_finetune" / "actor_params"
+    save_pytree(out, {"params": actor_policy_params_from(ac_params)})
+    return {"before": before, "after": after, "history": history,
+            "actor_checkpoint": str(out),
+            "score_delta": float(after["driving_score"]
+                                 - before["driving_score"])}

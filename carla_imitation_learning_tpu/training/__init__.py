@@ -29,3 +29,10 @@ from carla_imitation_learning_tpu.training.online_dagger import (  # noqa: F401
     make_online_dagger,
     sample_windows,
 )
+from carla_imitation_learning_tpu.training.rl import (  # noqa: F401
+    ActorCriticCNN,
+    PPOConfig,
+    actor_policy_params_from,
+    ppo_train,
+    warm_start_from_policy,
+)

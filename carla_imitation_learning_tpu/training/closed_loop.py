@@ -112,6 +112,7 @@ def make_rollout(
     mesh=None,
     lidar_beams: int = 0,
     noise: NoiseConfig | None = None,
+    policy_rng: jnp.ndarray | None = None,
 ):
     """Build (init_fn, rollout_fn).
 
@@ -130,6 +131,13 @@ def make_rollout(
     on) carries the pre-noise steer for the state-log contract. The realized
     wheel angle in ``traj["sensor"][...,0]`` reflects the noise — it is
     physical state the policy legitimately observes.
+
+    ``policy_rng`` (a PRNGKey) threads a fresh per-step key into the policy's
+    extras dict (``extras["rng"]``) so STOCHASTIC policies — e.g. the PPO
+    actor (training/rl.py) sampling from its softmax — can draw inside the
+    scan. Keys are folded with the fleet's env keys so every rollout from a
+    distinct init draws a distinct stream. Extras-taking policies that
+    ignore the key are unaffected.
     """
     import dataclasses as _dc
 
@@ -180,13 +188,16 @@ def make_rollout(
 
         lidar_batch = jax.vmap(_lidar_one)
 
-    # policies may take (obs) or (obs, extras) with speed/command/sensor
+    # policies may take (obs), (obs, extras) with speed/command/sensor, or
+    # (obs, extras, params) — the last re-binds live parameters per rollout
+    # call (rollout_fn's policy_params argument) so an RL loop can reuse ONE
+    # compiled rollout across training iterations (training/rl.py)
     import inspect
 
-    _policy_wants_extras = (
-        policy_fn is not None
-        and len(inspect.signature(policy_fn).parameters) >= 2
-    )
+    _n_policy_args = (0 if policy_fn is None
+                      else len(inspect.signature(policy_fn).parameters))
+    _policy_wants_extras = _n_policy_args >= 2
+    _policy_wants_params = _n_policy_args >= 3
 
     def _quantize(gray: jnp.ndarray) -> jnp.ndarray:
         return jnp.clip(gray * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
@@ -214,7 +225,10 @@ def make_rollout(
             carry = jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), carry)
         return carry
 
-    def one_step(carry, steer_noise):
+    def one_step(carry, xs, policy_params=None):
+        xs = xs or {}
+        steer_noise = xs.get("noise")
+        step_key = xs.get("rng")
         states, framebuf, just_reset = carry
         gray_u8 = _quantize(render_batch(states)["gray"])  # (B,H,W) uint8
         framebuf = update_framebuf(framebuf, gray_u8, just_reset)
@@ -233,7 +247,12 @@ def make_rollout(
             if _policy_wants_extras:
                 extras = {"speed": states.ego_v, "command": command_batch(states),
                           "sensor": sensor_batch(states)}
-                res = policy_fn(obs, extras)
+                if step_key is not None:
+                    extras["rng"] = step_key
+                if _policy_wants_params:
+                    res = policy_fn(obs, extras, policy_params)
+                else:
+                    res = policy_fn(obs, extras)
             else:
                 res = policy_fn(obs)
             # policies may return (action, per-env scalar) — e.g. ensemble
@@ -290,18 +309,25 @@ def make_rollout(
         return (new_states, framebuf, info["done"]), out
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def rollout_fn(carry, n_steps: int):
-        xs = None
+    def rollout_fn(carry, n_steps: int, policy_params=None):
+        xs = {}
+        states0 = carry[0]
         if noise is not None:
-            states0 = carry[0]
             n_envs = states0.t.shape[0]
             # fold the fleet's env keys into the schedule seed so each
             # collection rollout (different init rng) draws fresh noise
             key = jax.random.fold_in(
                 jax.random.PRNGKey(noise.seed),
                 jnp.sum(states0.rng.astype(jnp.uint32)))
-            xs = _noise_schedule(key, n_steps, n_envs, noise)
-        return jax.lax.scan(one_step, carry, xs, length=n_steps)
+            xs["noise"] = _noise_schedule(key, n_steps, n_envs, noise)
+        if policy_rng is not None:
+            # evolving fold (same trick as the noise schedule): each rollout
+            # from a distinct fleet state samples a distinct action stream
+            key = jax.random.fold_in(
+                policy_rng, jnp.sum(states0.rng.astype(jnp.uint32)))
+            xs["rng"] = jax.random.split(key, n_steps)
+        body = functools.partial(one_step, policy_params=policy_params)
+        return jax.lax.scan(body, carry, xs or None, length=n_steps)
 
     return init_fn, rollout_fn
 

@@ -10,9 +10,10 @@ optimization is post-training quantization:
   constants before any XLA folding, so pre-baking is what actually makes
   the artifact carry int8 weights (~4× smaller blob) instead of f32 weights
   plus rounding ops;
-- **activations**: dynamic symmetric per-tensor int8 (scale from the live
-  batch's max|x| — one cheap reduce), the robust choice when no calibration
-  set is wired in;
+- **activations**: dynamic symmetric per-SAMPLE int8 (scale from each
+  sample's own max|x| — one cheap reduce), the robust choice when no
+  calibration set is wired in; per-sample means batch composition and
+  engine padding cannot perturb a sample's logits;
 - **accumulation**: int32 via ``preferred_element_type``, dequantized with
   the product of both scales, bias added in float32.
 
@@ -36,9 +37,15 @@ from jax import lax
 
 
 def _quant_dynamic(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-tensor int8: returns (q, scale) with x ≈ q * scale."""
+    """Symmetric PER-SAMPLE int8: returns (q, scale (B,1,…)) with
+    x ≈ q * scale. Per-sample (not per-tensor) scales make a sample's
+    logits independent of its batchmates — so engine padding and batch
+    composition cannot perturb results — and track each image's own
+    dynamic range."""
     x = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
+    axes = tuple(range(1, x.ndim))
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=axes, keepdims=True),
+                        1e-8) / 127.0
     q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return q, scale
 

@@ -29,11 +29,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Sequence
+import time
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from carla_imitation_learning_tpu.models.cnn import ConvTrunk, MLPHead
@@ -323,6 +323,7 @@ def ppo_train(
 
     history = []
     for i in range(iterations):
+        t0 = time.perf_counter()
         # force a window refill at rollout start so the update's window
         # reconstruction never needs frames from before this rollout
         states, framebuf, _ = carry
@@ -332,8 +333,13 @@ def ppo_train(
         rng, up_rng = jax.random.split(rng)
         params, opt_state, metrics = update(
             params, opt_state, traj, last_value, up_rng)
+        # the device_get below is a real completion barrier (fetches values
+        # reduced from the updated state), so the wall time is honest
         host = {k: float(v) for k, v in jax.device_get(metrics).items()}
         host["iteration"] = i
+        host["seconds"] = round(time.perf_counter() - t0, 3)
+        host["env_steps_per_sec"] = round(
+            n_envs * rollout_steps / host["seconds"], 1)
         history.append(host)
         if on_iteration is not None:
             on_iteration(i, host)

@@ -45,7 +45,7 @@ def test_int8_exact_on_representable_values(layer):
 
     params = jax.tree.map(grid, params)
     xa = rng.integers(0, 128, (2, 6, 6, 2)).astype(np.float32)
-    xa[0, 0, 0, 0] = 127.0  # pin the per-tensor max too
+    xa[:, 0, 0, 0] = 127.0  # pin each sample's max too (per-sample scales)
     x = jnp.asarray(xa)
     want = np.asarray(m.apply({"params": params}, x), np.float64)
     got = np.asarray(quantized_apply(m, params, x), np.float64)
@@ -114,3 +114,18 @@ def test_quantized_cil_policy_runs():
     g = got[0] if isinstance(got, tuple) else got
     assert np.asarray(g).shape == np.asarray(w).shape
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_int8_batch_invariance(policy):
+    """Per-sample activation scales: a sample's quantized logits do not
+    depend on its batchmates (so engine padding can't perturb results)."""
+    model, params = policy
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (6, H, W, 4), dtype=np.uint8)
+    obs = x.astype(np.float32) / 255.0
+    full = np.asarray(quantized_apply(model, params, obs))
+    alone = np.asarray(quantized_apply(model, params, obs[2:3]))
+    np.testing.assert_allclose(full[2:3], alone, rtol=1e-5, atol=1e-5)
+    padded = np.asarray(quantized_apply(
+        model, params, np.concatenate([obs, np.zeros_like(obs)], axis=0)))
+    np.testing.assert_allclose(padded[:6], full, rtol=1e-5, atol=1e-5)

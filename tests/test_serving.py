@@ -135,3 +135,35 @@ def test_cli_export_policy(tmp_path, capsys):
     assert set(result["platforms"]) == {"tpu", "cpu"}
     assert result["engine"]["count"] == 1
     assert (tmp_path / "logs" / "policy_artifact" / "meta.json").exists()
+
+
+def test_export_fn_multi_input_cil(tmp_path):
+    """export_fn generalizes beyond single-tensor policies: the branched CIL
+    net exports with THREE inputs sharing one symbolic batch dim."""
+    from carla_imitation_learning_tpu.models import BranchedCILPolicy
+    from carla_imitation_learning_tpu.serving import export_fn, load_policy
+
+    model = BranchedCILPolicy(n_commands=4, dtype=jnp.float32)
+    frames, speed, command = model.example_input(1, H, W)
+    params = model.init(jax.random.PRNGKey(0), frames, speed, command)["params"]
+
+    def infer(frames_u8, speed, command):
+        obs = frames_u8.astype(jnp.float32) / 255.0
+        out = model.apply({"params": params}, obs, speed, command)
+        return out[0] if isinstance(out, tuple) else out
+
+    specs = [
+        jax.ShapeDtypeStruct(("b", H, W, 4), jnp.uint8),
+        jax.ShapeDtypeStruct(("b",), jnp.float32),
+        jax.ShapeDtypeStruct(("b",), jnp.int32),
+    ]
+    art = export_fn(infer, specs, tmp_path / "cil", meta={"kind": "cil"})
+    servable = load_policy(art)
+    rng = np.random.default_rng(0)
+    for b in (2, 5):
+        f = rng.integers(0, 256, (b, H, W, 4), dtype=np.uint8)
+        s = rng.random(b).astype(np.float32)
+        c = rng.integers(0, 4, b).astype(np.int32)
+        got = np.asarray(servable.call(f, s, c))
+        want = np.asarray(infer(f, s, c))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

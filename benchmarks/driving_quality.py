@@ -1,4 +1,4 @@
-"""End-to-end driving quality: expert vs untrained vs BC vs DAgger.
+"""End-to-end driving quality: expert vs untrained vs BC vs DAgger vs PPO.
 
 The reference trains BC offline and never closes the loop (SURVEY.md §2.3 —
 no closed-loop eval exists in /root/reference). This harness is the proof
@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--dagger", type=int, default=2,
                     help="DAgger rounds on top of BC (0 to skip)")
+    ap.add_argument("--rl", type=int, default=0,
+                    help="PPO fine-tuning iterations on top of BC (0 to "
+                         "skip) — warm-starts the actor from the BC params")
+    ap.add_argument("--rl-envs", type=int, default=256)
+    ap.add_argument("--rl-steps", type=int, default=128,
+                    help="PPO rollout horizon per iteration")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--balanced", action="store_true",
@@ -175,6 +181,39 @@ def main() -> None:
         result["dagger_frames"] = sum(len(s) for s in stores)
         result["dagger"] = trim(ev(policy_from(state.params), 103))
         print(f"dagger: {result['dagger']}", flush=True)
+        save()
+
+    # --- PPO fine-tuning on the driving objective ---------------------------
+    if args.rl:
+        from carla_imitation_learning_tpu.training.rl import (
+            ActorCriticCNN, PPOConfig, actor_policy_params_from, ppo_train,
+            warm_start_from_policy,
+        )
+
+        # warm-start from the final imitation params (BC or BC+DAgger)
+        ac = ActorCriticCNN(dtype=jnp.bfloat16)
+        rng, ka = jax.random.split(rng)
+        ac_params = ac.init(ka, ac.example_input(
+            1, rcfg.height, rcfg.width))["params"]
+        ac_params = warm_start_from_policy(ac_params, state.params)
+        pcfg = PPOConfig()
+        ptx = optax.chain(optax.clip_by_global_norm(pcfg.max_grad_norm),
+                          optax.adam(pcfg.learning_rate))
+        tr = time.perf_counter()
+        rng, kp = jax.random.split(rng)
+        ac_params, _, hist = ppo_train(
+            params, town, rcfg, ac, ac_params, ptx, ptx.init(ac_params), kp,
+            n_envs=args.rl_envs, rollout_steps=args.rl_steps,
+            iterations=args.rl, cfg=pcfg)
+        result["rl_seconds"] = round(time.perf_counter() - tr, 1)
+        result["rl_history"] = hist[:3] + hist[-3:] if len(hist) > 6 else hist
+        result["rl_env_steps_per_sec"] = round(float(np.median(
+            [h["env_steps_per_sec"] for h in hist[1:]])), 1) if len(hist) > 1 \
+            else None
+        save()
+        result["rl"] = trim(ev(policy_from(
+            actor_policy_params_from(ac_params)), 104))
+        print(f"rl (ppo, warm-start): {result['rl']}", flush=True)
 
     result["wall_seconds"] = round(time.perf_counter() - t0, 1)
     save()
@@ -185,6 +224,7 @@ def main() -> None:
         "expert": result["expert"]["driving_score"],
         "untrained": result["untrained"]["driving_score"],
         "dagger": result.get("dagger", {}).get("driving_score"),
+        "rl": result.get("rl", {}).get("driving_score"),
     }))
 
 

@@ -515,12 +515,15 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
 
 def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     """PolicyCNN + (optionally checkpoint-restored) params → argmax policy_fn.
-    Shared by every closed-loop eval entry point so the restore contract
-    stays in one place."""
-    model = PolicyCNN(obs_size=int(cfg.get("frame_skip", 4)),
-                      n_actions=int(cfg.get("n_actions", 9)), dtype=_dtype(cfg))
+    Shared by every closed-loop eval/export entry point so the restore
+    contract (incl. the s2d_stem variant) stays in one place. Returns
+    (policy_fn, rng, model, params)."""
+    fs = int(cfg.get("frame_skip", 4))
+    model = PolicyCNN(obs_size=fs, n_actions=int(cfg.get("n_actions", 9)),
+                      dtype=_dtype(cfg),
+                      s2d_stem=bool(cfg.get("s2d_stem", False)))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    mparams = model.init(rng, jnp.zeros((1, height, width, 4)))["params"]
+    mparams = model.init(rng, jnp.zeros((1, height, width, fs)))["params"]
     if checkpoint:
         from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
 
@@ -529,7 +532,7 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     def policy_fn(obs):
         return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
 
-    return policy_fn, rng
+    return policy_fn, rng, model, mparams
 
 
 @experiment("closed_loop_eval")
@@ -537,7 +540,7 @@ def closed_loop_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
                      n_steps: int = 200, **kw):
     """BASELINE config #4: policy-in-the-loop driving metrics."""
     town, params, rcfg = _sim_bits(cfg)
-    policy_fn, rng = _policy_bits(cfg, checkpoint, rcfg.height, rcfg.width)
+    policy_fn, rng, _, _ = _policy_bits(cfg, checkpoint, rcfg.height, rcfg.width)
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                  n_envs=n_envs, n_steps=n_steps, mesh=mesh)
@@ -579,7 +582,7 @@ def scenario_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
     unknown = [n for n in names if n not in SCENARIOS]
     if unknown:
         raise ValueError(f"unknown scenarios {unknown}; have {list(SCENARIOS)}")
-    policy_fn, rng = _policy_bits(
+    policy_fn, rng, _, _ = _policy_bits(
         cfg, checkpoint, int(cfg.get_dotted("render.height", 128)),
         int(cfg.get_dotted("render.width", 128)))
     out, summary = {}, {}
@@ -1203,18 +1206,15 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
         InferenceEngine, export_policy, load_policy,
     )
 
-    model = PolicyCNN(obs_size=int(cfg.get("frame_skip", 4)),
-                      n_actions=int(cfg.get("n_actions", 9)), dtype=_dtype(cfg))
-    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    params = model.init(rng, jnp.zeros((1, height, width, 4)))["params"]
-    if checkpoint:
-        from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
-
-        params = restore_pytree(checkpoint, {"params": params})["params"]
+    # the model build + checkpoint restore live in _policy_bits (one contract
+    # for eval AND export, incl. frame_skip/n_actions/s2d_stem)
+    _, _, model, params = _policy_bits(cfg, checkpoint, height, width)
 
     out = Path(artifact_dir or (Path(cfg["log_dir"]) / "policy_artifact"))
     export_policy(model, params, out, height=height, width=width,
                   obs_size=int(cfg.get("frame_skip", 4)),
+                  quantize=(str(cfg.get("quantize")) if cfg.get("quantize")
+                            else None),
                   extra_meta={"n_actions": int(cfg.get("n_actions", 9)),
                               "checkpoint": checkpoint or ""})
 
@@ -1256,24 +1256,21 @@ def rl_finetune(cfg, checkpoint: str | None = None, n_envs: int = 256,
         ActorCriticCNN, PPOConfig, actor_policy_params_from, ppo_train,
         warm_start_from_policy,
     )
-    from carla_imitation_learning_tpu.utils.checkpoint import (
-        restore_pytree, save_pytree,
-    )
+    from carla_imitation_learning_tpu.utils.checkpoint import save_pytree
 
     town, params, rcfg = _sim_bits(cfg)
     frame_skip = int(cfg.get("frame_skip", 4))
     n_actions = int(cfg.get("n_actions", 9))
     model = ActorCriticCNN(obs_size=frame_skip, n_actions=n_actions,
-                           dtype=_dtype(cfg))
+                           dtype=_dtype(cfg),
+                           s2d_stem=bool(cfg.get("s2d_stem", False)))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     ac_params = model.init(
         rng, model.example_input(1, rcfg.height, rcfg.width))["params"]
     if checkpoint:
-        pol = PolicyCNN(obs_size=frame_skip, n_actions=n_actions,
-                        dtype=_dtype(cfg))
-        template = pol.init(
-            rng, jnp.zeros((1, rcfg.height, rcfg.width, frame_skip)))["params"]
-        bc = restore_pytree(checkpoint, {"params": template})["params"]
+        # _policy_bits carries the one model-build + restore contract
+        # (frame_skip/n_actions/s2d_stem) for every checkpoint consumer
+        _, _, _, bc = _policy_bits(cfg, checkpoint, rcfg.height, rcfg.width)
         ac_params = warm_start_from_policy(ac_params, bc)
 
     pcfg = PPOConfig(

@@ -52,13 +52,17 @@ class InferenceEngine:
         *,
         max_batch: int = 256,
         buckets: Sequence[int] | None = None,
+        stats_window: int = 4096,
     ):
+        from collections import deque
+
         self._fn = policy_fn
         self.buckets = tuple(sorted(set(buckets or _default_buckets(max_batch))))
         if not self.buckets or self.buckets[0] < 1:
             raise ValueError(f"bad bucket ladder {self.buckets}")
-        self._latencies_ms: list[float] = []
-        self._padded_frac: list[float] = []
+        # bounded windows: a long-running server must not grow stats forever
+        self._latencies_ms: "deque[float]" = deque(maxlen=stats_window)
+        self._padded_frac: "deque[float]" = deque(maxlen=stats_window)
 
     @property
     def max_batch(self) -> int:
@@ -85,10 +89,10 @@ class InferenceEngine:
         if frames.ndim != 4:
             raise ValueError(f"expected (B,H,W,C) uint8 frames, got {frames.shape}")
         t0 = time.perf_counter()
-        chunks = []
         m = self.max_batch
-        for i in range(0, frames.shape[0], m):
-            chunks.append(self._run_chunk(frames[i:i + m]))
+        # an empty request is still one (fully padded) chunk: valid shape out
+        stops = range(0, frames.shape[0], m) if frames.shape[0] else (0,)
+        chunks = [self._run_chunk(frames[i:i + m]) for i in stops]
         out = np.concatenate(chunks, axis=0)
         self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
         return out

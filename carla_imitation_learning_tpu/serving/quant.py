@@ -127,11 +127,38 @@ def _int8_dense(mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _dilation_is_one(d) -> bool:
+    if d is None:
+        return True
+    if isinstance(d, int):
+        return d == 1
+    return all(x == 1 for x in d)
+
+
+def _conv_supported(mod: nn.Conv) -> bool:
+    """Only the configurations _int8_conv actually implements: plain
+    strided convs with string padding, no dilation, no groups. Anything
+    else falls through to the float path rather than computing a silently
+    different conv."""
+    return (isinstance(mod.padding, str)
+            and mod.padding in ("SAME", "VALID")
+            and _dilation_is_one(mod.kernel_dilation)
+            and _dilation_is_one(mod.input_dilation)
+            and mod.feature_group_count == 1)
+
+
 def _interceptor(next_fun, args, kwargs, context):
     mod = context.module
     if context.method_name == "__call__":
         if type(mod) is nn.Conv:
-            return _int8_conv(mod, args[0])
+            if _conv_supported(mod):
+                return _int8_conv(mod, args[0])
+            if mod.variables["params"]["kernel"].dtype == jnp.int8:
+                raise ValueError(
+                    f"{mod.name}: Conv configuration unsupported by the int8 "
+                    "path (dilation/groups/non-string padding) but its kernel "
+                    "was pre-baked to int8 — don't use quantize_params on "
+                    "this model")
         if type(mod) is nn.Dense:
             return _int8_dense(mod, args[0])
     return next_fun(*args, **kwargs)

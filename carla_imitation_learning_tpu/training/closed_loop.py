@@ -321,10 +321,14 @@ def make_rollout(
                 jnp.sum(states0.rng.astype(jnp.uint32)))
             xs["noise"] = _noise_schedule(key, n_steps, n_envs, noise)
         if policy_rng is not None:
-            # evolving fold (same trick as the noise schedule): each rollout
-            # from a distinct fleet state samples a distinct action stream
+            # evolving fold: each rollout from a distinct fleet state samples
+            # a distinct action stream. env rng keys only change on auto-reset,
+            # so ALSO fold the per-env step counters (they advance every step)
+            # — a persistent RL fleet that completes a rollout without any
+            # reset must still draw fresh keys next iteration
             key = jax.random.fold_in(
-                policy_rng, jnp.sum(states0.rng.astype(jnp.uint32)))
+                policy_rng, jnp.sum(states0.rng.astype(jnp.uint32))
+                + jnp.sum(states0.t.astype(jnp.uint32)))
             xs["rng"] = jax.random.split(key, n_steps)
         body = functools.partial(one_step, policy_params=policy_params)
         return jax.lax.scan(body, carry, xs or None, length=n_steps)

@@ -48,10 +48,11 @@ class ActorCriticCNN(nn.Module):
     obs_size: int = 4
     n_actions: int = 9
     dtype: jnp.dtype = jnp.bfloat16
+    s2d_stem: bool = False  # match PolicyCNN's stem variant for warm starts
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        feat = ConvTrunk(dtype=self.dtype)(x)
+        feat = ConvTrunk(dtype=self.dtype, s2d_stem=self.s2d_stem)(x)
         logits = MLPHead((64, 32, self.n_actions), dtype=self.dtype)(feat)
         value = MLPHead((64, 32, 1), dtype=self.dtype)(feat)
         return logits, jnp.squeeze(value, -1)
@@ -99,14 +100,19 @@ class PPOConfig:
 def reward_from_traj(traj: dict, cfg: PPOConfig) -> jnp.ndarray:
     """(T, B) dense reward from the rollout's own scored signals.
 
-    A red-light VIOLATION is the same event the evaluator penalizes:
-    red-exposure ∧ moving (closed_loop.evaluate_policy's rising-edge source
-    signal); collisions/offroads are the per-step flags whose km-rates the
-    leaderboard composite multiplies away."""
+    A red-light VIOLATION is the same DISCRETE event the evaluator
+    penalizes: the RISING EDGE of red-exposure ∧ moving (evaluate_policy
+    counts run-the-light events, one multiplicative 0.70 factor each, not
+    per-step exposure) — so one crossing costs w_red once, keeping the
+    penalty calibration comparable to collisions/offroads, which terminate
+    the episode and are genuinely one-step flags."""
     viol = traj["red_light"] & (traj["speed"] > 2.0)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(viol[:1]), viol[:-1]], axis=0)
+    edge = viol & ~prev
     return (cfg.w_progress * traj["route_ds"]
             - cfg.w_collision * traj["collision"].astype(jnp.float32)
-            - cfg.w_red * viol.astype(jnp.float32)
+            - cfg.w_red * edge.astype(jnp.float32)
             - cfg.w_offroad * traj["offroad"].astype(jnp.float32))
 
 

@@ -89,6 +89,23 @@ def test_reward_wiring():
     np.testing.assert_allclose(r, [[1.0, -5.0 - 3.0 - 1.0]], atol=1e-6)
 
 
+def test_reward_red_penalty_is_per_event():
+    """Sustained red-exposure while moving costs w_red ONCE (rising edge),
+    matching the evaluator's discrete run-the-light events."""
+    cfg = PPOConfig(w_progress=0.0, w_collision=0.0, w_red=3.0, w_offroad=0.0)
+    f, t = False, True
+    traj = {
+        "route_ds": jnp.zeros((5, 1)),
+        "collision": jnp.zeros((5, 1), bool),
+        "offroad": jnp.zeros((5, 1), bool),
+        "red_light": jnp.asarray([[t], [t], [f], [t], [t]]),
+        "speed": jnp.full((5, 1), 3.0),
+    }
+    r = np.asarray(reward_from_traj(traj, cfg))[:, 0]
+    # two crossings (steps 0 and 3) → two penalties, not four
+    np.testing.assert_allclose(r, [-3.0, 0.0, 0.0, -3.0, 0.0], atol=1e-6)
+
+
 def test_warm_start_actor_matches_policy():
     """A BC PolicyCNN warm-started into the ActorCritic gives IDENTICAL
     action logits (the critic head is the only fresh part)."""

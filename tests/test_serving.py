@@ -167,3 +167,17 @@ def test_export_fn_multi_input_cil(tmp_path):
         got = np.asarray(servable.call(f, s, c))
         want = np.asarray(infer(f, s, c))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_empty_request(trained):
+    """A drained queue (batch 0) returns an empty result, not a crash."""
+    model, params = trained
+
+    @jax.jit
+    def live(frames_u8):
+        return model.apply({"params": params},
+                           frames_u8.astype(jnp.float32) / 255.0)
+
+    eng = InferenceEngine(live, max_batch=4)
+    out = eng.infer(np.zeros((0, H, W, 4), np.uint8))
+    assert out.shape == (0,) and out.dtype == np.int32

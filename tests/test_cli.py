@@ -28,7 +28,7 @@ def test_cli_list(capsys):
     out = capsys.readouterr().out
     for name in ("bc", "bc_aux", "bc_raw_segment", "vae_pooled", "vae_leave_one_out",
                  "test_eval", "split_folders", "collect_data", "closed_loop_eval",
-                 "dagger", "hpo", "bc_cil"):
+                 "dagger", "hpo", "bc_cil", "export_policy", "rl_finetune"):
         assert name in out
 
 

@@ -133,6 +133,36 @@ def audit(n_devices: int) -> dict:
     carry = init_fn(jax.random.PRNGKey(0), 2 * n_devices)
     txt = rollout_fn.lower(carry, 8).compile().as_text()
     out["rollout"] = collective_stats(txt)
+
+    # PPO update: env-stratified minibatches keep window/field gathers
+    # shard-local, so like the BC step it must show exactly the O(params)
+    # gradient all-reduce traffic and nothing batch-shaped (training/rl.py)
+    import optax
+
+    from carla_imitation_learning_tpu.parallel.mesh import batch_sharding
+    from carla_imitation_learning_tpu.training.rl import (
+        ActorCriticCNN, PPOConfig, make_actor, make_ppo_update,
+    )
+
+    ac = ActorCriticCNN(dtype=jnp.float32)
+    ac_params = ac.init(jax.random.PRNGKey(1), ac.example_input(1, 32, 32))[
+        "params"]
+    ptx = optax.adam(3e-4)
+    pcfg = PPOConfig(update_epochs=1, num_minibatches=2)
+    actor = make_actor(ac)
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, actor, mesh=mesh,
+                                       policy_rng=jax.random.PRNGKey(2))
+    carry = init_fn(jax.random.PRNGKey(3), 2 * n_devices)
+    carry, traj = rollout_fn(carry, 4, policy_params=ac_params)
+    update = make_ppo_update(ac, ptx, pcfg)
+    last_value = jnp.zeros((2 * n_devices,), jnp.float32)
+    last_value = jax.device_put(last_value, batch_sharding(mesh))
+    fn = update.__wrapped__ if hasattr(update, "__wrapped__") else update
+    txt = jax.jit(fn).lower(ac_params, ptx.init(ac_params), traj, last_value,
+                            jax.random.PRNGKey(4)).compile().as_text()
+    out["ppo_update"] = collective_stats(txt)
+    out["ppo_param_bytes"] = int(sum(
+        x.size * 4 for x in jax.tree_util.tree_leaves(ac_params)))
     return out
 
 

@@ -536,11 +536,25 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
 
 
 @experiment("closed_loop_eval")
-def closed_loop_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
+def closed_loop_eval(cfg, checkpoint: str | None = None,
+                     artifact: str | None = None, n_envs: int = 64,
                      n_steps: int = 200, **kw):
-    """BASELINE config #4: policy-in-the-loop driving metrics."""
+    """BASELINE config #4: policy-in-the-loop driving metrics.
+
+    ``artifact=`` evaluates a DEPLOYED servable (serving/export.py StableHLO
+    directory, possibly int8) instead of a checkpoint — the exported program
+    composes under jit, so the exact artifact you ship drives the rollout."""
     town, params, rcfg = _sim_bits(cfg)
-    policy_fn, rng, _, _ = _policy_bits(cfg, checkpoint, rcfg.height, rcfg.width)
+    if artifact:
+        from carla_imitation_learning_tpu.serving import (
+            load_policy, policy_fn_from_servable,
+        )
+
+        policy_fn = policy_fn_from_servable(load_policy(artifact))
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    else:
+        policy_fn, rng, _, _ = _policy_bits(cfg, checkpoint,
+                                            rcfg.height, rcfg.width)
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                  n_envs=n_envs, n_steps=n_steps, mesh=mesh)

@@ -12,6 +12,7 @@ from carla_imitation_learning_tpu.serving.export import (
     export_fn,
     export_policy,
     load_policy,
+    policy_fn_from_servable,
 )
 from carla_imitation_learning_tpu.serving.quant import (
     make_quantized_policy,
@@ -24,6 +25,7 @@ __all__ = [
     "export_fn",
     "export_policy",
     "load_policy",
+    "policy_fn_from_servable",
     "make_quantized_policy",
     "quantized_apply",
 ]

@@ -162,3 +162,22 @@ def load_policy(path: str | Path) -> LoadedPolicy:
             f"artifact format {meta.get('format_version')} != {FORMAT_VERSION}")
     exported = jax_export.deserialize((path / _BLOB).read_bytes())
     return LoadedPolicy(exported, meta)
+
+
+def policy_fn_from_servable(servable: LoadedPolicy):
+    """Adapt a loaded artifact to the closed-loop ``policy_fn`` contract so
+    the EXACT program you ship is the one you score (deserialized exports
+    compose under jit, so this runs inside the rollout scan).
+
+    The rollout hands the policy float obs in [0,1] derived from the uint8
+    framebuf (obs = framebuf/255); the artifact's input contract is the raw
+    uint8 window, so the round-trip ``round(obs·255)`` reconstructs the
+    framebuf exactly — no quantization drift between live and servable eval.
+    """
+    import jax.numpy as jnp
+
+    def policy_fn(obs):
+        frames_u8 = jnp.clip(jnp.round(obs * 255.0), 0, 255).astype(jnp.uint8)
+        return jnp.argmax(servable.call(frames_u8), axis=-1).astype(jnp.int32)
+
+    return policy_fn

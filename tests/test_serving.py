@@ -181,3 +181,31 @@ def test_engine_empty_request(trained):
     eng = InferenceEngine(live, max_batch=4)
     out = eng.infer(np.zeros((0, H, W, 4), np.uint8))
     assert out.shape == (0,) and out.dtype == np.int32
+
+
+def test_servable_drives_closed_loop(trained, artifact):
+    """Deployment-parity eval: the SHIPPED artifact drives the rollout scan
+    (exported programs compose under jit) and reproduces the live policy's
+    driving metrics exactly — same argmax logits, same uint8 round-trip."""
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.serving import policy_fn_from_servable
+    from carla_imitation_learning_tpu.sim import SimParams, make_town
+    from carla_imitation_learning_tpu.training import closed_loop as cl
+
+    model, params = trained
+    servable = load_policy(artifact)
+    town = make_town(blocks=2, n_buildings=4, n_lights=2)
+    sim = SimParams(n_agents=2)
+    rcfg = RenderConfig(H, W, max_triangles=256, backend="jax")
+    rng = jax.random.PRNGKey(5)
+
+    def live_policy(obs):
+        return jnp.argmax(model.apply({"params": params}, obs), axis=-1)
+
+    live = cl.evaluate_policy(sim, town, rcfg, live_policy, rng,
+                              n_envs=4, n_steps=10)
+    shipped = cl.evaluate_policy(sim, town, rcfg,
+                                 policy_fn_from_servable(servable), rng,
+                                 n_envs=4, n_steps=10)
+    for k in ("driving_score", "route_completion", "mean_speed", "km_driven"):
+        assert live[k] == pytest.approx(shipped[k], abs=1e-9), k

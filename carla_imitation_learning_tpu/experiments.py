@@ -584,21 +584,31 @@ SCENARIOS: dict[str, dict] = {
 
 
 @experiment("scenario_eval")
-def scenario_eval(cfg, checkpoint: str | None = None, n_envs: int = 64,
+def scenario_eval(cfg, checkpoint: str | None = None,
+                  artifact: str | None = None, n_envs: int = 64,
                   n_steps: int = 200, scenarios: str = "all", **kw):
     """Leaderboard-style scenario suite: ONE policy evaluated across named
     world/weather conditions (SCENARIOS), with the privileged expert's score
     under each condition as its ceiling. No reference equivalent — the
     reference never closes the loop at all; this mirrors how the CARLA
-    leaderboard aggregates driving scores over route/weather suites."""
+    leaderboard aggregates driving scores over route/weather suites.
+    ``artifact=`` scores a deployed servable (see closed_loop_eval)."""
     names = (list(SCENARIOS) if scenarios in ("all", "", None)
              else [s.strip() for s in str(scenarios).split(",")])
     unknown = [n for n in names if n not in SCENARIOS]
     if unknown:
         raise ValueError(f"unknown scenarios {unknown}; have {list(SCENARIOS)}")
-    policy_fn, rng, _, _ = _policy_bits(
-        cfg, checkpoint, int(cfg.get_dotted("render.height", 128)),
-        int(cfg.get_dotted("render.width", 128)))
+    if artifact:
+        from carla_imitation_learning_tpu.serving import (
+            load_policy, policy_fn_from_servable,
+        )
+
+        policy_fn = policy_fn_from_servable(load_policy(artifact))
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    else:
+        policy_fn, rng, _, _ = _policy_bits(
+            cfg, checkpoint, int(cfg.get_dotted("render.height", 128)),
+            int(cfg.get_dotted("render.width", 128)))
     out, summary = {}, {}
     for name in names:
         scfg = cfg.copy()

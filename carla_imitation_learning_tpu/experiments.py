@@ -1349,3 +1349,61 @@ def rl_finetune(cfg, checkpoint: str | None = None, n_envs: int = 256,
             "actor_checkpoint": str(out),
             "score_delta": float(after["driving_score"]
                                  - before["driving_score"])}
+
+
+@experiment("bc_rnn")
+def bc_rnn(cfg, n_envs: int = 32, n_steps: int = 300, seq_len: int = 8,
+           eval_envs: int = 64, eval_steps: int = 200, **kw):
+    """Recurrent behavior cloning (beyond-reference model family): a
+    ConvTrunk→GRU policy (models/rnn_policy.py) BPTT-trained on
+    episode-boundary-safe sequences (SequenceDataset — the world model's
+    loader), then evaluated closed-loop with its hidden state threaded
+    through the rollout's policy-carry slot (auto-reset on respawn).
+    Where PolicyCNN approximates temporal context with the 4-frame stack,
+    this carries explicit memory — the architecture CIL successors use for
+    out-of-frame state (a light that scrolled past, a committed maneuver)."""
+    from carla_imitation_learning_tpu.models import RecurrentPolicy
+    from carla_imitation_learning_tpu.training.losses import rnn_bc_loss_fn
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    store, _, _ = cl.collect_dataset(params, town, rcfg, rng, n_envs, n_steps,
+                                     noise=_noise_bits(cfg))
+    n = len(store)
+    splits = {"train": store.slice(0, int(0.8 * n)),
+              "val": store.slice(int(0.8 * n), int(0.9 * n)),
+              "test": store.slice(int(0.9 * n), n)}
+    mesh, sharding = _mesh_bits(cfg)
+    loaders = {f"{k}_dataloader": pipe.SequenceDataset(
+        v, int(cfg.get("BATCH_SIZE", 64)), seq_len=seq_len,
+        episode_len=n_steps if k == "train" else None,
+        shuffle=(k == "train"),
+        sharding=(sharding if k == "train" else None))
+        for k, v in splits.items()}
+
+    model = RecurrentPolicy(obs_size=1, hidden=int(cfg.get("rnn_hidden", 128)),
+                            n_actions=int(cfg.get("n_actions", 9)),
+                            dtype=_dtype(cfg))
+    example = model.example_input(1, rcfg.height, rcfg.width, seq_len)
+    result = _fit(cfg, "bc_rnn", model, example, rnn_bc_loss_fn, loaders,
+                  mesh=mesh)
+    state = result.pop("state")
+
+    # closed-loop eval: hidden state rides the rollout's policy-carry slot.
+    # the recurrent policy sees SINGLE frames (obs_size=1): take the newest
+    # frame of the window the rollout hands every policy
+    def policy_fn(obs, h):
+        frame = obs[..., -1:]
+        h, logits = model.apply({"params": state.params}, h, frame,
+                                method=RecurrentPolicy.step)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), h
+
+    carry_init = (lambda b: model.initial_state(b))
+    eval_mesh, _ = _mesh_bits(cfg, batch_size=eval_envs)
+    metrics = cl.evaluate_policy(
+        params, town, rcfg, policy_fn, jax.random.PRNGKey(
+            int(cfg.get("seed", 0)) + 7),
+        n_envs=eval_envs, n_steps=eval_steps, mesh=eval_mesh,
+        policy_carry_init=carry_init)
+    result["closed_loop"] = metrics
+    return result

@@ -13,6 +13,7 @@ from carla_imitation_learning_tpu.models.vae import ConvVAE  # noqa: F401
 from carla_imitation_learning_tpu.models.aux import AuxNet  # noqa: F401
 from carla_imitation_learning_tpu.models.cil import BranchedCILPolicy  # noqa: F401
 from carla_imitation_learning_tpu.models.world_model import LatentWorldModel  # noqa: F401
+from carla_imitation_learning_tpu.models.rnn_policy import RecurrentPolicy  # noqa: F401
 
 MODEL_REGISTRY = {
     "policy_cnn": PolicyCNN,
@@ -21,4 +22,5 @@ MODEL_REGISTRY = {
     "aux_net": AuxNet,
     "branched_cil": BranchedCILPolicy,
     "latent_world_model": LatentWorldModel,
+    "recurrent_policy": RecurrentPolicy,
 }

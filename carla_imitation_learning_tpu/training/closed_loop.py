@@ -113,6 +113,7 @@ def make_rollout(
     lidar_beams: int = 0,
     noise: NoiseConfig | None = None,
     policy_rng: jnp.ndarray | None = None,
+    policy_carry_init: Callable | None = None,
 ):
     """Build (init_fn, rollout_fn).
 
@@ -138,6 +139,12 @@ def make_rollout(
     scan. Keys are folded with the fleet's env keys so every rollout from a
     distinct init draws a distinct stream. Extras-taking policies that
     ignore the key are unaffected.
+
+    ``policy_carry_init`` (``n_envs -> pytree``) enables RECURRENT policies
+    (models/rnn_policy.py): the carry gains a 4th element (the policy's
+    hidden state), ``policy_fn`` is called as ``(obs, pcarry) ->
+    (action, new_pcarry)``, and the hidden state is reset to the init value
+    on env auto-resets — the recurrent analogue of the framebuf refill.
     """
     import dataclasses as _dc
 
@@ -196,8 +203,9 @@ def make_rollout(
 
     _n_policy_args = (0 if policy_fn is None
                       else len(inspect.signature(policy_fn).parameters))
-    _policy_wants_extras = _n_policy_args >= 2
-    _policy_wants_params = _n_policy_args >= 3
+    _recurrent = policy_carry_init is not None
+    _policy_wants_extras = _n_policy_args >= 2 and not _recurrent
+    _policy_wants_params = _n_policy_args >= 3 and not _recurrent
 
     def _quantize(gray: jnp.ndarray) -> jnp.ndarray:
         return jnp.clip(gray * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
@@ -212,7 +220,10 @@ def make_rollout(
         # carry (collect_dataset stores uint8 — train/rollout consistency)
         gray0 = _quantize(render_batch(states)["gray"])
         framebuf = jnp.repeat(gray0[..., None], frame_skip, axis=-1)
-        return states, framebuf, jnp.zeros((n_envs,), bool)
+        base = (states, framebuf, jnp.zeros((n_envs,), bool))
+        if _recurrent:
+            return base + (policy_carry_init(n_envs),)
+        return base
 
     def init_fn(rng, n_envs: int):
         carry = _init(rng, n_envs)
@@ -229,7 +240,18 @@ def make_rollout(
         xs = xs or {}
         steer_noise = xs.get("noise")
         step_key = xs.get("rng")
-        states, framebuf, just_reset = carry
+        if _recurrent:
+            states, framebuf, just_reset, pcarry = carry
+            # hidden-state reset on env auto-reset — the recurrent analogue
+            # of the framebuf refill (fresh episodes start from the init
+            # carry, never a dead car's memory)
+            pcarry0 = policy_carry_init(just_reset.shape[0])
+            pcarry = jax.tree_util.tree_map(
+                lambda h, h0: jnp.where(
+                    just_reset.reshape((-1,) + (1,) * (h.ndim - 1)), h0, h),
+                pcarry, pcarry0)
+        else:
+            states, framebuf, just_reset = carry
         gray_u8 = _quantize(render_batch(states)["gray"])  # (B,H,W) uint8
         framebuf = update_framebuf(framebuf, gray_u8, just_reset)
         # NHWC float obs in [0,1]; the /255 fuses into the policy's first conv
@@ -243,6 +265,10 @@ def make_rollout(
             from carla_imitation_learning_tpu.data.actions import continuous_to_discrete
             action = continuous_to_discrete(
                 expert.steer, expert.throttle, expert.brake).astype(jnp.int32)
+        elif _recurrent:
+            action, pcarry = policy_fn(obs, pcarry)
+            action = action.astype(jnp.int32)
+            control = control_from_discrete(action)
         else:
             if _policy_wants_extras:
                 extras = {"speed": states.ego_v, "command": command_batch(states),
@@ -306,7 +332,10 @@ def make_rollout(
             out["policy_extra"] = policy_extra
         if clean_steer is not None:
             out["clean_steer"] = clean_steer
-        return (new_states, framebuf, info["done"]), out
+        new_carry = (new_states, framebuf, info["done"])
+        if _recurrent:
+            new_carry = new_carry + (pcarry,)
+        return new_carry, out
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def rollout_fn(carry, n_steps: int, policy_params=None):
@@ -339,7 +368,7 @@ def make_rollout(
 def evaluate_policy(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 200,
-    frame_skip: int = 4, mesh=None,
+    frame_skip: int = 4, mesh=None, policy_carry_init: Callable | None = None,
 ) -> dict:
     """Driving metrics for a policy (or the expert when policy_fn is None).
 
@@ -365,7 +394,8 @@ def evaluate_policy(
     completion.
     """
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
-                                       mesh=mesh)
+                                       mesh=mesh,
+                                       policy_carry_init=policy_carry_init)
     carry = init_fn(rng, n_envs)
     _, traj = rollout_fn(carry, n_steps)
     steps = n_envs * n_steps

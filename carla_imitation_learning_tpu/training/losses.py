@@ -144,3 +144,15 @@ def cil_loss_fn(speed_weight: float = 0.1):
         }
 
     return loss_fn
+
+
+def rnn_bc_loss_fn(params, apply_fn, batch, rng=None):
+    """Sequence BC for RecurrentPolicy: mean CE over every step of every
+    sequence (labels are the expert actions AT each frame; sequences are
+    episode-boundary-safe by SequenceDataset construction)."""
+    frames_seq, actions_seq = batch
+    logits, _ = apply_fn({"params": params}, frames_seq)  # (B, T, A)
+    loss = cross_entropy(logits.reshape((-1,) + logits.shape[2:]),
+                         actions_seq.reshape(-1))
+    acc = accuracy(logits, actions_seq)
+    return loss, {"loss": loss, "accuracy": acc}

@@ -84,3 +84,35 @@ def test_cli_bc_rnn(tmp_path, capsys):
     result = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert result["history"][-1]["train_loss"] > 0
     assert "driving_score" in result["closed_loop"]
+
+
+def test_recurrent_policy_exports(tmp_path):
+    """The stateful step() exports as a (h, obs) -> (h', logits) servable —
+    deployment carries the hidden state client-side between requests."""
+    from carla_imitation_learning_tpu.serving import export_fn, load_policy
+
+    model = RecurrentPolicy(obs_size=1, hidden=16, dtype=jnp.float32)
+    seq = jnp.zeros((1, 2, H, W, 1))
+    params = model.init(jax.random.PRNGKey(0), seq)["params"]
+
+    def step(h, frame_u8):
+        obs = frame_u8.astype(jnp.float32) / 255.0
+        return model.apply({"params": params}, h, obs,
+                           method=RecurrentPolicy.step)
+
+    specs = [
+        jax.ShapeDtypeStruct(("b", 16), jnp.float32),
+        jax.ShapeDtypeStruct(("b", H, W, 1), jnp.uint8),
+    ]
+    art = export_fn(step, specs, tmp_path / "rnn", meta={"kind": "rnn_step"})
+    servable = load_policy(art)
+    rng = np.random.default_rng(0)
+    h = np.zeros((3, 16), np.float32)
+    for _ in range(3):  # thread state through consecutive requests
+        frame = rng.integers(0, 256, (3, H, W, 1), dtype=np.uint8)
+        want_h, want_logits = step(jnp.asarray(h), jnp.asarray(frame))
+        got_h, got_logits = servable.call(h, frame)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(want_logits), rtol=1e-5,
+                                   atol=1e-5)
+        h = np.asarray(got_h)

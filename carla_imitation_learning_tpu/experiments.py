@@ -535,6 +535,24 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     return policy_fn, rng, model, mparams
 
 
+def _eval_policy_fn(cfg, checkpoint: str | None, artifact: str | None,
+                    height: int, width: int):
+    """policy_fn + rng for the eval experiments: a deployed StableHLO
+    servable when ``artifact`` is given, else a (checkpoint-restored) live
+    model via _policy_bits. One place so closed_loop_eval and scenario_eval
+    score the exact same thing."""
+    if artifact:
+        from carla_imitation_learning_tpu.serving import (
+            load_policy, policy_fn_from_servable,
+        )
+
+        policy_fn = policy_fn_from_servable(load_policy(artifact))
+        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+        return policy_fn, rng
+    policy_fn, rng, _, _ = _policy_bits(cfg, checkpoint, height, width)
+    return policy_fn, rng
+
+
 @experiment("closed_loop_eval")
 def closed_loop_eval(cfg, checkpoint: str | None = None,
                      artifact: str | None = None, n_envs: int = 64,
@@ -545,16 +563,8 @@ def closed_loop_eval(cfg, checkpoint: str | None = None,
     directory, possibly int8) instead of a checkpoint — the exported program
     composes under jit, so the exact artifact you ship drives the rollout."""
     town, params, rcfg = _sim_bits(cfg)
-    if artifact:
-        from carla_imitation_learning_tpu.serving import (
-            load_policy, policy_fn_from_servable,
-        )
-
-        policy_fn = policy_fn_from_servable(load_policy(artifact))
-        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    else:
-        policy_fn, rng, _, _ = _policy_bits(cfg, checkpoint,
-                                            rcfg.height, rcfg.width)
+    policy_fn, rng = _eval_policy_fn(cfg, checkpoint, artifact,
+                                     rcfg.height, rcfg.width)
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                  n_envs=n_envs, n_steps=n_steps, mesh=mesh)
@@ -598,17 +608,10 @@ def scenario_eval(cfg, checkpoint: str | None = None,
     unknown = [n for n in names if n not in SCENARIOS]
     if unknown:
         raise ValueError(f"unknown scenarios {unknown}; have {list(SCENARIOS)}")
-    if artifact:
-        from carla_imitation_learning_tpu.serving import (
-            load_policy, policy_fn_from_servable,
-        )
-
-        policy_fn = policy_fn_from_servable(load_policy(artifact))
-        rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    else:
-        policy_fn, rng, _, _ = _policy_bits(
-            cfg, checkpoint, int(cfg.get_dotted("render.height", 128)),
-            int(cfg.get_dotted("render.width", 128)))
+    policy_fn, rng = _eval_policy_fn(
+        cfg, checkpoint, artifact,
+        int(cfg.get_dotted("render.height", 128)),
+        int(cfg.get_dotted("render.width", 128)))
     out, summary = {}, {}
     for name in names:
         scfg = cfg.copy()
@@ -1233,10 +1236,11 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
     # the model build + checkpoint restore live in _policy_bits (one contract
     # for eval AND export, incl. frame_skip/n_actions/s2d_stem)
     _, _, model, params = _policy_bits(cfg, checkpoint, height, width)
+    frame_skip = int(cfg.get("frame_skip", 4))
 
     out = Path(artifact_dir or (Path(cfg["log_dir"]) / "policy_artifact"))
     export_policy(model, params, out, height=height, width=width,
-                  obs_size=int(cfg.get("frame_skip", 4)),
+                  obs_size=frame_skip,
                   quantize=(str(cfg.get("quantize")) if cfg.get("quantize")
                             else None),
                   extra_meta={"n_actions": int(cfg.get("n_actions", 9)),
@@ -1247,15 +1251,14 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
     rng_np = np.random.default_rng(0)
     max_err = 0.0
     for b in verify_batches:
-        x = rng_np.integers(0, 256, (int(b), height, width,
-                                     int(cfg.get("frame_skip", 4))), dtype=np.uint8)
+        x = rng_np.integers(0, 256, (int(b), height, width, frame_skip),
+                            dtype=np.uint8)
         live = np.asarray(model.apply({"params": params},
                                       x.astype(np.float32) / 255.0), np.float32)
         max_err = max(max_err, float(np.abs(np.asarray(servable.call(x),
                                                        np.float32) - live).max()))
-    eng.warmup(height, width, int(cfg.get("frame_skip", 4)))
-    eng.infer(rng_np.integers(0, 256, (3, height, width,
-                                       int(cfg.get("frame_skip", 4))),
+    eng.warmup(height, width, frame_skip)
+    eng.infer(rng_np.integers(0, 256, (3, height, width, frame_skip),
                               dtype=np.uint8))
     blob = (out / "policy.stablehlo").stat().st_size
     return {"artifact": str(out), "blob_bytes": int(blob),

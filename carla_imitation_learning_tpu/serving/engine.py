@@ -16,6 +16,7 @@ this is the deployment tier the brief's "production serving" calls for.
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Callable, Sequence
 
 import jax
@@ -54,8 +55,6 @@ class InferenceEngine:
         buckets: Sequence[int] | None = None,
         stats_window: int = 4096,
     ):
-        from collections import deque
-
         self._fn = policy_fn
         self.buckets = tuple(sorted(set(buckets or _default_buckets(max_batch))))
         if not self.buckets or self.buckets[0] < 1:

@@ -32,6 +32,17 @@ def main(argv=None) -> int:
     bench_p = sub.add_parser("bench", help="run the headline benchmark")
     bench_p.add_argument("--envs", type=int, default=1024)
 
+    serve_p = sub.add_parser(
+        "serve", help="serve an exported policy artifact over HTTP")
+    serve_p.add_argument("artifact", help="artifact dir (see export_policy)")
+    serve_p.add_argument("--host", default="127.0.0.1")
+    serve_p.add_argument("--port", type=int, default=8471)
+    serve_p.add_argument("--max-batch", type=int, default=64)
+    serve_p.add_argument("--window-ms", type=float, default=2.0,
+                         help="micro-batch coalescing window")
+    serve_p.add_argument("--verbose", action="store_true",
+                         help="log every request")
+
     args = parser.parse_args(argv)
 
     if args.command == "list":
@@ -40,6 +51,25 @@ def main(argv=None) -> int:
         for name, fn in sorted(EXPERIMENTS.items()):
             doc = (fn.__doc__ or "").strip().splitlines()[0]
             print(f"{name:<20} {doc}")
+        return 0
+
+    if args.command == "serve":
+        from carla_imitation_learning_tpu.serving import PolicyServer
+        from carla_imitation_learning_tpu.utils import ColorPrint
+
+        server = PolicyServer(args.artifact, host=args.host, port=args.port,
+                              max_batch=args.max_batch,
+                              window_ms=args.window_ms,
+                              quiet=not args.verbose)
+        server.start()
+        try:
+            server.warmup()  # pre-compile every bucket before first request
+        except RuntimeError:
+            pass  # artifact without static input shape: compile on demand
+        ColorPrint.print_run(
+            f"serving {args.artifact} at {server.url} "
+            f"(buckets {list(server.engine.buckets)})")
+        server.serve_forever()
         return 0
 
     if args.command == "bench":

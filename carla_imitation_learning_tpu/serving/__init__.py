@@ -18,10 +18,12 @@ from carla_imitation_learning_tpu.serving.quant import (
     make_quantized_policy,
     quantized_apply,
 )
+from carla_imitation_learning_tpu.serving.server import PolicyServer
 
 __all__ = [
     "InferenceEngine",
     "LoadedPolicy",
+    "PolicyServer",
     "export_fn",
     "export_policy",
     "load_policy",

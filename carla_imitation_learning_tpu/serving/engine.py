@@ -54,11 +54,30 @@ class InferenceEngine:
         max_batch: int = 256,
         buckets: Sequence[int] | None = None,
         stats_window: int = 4096,
+        mesh=None,
     ):
         self._fn = policy_fn
         self.buckets = tuple(sorted(set(buckets or _default_buckets(max_batch))))
         if not self.buckets or self.buckets[0] < 1:
             raise ValueError(f"bad bucket ladder {self.buckets}")
+        if mesh is not None:
+            # Data-parallel serving: each padded bucket shards over the mesh's
+            # leading axis, so throughput scales with chips and the only
+            # cross-chip traffic is the batch scatter/gather riding ICI (the
+            # policy itself is replicated — it's a few hundred KB).
+            # Deserialized exports compose under jit, so this wraps live
+            # applies and LoadedPolicy artifacts alike.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n = mesh.size
+            # every bucket must split evenly: round the ladder up to
+            # multiples of the mesh size (shape-stable set stays small)
+            self.buckets = tuple(sorted({max(n, -(-b // n) * n)
+                                         for b in self.buckets}))
+            data = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            self._fn = jax.jit(policy_fn, in_shardings=data,
+                               out_shardings=data)
+        self.mesh = mesh
         # bounded windows: a long-running server must not grow stats forever
         self._latencies_ms: "deque[float]" = deque(maxlen=stats_window)
         self._padded_frac: "deque[float]" = deque(maxlen=stats_window)

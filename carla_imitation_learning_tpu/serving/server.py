@@ -186,12 +186,12 @@ class PolicyServer:
 
     def __init__(self, policy, *, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 64, buckets=None, window_ms: float = 2.0,
-                 quiet: bool = True):
+                 quiet: bool = True, mesh=None):
         if isinstance(policy, (str, Path)):
             policy = load_policy(policy)
         self.meta = dict(policy.meta) if isinstance(policy, LoadedPolicy) else {}
         self.engine = InferenceEngine(policy, max_batch=max_batch,
-                                      buckets=buckets)
+                                      buckets=buckets, mesh=mesh)
         self._batcher = _MicroBatcher(self.engine, window_ms=window_ms)
         self._host, self._requested_port = host, port
         self._quiet = quiet

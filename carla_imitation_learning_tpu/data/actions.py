@@ -58,6 +58,27 @@ def continuous_to_discrete(steer, throttle, brake, threshold: float = STEER_THRE
     return a * 3 + s
 
 
+def control_to_discrete_label(steer, throttle, brake,
+                              threshold: float = STEER_THRESHOLD):
+    """Robust 9-class label for CONTINUOUS controls (int32).
+
+    ``continuous_to_discrete`` replicates the reference table exactly,
+    including its brake-seeded fallback for (throttle, brake) pairs outside
+    the autopilot's {full, half, brake} triple — correct for the expert's
+    discrete-ish controls, ill-defined for a continuous policy's arbitrary
+    values. This variant covers the whole control square: steer classes use
+    the same ±threshold; accel class is 0 when braking dominates
+    (brake > throttle), 2 at high throttle (> 0.75), else 1. On the
+    reference table's exact pairs the two maps agree.
+    Used by the closed loop to log ``traj["action"]`` for
+    ``control_space="continuous"`` policies.
+    """
+    xp = jnp if isinstance(steer, jnp.ndarray) else np
+    s = steer_to_class(steer, threshold)
+    a = xp.where(brake > throttle, 0, xp.where(throttle > 0.75, 2, 1))
+    return (a * 3 + s).astype(xp.int32)
+
+
 def discrete_to_continuous(action):
     """Inverse map: class index → (steer, throttle, brake) continuous controls.
 

@@ -223,6 +223,9 @@ class DeviceDataset:
     Yields ``(x, y)`` with x:(B,H,W,frame_skip) and y:(B,) int32, or with
     ``aux=True`` yields ``((x, sensor), (traffic, action))`` matching the
     reference's SequentialAuxTorchDataset contract (imitation_dataset.py:139-194).
+    With ``continuous_labels`` (an (n_frames, d) float array), y is the
+    labeled frame's float row instead — regression targets for the
+    continuous-control tier.
     """
 
     def __init__(
@@ -240,6 +243,7 @@ class DeviceDataset:
         cil: bool = False,
         sample_mask: np.ndarray | None = None,
         balanced: bool = False,
+        continuous_labels: np.ndarray | None = None,
     ):
         self.store = store
         self.batch_size = batch_size
@@ -312,6 +316,21 @@ class DeviceDataset:
         commands = (store.commands if store.commands is not None
                     else np.zeros(len(store), np.int32))
         self.commands = device_put(commands.astype(np.int32))
+        # Continuous regression targets (e.g. (steer, accel) for
+        # ContinuousPolicyCNN): per-FRAME float rows aligned with the store;
+        # when given, y is the labeled frame's row instead of the discrete
+        # action id. Window/boundary semantics are identical.
+        self._cont = None
+        if continuous_labels is not None:
+            if aux or cil:
+                raise ValueError(
+                    "continuous_labels is exclusive with aux/cil batches")
+            cont = np.asarray(continuous_labels, np.float32)
+            if cont.ndim != 2 or cont.shape[0] != len(store):
+                raise ValueError(
+                    f"continuous_labels must be (n_frames, d); got "
+                    f"{cont.shape} for a {len(store)}-frame store")
+            self._cont = device_put(cont)
         self._idx_sharding = sharding
 
     def __len__(self) -> int:
@@ -336,6 +355,8 @@ class DeviceDataset:
         if self._valid_starts is not None:
             idx = self._valid_starts[idx]
         x = gather_windows(self.frames, idx, self.frame_skip, self.dtype)
+        if self._cont is not None:
+            return x, self._cont[idx + self.label_offset]
         y = self.actions[idx + self.label_offset]
         if self.cil:
             speed = self.sensors[idx + self.label_offset, 2]

@@ -793,6 +793,65 @@ def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
     return result
 
 
+@experiment("bc_continuous")
+def bc_continuous(cfg, n_envs: int = 32, n_steps: int = 300,
+                  eval_envs: int = 64, eval_steps: int = 200, **kw):
+    """Continuous-control behavior cloning (beyond-reference tier): regress
+    the expert's raw (steer, accel) instead of the 9-class discretization,
+    then drive the closed loop with ``control_space="continuous"``.
+
+    Labels come from the state log's continuous columns (the same state.csv
+    contract the reference discretizes, imitation_dataset.py:317-339):
+    steer as-is, accel = throttle − brake ∈ [-1, 1] — exactly what the
+    rollout's continuous control convention executes. With noise injection
+    the state log carries the CLEAN pre-noise steer, so supervision stays
+    clean here too."""
+    from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
+    from carla_imitation_learning_tpu.training import continuous_bc_loss_fn
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    store, state_log, _ = cl.collect_dataset(
+        params, town, rcfg, rng, n_envs, n_steps,
+        frame_skip=int(cfg.get("frame_skip", 4)), noise=_noise_bits(cfg))
+    labels = np.stack(
+        [np.asarray(state_log.steer, np.float32),
+         np.asarray(state_log.throttle, np.float32)
+         - np.asarray(state_log.brake, np.float32)], axis=1)
+    n = len(store)
+    bounds = {"train": (0, int(0.8 * n)), "val": (int(0.8 * n), int(0.9 * n)),
+              "test": (int(0.9 * n), n)}
+    mesh, sharding = _mesh_bits(cfg)
+    loaders = {f"{k}_dataloader": pipe.DeviceDataset(
+        store.slice(a, b), int(cfg.get("BATCH_SIZE", 64)),
+        frame_skip=int(cfg.get("frame_skip", 4)),
+        shuffle=(k == "train"), drop_last=(k == "train"),
+        sharding=(sharding if k == "train" else None),
+        continuous_labels=labels[a:b])
+        for k, (a, b) in bounds.items()}
+    model = ContinuousPolicyCNN(dtype=_dtype(cfg))
+    loss = continuous_bc_loss_fn(float(cfg.get("steer_weight", 1.0)),
+                                 float(cfg.get("accel_weight", 0.5)))
+    result = _fit(cfg, "bc_continuous", model,
+                  model.example_input(1, rcfg.height, rcfg.width),
+                  loss, loaders, mesh=mesh)
+
+    p = result["state"].params
+
+    def policy_fn(obs):
+        return model.apply({"params": p}, obs)  # (B, 2) tanh'd controls
+
+    rng, ek = jax.random.split(rng)
+    result["eval"] = cl.evaluate_policy(
+        params, town, rcfg, policy_fn, ek, n_envs=eval_envs,
+        n_steps=eval_steps, control_space="continuous")
+    result["label_stats"] = {
+        "steer_std": float(labels[:, 0].std()),
+        "accel_mean": float(labels[:, 1].mean()),
+    }
+    return result
+
+
 @experiment("hpo")
 def hpo(cfg, num_samples: int = 4, max_concurrent: int = 4, **kw):
     """Working replacement for the reference's broken Ray Tune path

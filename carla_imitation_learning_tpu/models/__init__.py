@@ -7,7 +7,7 @@ and a command-conditioned CIL-style branched policy (BASELINE.json config #2).
 """
 
 from carla_imitation_learning_tpu.models.cnn import (  # noqa: F401
-    DualStreamCNN, PolicyCNN, convert_params_to_s2d,
+    ContinuousPolicyCNN, DualStreamCNN, PolicyCNN, convert_params_to_s2d,
 )
 from carla_imitation_learning_tpu.models.vae import ConvVAE  # noqa: F401
 from carla_imitation_learning_tpu.models.aux import AuxNet  # noqa: F401
@@ -23,4 +23,5 @@ MODEL_REGISTRY = {
     "branched_cil": BranchedCILPolicy,
     "latent_world_model": LatentWorldModel,
     "recurrent_policy": RecurrentPolicy,
+    "continuous_policy_cnn": ContinuousPolicyCNN,
 }

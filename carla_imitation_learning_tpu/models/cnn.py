@@ -140,6 +140,31 @@ class PolicyCNN(nn.Module):
         return jnp.zeros((batch, height, width, self.obs_size), jnp.float32)
 
 
+class ContinuousPolicyCNN(nn.Module):
+    """Continuous-control driving policy: (steer, accel) ∈ [-1, 1]².
+
+    Beyond-reference tier: the reference discretizes the autopilot's controls
+    into 9 classes (imitation_dataset.py:317-339) and its policy is a
+    classifier; the CARLA CIL line of work regresses the continuous controls
+    directly. Same ConvTrunk as PolicyCNN, tanh head — column 0 is the wheel
+    command, column 1 is signed acceleration (>0 → throttle, <0 → brake),
+    matching the closed loop's ``control_space="continuous"`` convention
+    (training/closed_loop.py).
+    """
+
+    obs_size: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+    s2d_stem: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feat = ConvTrunk(dtype=self.dtype, s2d_stem=self.s2d_stem)(x)
+        return jnp.tanh(MLPHead((64, 32, 2), dtype=self.dtype)(feat))
+
+    def example_input(self, batch: int = 1, height: int = 256, width: int = 256):
+        return jnp.zeros((batch, height, width, self.obs_size), jnp.float32)
+
+
 class DualStreamCNN(nn.Module):
     """Shared-trunk two-stream policy over raw + segmented frame stacks.
 

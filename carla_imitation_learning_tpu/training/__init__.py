@@ -14,6 +14,7 @@ from carla_imitation_learning_tpu.training.losses import (  # noqa: F401
     cil_loss_fn,
     dual_stream_loss_fn,
     rnn_bc_loss_fn,
+    continuous_bc_loss_fn,
 )
 from carla_imitation_learning_tpu.training.steps import (  # noqa: F401
     TrainState,

@@ -114,11 +114,22 @@ def make_rollout(
     noise: NoiseConfig | None = None,
     policy_rng: jnp.ndarray | None = None,
     policy_carry_init: Callable | None = None,
+    control_space: str = "discrete",
 ):
     """Build (init_fn, rollout_fn).
 
     policy_fn(obs_nhwc (B,H,W,fs)) -> (B,) int32 discrete actions; None means
     drive with the autopilot expert.
+
+    ``control_space="continuous"`` switches the policy contract to
+    (B, 2) float controls — column 0 steer ∈ [-1, 1], column 1 signed
+    acceleration (>0 → throttle, <0 → brake), clipped to the unit square
+    before execution (models.ContinuousPolicyCNN emits exactly this).
+    ``traj["action"]`` then logs ``control_to_discrete_label`` of the
+    EXECUTED control so every downstream consumer (agreement metrics,
+    DAgger aggregation, histograms) keeps its (T, B) int32 contract; the
+    exact floats ride the existing steer/throttle/brake fields. The expert
+    path and recurrent policies stay discrete.
 
     rollout_fn(carry, n_steps) -> (carry, traj) where traj stacks per-step:
     gray frames (T,B,H,W), actions (T,B), sensors (T,B,3), traffic (T,B),
@@ -206,6 +217,13 @@ def make_rollout(
     _recurrent = policy_carry_init is not None
     _policy_wants_extras = _n_policy_args >= 2 and not _recurrent
     _policy_wants_params = _n_policy_args >= 3 and not _recurrent
+    if control_space not in ("discrete", "continuous"):
+        raise ValueError(f"unknown control_space {control_space!r}")
+    _continuous = control_space == "continuous"
+    if _continuous and _recurrent:
+        raise NotImplementedError(
+            "continuous control_space with a recurrent policy is not wired "
+            "up yet — recurrent policies emit discrete actions")
 
     def _quantize(gray: jnp.ndarray) -> jnp.ndarray:
         return jnp.clip(gray * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
@@ -286,8 +304,23 @@ def make_rollout(
             # into the trajectory as 'policy_extra'
             if isinstance(res, tuple):
                 res, policy_extra = res
-            action = res.astype(jnp.int32)
-            control = control_from_discrete(action)
+            if _continuous:
+                from carla_imitation_learning_tpu.data.actions import (
+                    control_to_discrete_label,
+                )
+                from carla_imitation_learning_tpu.sim.world import VehicleControl
+
+                ctrl = jnp.clip(res.astype(jnp.float32), -1.0, 1.0)  # (B, 2)
+                steer_c, accel_c = ctrl[:, 0], ctrl[:, 1]
+                control = VehicleControl(
+                    steer=steer_c,
+                    throttle=jnp.maximum(accel_c, 0.0),
+                    brake=jnp.maximum(-accel_c, 0.0))
+                action = control_to_discrete_label(
+                    control.steer, control.throttle, control.brake)
+            else:
+                action = res.astype(jnp.int32)
+                control = control_from_discrete(action)
 
         from carla_imitation_learning_tpu.data.actions import continuous_to_discrete
         expert_action = continuous_to_discrete(
@@ -369,6 +402,7 @@ def evaluate_policy(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 200,
     frame_skip: int = 4, mesh=None, policy_carry_init: Callable | None = None,
+    control_space: str = "discrete",
 ) -> dict:
     """Driving metrics for a policy (or the expert when policy_fn is None).
 
@@ -395,7 +429,8 @@ def evaluate_policy(
     """
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
                                        mesh=mesh,
-                                       policy_carry_init=policy_carry_init)
+                                       policy_carry_init=policy_carry_init,
+                                       control_space=control_space)
     carry = init_fn(rng, n_envs)
     _, traj = rollout_fn(carry, n_steps)
     steps = n_envs * n_steps

@@ -58,6 +58,30 @@ def bc_augmented_loss_fn(crop: bool = True, flip: bool = True, jitter: bool = Tr
     return loss_fn
 
 
+def continuous_bc_loss_fn(steer_weight: float = 1.0, accel_weight: float = 0.5):
+    """Regression BC for ContinuousPolicyCNN: weighted MSE on (steer, accel)
+    targets (CIL-style — steering dominates because it is the hard, rare
+    signal; acceleration is mostly cruise). Batch = (x, y) with y (B, 2)
+    float32 from DeviceDataset(continuous_labels=...)."""
+
+    def loss_fn(params, apply_fn, batch, rng=None):
+        x, y = batch
+        pred = apply_fn({"params": params}, x).astype(jnp.float32)  # (B, 2)
+        err2 = (pred - y) ** 2
+        steer_mse = err2[:, 0].mean()
+        accel_mse = err2[:, 1].mean()
+        loss = steer_weight * steer_mse + accel_weight * accel_mse
+        return loss, {
+            "loss": loss,
+            "steer_mse": steer_mse,
+            "accel_mse": accel_mse,
+            "steer_mae": jnp.abs(pred[:, 0] - y[:, 0]).mean(),
+            "accel_mae": jnp.abs(pred[:, 1] - y[:, 1]).mean(),
+        }
+
+    return loss_fn
+
+
 def dual_stream_loss_fn(params, apply_fn, batch, rng=None):
     """(x_raw, x_seg, y) batch for DualStreamCNN (reference train.py:205-239)."""
     x, x_seg, y = batch

@@ -1,0 +1,166 @@
+"""Continuous-control tier (beyond-reference): ContinuousPolicyCNN, the
+control_space="continuous" rollout contract, continuous DeviceDataset labels,
+and the bc_continuous experiment end-to-end (tiny shapes, CPU)."""
+
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from carla_imitation_learning_tpu.data import pipeline as pipe
+from carla_imitation_learning_tpu.data.actions import (
+    continuous_to_discrete, control_to_discrete_label,
+)
+from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
+from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+from carla_imitation_learning_tpu.sim import SimParams, make_town
+from carla_imitation_learning_tpu.training.closed_loop import (
+    collect_dataset, evaluate_policy, make_rollout,
+)
+
+TOWN = make_town(blocks=2, n_buildings=8, n_lights=4)
+PARAMS = SimParams(n_agents=4, episode_len=1000)
+RCFG = RenderConfig(height=32, width=32, max_triangles=256, backend="jax")
+
+
+def test_model_shapes_and_bounds():
+    model = ContinuousPolicyCNN(dtype=jnp.float32)
+    x = jnp.linspace(-3.0, 3.0, 3 * 64 * 64 * 4).reshape(3, 64, 64, 4)
+    params = model.init(jax.random.PRNGKey(0), model.example_input(1, 64, 64))
+    out = model.apply(params, x)
+    assert out.shape == (3, 2)
+    assert float(jnp.abs(out).max()) <= 1.0  # tanh head
+
+
+def test_control_label_agrees_with_reference_table():
+    """On the autopilot's exact (throttle, brake) triple the continuous-
+    control label map and the reference discretizer must agree."""
+    for steer, s_cls in [(-0.5, 0), (0.0, 1), (0.5, 2)]:
+        for (thr, brk), a_cls in [((1.0, 0.0), 2), ((0.5, 0.0), 1),
+                                  ((0.0, 1.0), 0)]:
+            got = int(control_to_discrete_label(
+                np.float32(steer), np.float32(thr), np.float32(brk)))
+            ref = int(continuous_to_discrete(
+                np.float32(steer), np.float32(thr), np.float32(brk)))
+            assert got == ref == a_cls * 3 + s_cls
+
+
+def test_control_label_covers_the_continuous_square():
+    """Arbitrary continuous controls (where the reference's brake-seeded
+    fallback is ill-defined) always land in [0, 9)."""
+    rng = np.random.default_rng(0)
+    steer = rng.uniform(-1, 1, 256).astype(np.float32)
+    acc = rng.uniform(-1, 1, 256).astype(np.float32)
+    thr, brk = np.maximum(acc, 0.0), np.maximum(-acc, 0.0)
+    lab = control_to_discrete_label(steer, thr, brk)
+    assert lab.dtype == np.int32
+    assert lab.min() >= 0 and lab.max() < 9
+    # braking-dominant controls land in accel class 0
+    assert np.all(lab[brk > thr] < 3)
+
+
+def test_rollout_continuous_executes_policy_controls():
+    def policy_fn(obs):
+        assert obs.shape[-1] == 4
+        return jnp.tile(jnp.asarray([[0.3, -0.4]], jnp.float32),
+                        (obs.shape[0], 1))
+
+    init_fn, rollout_fn = make_rollout(PARAMS, TOWN, RCFG, policy_fn,
+                                       control_space="continuous")
+    carry = init_fn(jax.random.PRNGKey(0), n_envs=3)
+    _, traj = rollout_fn(carry, 5)
+    np.testing.assert_allclose(np.asarray(traj["steer"]), 0.3, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(traj["throttle"]), 0.0)
+    np.testing.assert_allclose(np.asarray(traj["brake"]), 0.4, rtol=1e-6)
+    # logged discrete label: brake-dominant (accel 0), right steer (2) → 2
+    assert np.all(np.asarray(traj["action"]) == 2)
+    # expert label stream still rides the reference discretizer
+    assert np.asarray(traj["expert_action"]).shape == (5, 3)
+
+
+def test_rollout_continuous_clips_to_unit_square():
+    def policy_fn(obs):
+        return jnp.tile(jnp.asarray([[2.0, -3.0]], jnp.float32),
+                        (obs.shape[0], 1))
+
+    init_fn, rollout_fn = make_rollout(PARAMS, TOWN, RCFG, policy_fn,
+                                       control_space="continuous")
+    carry = init_fn(jax.random.PRNGKey(1), n_envs=2)
+    _, traj = rollout_fn(carry, 3)
+    np.testing.assert_allclose(np.asarray(traj["steer"]), 1.0)
+    np.testing.assert_allclose(np.asarray(traj["brake"]), 1.0)
+
+
+def test_rollout_rejects_bad_control_space():
+    with pytest.raises(ValueError):
+        make_rollout(PARAMS, TOWN, RCFG, lambda o: o, control_space="nope")
+
+
+def test_evaluate_policy_continuous_runs():
+    model = ContinuousPolicyCNN(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        model.example_input(1, 32, 32))["params"]
+
+    def policy_fn(obs):
+        return model.apply({"params": params}, obs)
+
+    m = evaluate_policy(PARAMS, TOWN, RCFG, policy_fn, jax.random.PRNGKey(2),
+                        n_envs=4, n_steps=20, control_space="continuous")
+    assert 0.0 <= m["driving_score"] <= 1.0
+    assert m["env_steps"] == 80
+
+
+def _store_and_labels():
+    store, state_log, _ = collect_dataset(
+        PARAMS, TOWN, RCFG, jax.random.PRNGKey(3), n_envs=4, n_steps=24)
+    labels = np.stack(
+        [np.asarray(state_log.steer, np.float32),
+         np.asarray(state_log.throttle, np.float32)
+         - np.asarray(state_log.brake, np.float32)], axis=1)
+    return store, labels
+
+
+def test_device_dataset_continuous_labels_align():
+    store, labels = _store_and_labels()
+    ds = pipe.DeviceDataset(store, 4, frame_skip=4, continuous_labels=labels)
+    idx = np.arange(4)
+    x, y = ds.make_batch(idx)
+    assert x.shape == (4, 32, 32, 4)
+    assert y.shape == (4, 2) and y.dtype == jnp.float32
+    starts = np.asarray(ds.start_indices(idx))
+    np.testing.assert_allclose(np.asarray(y),
+                               labels[starts + ds.label_offset], rtol=1e-6)
+    # accel labels live in [-1, 1] by construction
+    assert float(np.abs(np.asarray(y)[:, 1]).max()) <= 1.0
+
+
+def test_device_dataset_continuous_label_validation():
+    store, labels = _store_and_labels()
+    with pytest.raises(ValueError):
+        pipe.DeviceDataset(store, 4, continuous_labels=labels[:-1])
+    with pytest.raises(ValueError):
+        pipe.DeviceDataset(store, 4, continuous_labels=labels, aux=True)
+
+
+def test_cli_bc_continuous_end_to_end(tmp_path, capsys):
+    from carla_imitation_learning_tpu.cli import main as cli_main
+
+    overrides = []
+    for o in ["NUM_EPOCHS=1", "BATCH_SIZE=4", "compute_dtype=float32",
+              "trainer.num_sanity_val_steps=0", "sim.n_agents=3",
+              "render.height=32", "render.width=32",
+              "render.max_triangles=256", "sim.town.blocks=2",
+              "sim.town.n_buildings=6", "sim.n_lights=4",
+              "n_envs=4", "n_steps=40", "eval_envs=4", "eval_steps=10",
+              f"data_dir={tmp_path}/data/", f"log_dir={tmp_path}/logs"]:
+        overrides += ["-o", o]
+    rc = cli_main(["run", "bc_continuous", "--json"] + overrides)
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert result["history"][-1]["val_loss"] >= 0
+    assert "val_steer_mse" in result["history"][-1]
+    assert 0.0 <= result["eval"]["driving_score"] <= 1.0
+    assert result["label_stats"]["steer_std"] >= 0

@@ -513,15 +513,33 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
     return out
 
 
+def _control_space(cfg) -> str:
+    """The closed-loop control contract implied by the configured policy
+    family: ``policy_family=continuous`` → "continuous", else "discrete"."""
+    return ("continuous"
+            if str(cfg.get("policy_family", "discrete")) == "continuous"
+            else "discrete")
+
+
 def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
-    """PolicyCNN + (optionally checkpoint-restored) params → argmax policy_fn.
+    """Policy model + (optionally checkpoint-restored) params → policy_fn.
     Shared by every closed-loop eval/export entry point so the restore
-    contract (incl. the s2d_stem variant) stays in one place. Returns
-    (policy_fn, rng, model, params)."""
+    contract (incl. the s2d_stem variant and the policy family) stays in one
+    place. ``policy_family=continuous`` builds ContinuousPolicyCNN and the
+    policy_fn emits its (steer, accel) floats (pair with
+    ``control_space="continuous"``); the default is the argmax PolicyCNN.
+    Returns (policy_fn, rng, model, params)."""
     fs = int(cfg.get("frame_skip", 4))
-    model = PolicyCNN(obs_size=fs, n_actions=int(cfg.get("n_actions", 9)),
-                      dtype=_dtype(cfg),
-                      s2d_stem=bool(cfg.get("s2d_stem", False)))
+    continuous = _control_space(cfg) == "continuous"
+    if continuous:
+        from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
+
+        model = ContinuousPolicyCNN(obs_size=fs, dtype=_dtype(cfg),
+                                    s2d_stem=bool(cfg.get("s2d_stem", False)))
+    else:
+        model = PolicyCNN(obs_size=fs, n_actions=int(cfg.get("n_actions", 9)),
+                          dtype=_dtype(cfg),
+                          s2d_stem=bool(cfg.get("s2d_stem", False)))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     mparams = model.init(rng, jnp.zeros((1, height, width, fs)))["params"]
     if checkpoint:
@@ -529,8 +547,12 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
 
         mparams = restore_pytree(checkpoint, {"params": mparams})["params"]
 
-    def policy_fn(obs):
-        return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
+    if continuous:
+        def policy_fn(obs):
+            return model.apply({"params": mparams}, obs)
+    else:
+        def policy_fn(obs):
+            return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
 
     return policy_fn, rng, model, mparams
 
@@ -567,7 +589,8 @@ def closed_loop_eval(cfg, checkpoint: str | None = None,
                                      rcfg.height, rcfg.width)
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
-                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
+                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh,
+                                 control_space=_control_space(cfg))
     expert = cl.evaluate_policy(params, town, rcfg, None, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
     return {"policy": metrics, "expert": expert}
@@ -625,7 +648,8 @@ def scenario_eval(cfg, checkpoint: str | None = None,
         town, params, rcfg = _sim_bits(scfg)
         mesh, _ = _mesh_bits(scfg, batch_size=n_envs)
         pm = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
-                                n_envs=n_envs, n_steps=n_steps, mesh=mesh)
+                                n_envs=n_envs, n_steps=n_steps, mesh=mesh,
+                                control_space=_control_space(cfg))
         em = cl.evaluate_policy(params, town, rcfg, None, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
         out[name] = {"policy": pm, "expert": em}
@@ -1297,12 +1321,14 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
     _, _, model, params = _policy_bits(cfg, checkpoint, height, width)
     frame_skip = int(cfg.get("frame_skip", 4))
 
+    family = _control_space(cfg)
     out = Path(artifact_dir or (Path(cfg["log_dir"]) / "policy_artifact"))
     export_policy(model, params, out, height=height, width=width,
                   obs_size=frame_skip,
                   quantize=(str(cfg.get("quantize")) if cfg.get("quantize")
                             else None),
                   extra_meta={"n_actions": int(cfg.get("n_actions", 9)),
+                              "family": family,
                               "checkpoint": checkpoint or ""})
 
     servable = load_policy(out)
@@ -1317,8 +1343,11 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
         max_err = max(max_err, float(np.abs(np.asarray(servable.call(x),
                                                        np.float32) - live).max()))
     eng.warmup(height, width, frame_skip)
-    eng.infer(rng_np.integers(0, 256, (3, height, width, frame_skip),
-                              dtype=np.uint8))
+    smoke = rng_np.integers(0, 256, (3, height, width, frame_skip),
+                            dtype=np.uint8)
+    # discrete artifacts serve actions (argmax of logits); continuous ones
+    # serve the (steer, accel) floats themselves
+    (eng.infer_logits if family == "continuous" else eng.infer)(smoke)
     blob = (out / "policy.stablehlo").stat().st_size
     return {"artifact": str(out), "blob_bytes": int(blob),
             "platforms": list(servable.platforms),

@@ -173,11 +173,21 @@ def policy_fn_from_servable(servable: LoadedPolicy):
     framebuf (obs = framebuf/255); the artifact's input contract is the raw
     uint8 window, so the round-trip ``round(obs·255)`` reconstructs the
     framebuf exactly — no quantization drift between live and servable eval.
+
+    Artifacts are self-describing: discrete-family artifacts (the default)
+    emit logits and this adapter argmaxes them; artifacts exported with
+    ``meta["family"] == "continuous"`` emit (steer, accel) controls, which
+    pass through untouched (pair with ``control_space="continuous"``).
     """
     import jax.numpy as jnp
 
+    continuous = servable.meta.get("family") == "continuous"
+
     def policy_fn(obs):
         frames_u8 = jnp.clip(jnp.round(obs * 255.0), 0, 255).astype(jnp.uint8)
-        return jnp.argmax(servable.call(frames_u8), axis=-1).astype(jnp.int32)
+        out = servable.call(frames_u8)
+        if continuous:
+            return out.astype(jnp.float32)
+        return jnp.argmax(out, axis=-1).astype(jnp.int32)
 
     return policy_fn

@@ -145,18 +145,25 @@ def test_device_dataset_continuous_label_validation():
         pipe.DeviceDataset(store, 4, continuous_labels=labels, aux=True)
 
 
+TINY_SIM = ["compute_dtype=float32", "sim.n_agents=3",
+            "render.height=32", "render.width=32", "render.max_triangles=256",
+            "sim.town.blocks=2", "sim.town.n_buildings=6", "sim.n_lights=4"]
+
+
+def _ov(tmp_path, extra):
+    out = []
+    for o in TINY_SIM + [f"data_dir={tmp_path}/data/",
+                         f"log_dir={tmp_path}/logs"] + extra:
+        out += ["-o", o]
+    return out
+
+
 def test_cli_bc_continuous_end_to_end(tmp_path, capsys):
     from carla_imitation_learning_tpu.cli import main as cli_main
 
-    overrides = []
-    for o in ["NUM_EPOCHS=1", "BATCH_SIZE=4", "compute_dtype=float32",
-              "trainer.num_sanity_val_steps=0", "sim.n_agents=3",
-              "render.height=32", "render.width=32",
-              "render.max_triangles=256", "sim.town.blocks=2",
-              "sim.town.n_buildings=6", "sim.n_lights=4",
-              "n_envs=4", "n_steps=40", "eval_envs=4", "eval_steps=10",
-              f"data_dir={tmp_path}/data/", f"log_dir={tmp_path}/logs"]:
-        overrides += ["-o", o]
+    overrides = _ov(tmp_path, [
+        "NUM_EPOCHS=1", "BATCH_SIZE=4", "trainer.num_sanity_val_steps=0",
+        "n_envs=4", "n_steps=40", "eval_envs=4", "eval_steps=10"])
     rc = cli_main(["run", "bc_continuous", "--json"] + overrides)
     assert rc == 0
     result = json.loads(capsys.readouterr().out.splitlines()[-1])
@@ -164,3 +171,46 @@ def test_cli_bc_continuous_end_to_end(tmp_path, capsys):
     assert "val_steer_mse" in result["history"][-1]
     assert 0.0 <= result["eval"]["driving_score"] <= 1.0
     assert result["label_stats"]["steer_std"] >= 0
+
+
+def test_cli_closed_loop_eval_continuous_checkpoint(tmp_path, capsys):
+    """policy_family=continuous routes the checkpoint-eval surface through
+    ContinuousPolicyCNN + control_space=continuous."""
+    from carla_imitation_learning_tpu.cli import main as cli_main
+    from carla_imitation_learning_tpu.utils.checkpoint import save_pytree
+
+    model = ContinuousPolicyCNN(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        model.example_input(1, 32, 32))["params"]
+    ckpt = tmp_path / "cont_ckpt"
+    save_pytree(ckpt, {"params": params})
+    rc = cli_main(["run", "closed_loop_eval", "--json"] + _ov(tmp_path, [
+        "policy_family=continuous", f"checkpoint={ckpt}",
+        "n_envs=4", "n_steps=10"]))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert 0.0 <= result["policy"]["driving_score"] <= 1.0
+    assert result["expert"]["mean_speed"] > 0.1
+
+
+def test_cli_export_and_artifact_eval_continuous(tmp_path, capsys):
+    """Continuous artifacts are self-describing (meta family) and the
+    deployed servable drives the closed loop in continuous mode."""
+    from carla_imitation_learning_tpu.cli import main as cli_main
+
+    rc = cli_main(["run", "export_policy", "--json"] + _ov(tmp_path, [
+        "policy_family=continuous", "height=32", "width=32",
+        "serve_max_batch=4"]))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert result["roundtrip_max_abs_err"] < 1e-4
+    art = result["artifact"]
+    meta = json.loads((__import__("pathlib").Path(art) / "meta.json").read_text())
+    assert meta["family"] == "continuous"
+
+    rc = cli_main(["run", "closed_loop_eval", "--json"] + _ov(tmp_path, [
+        "policy_family=continuous", f"artifact={art}",
+        "n_envs=4", "n_steps=10"]))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert 0.0 <= result["policy"]["driving_score"] <= 1.0

@@ -1376,9 +1376,15 @@ def rl_finetune(cfg, checkpoint: str | None = None, n_envs: int = 256,
     town, params, rcfg = _sim_bits(cfg)
     frame_skip = int(cfg.get("frame_skip", 4))
     n_actions = int(cfg.get("n_actions", 9))
+    # policy_family=continuous: Gaussian actor over (steer, accel) with a
+    # tanh mean — warm-starts from bc_continuous checkpoints, drives/evals
+    # with control_space="continuous", and writes a ContinuousPolicyCNN-
+    # shaped actor checkpoint back
+    family = _control_space(cfg)
     model = ActorCriticCNN(obs_size=frame_skip, n_actions=n_actions,
                            dtype=_dtype(cfg),
-                           s2d_stem=bool(cfg.get("s2d_stem", False)))
+                           s2d_stem=bool(cfg.get("s2d_stem", False)),
+                           continuous=(family == "continuous"))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     ac_params = model.init(
         rng, model.example_input(1, rcfg.height, rcfg.width))["params"]
@@ -1409,14 +1415,17 @@ def rl_finetune(cfg, checkpoint: str | None = None, n_envs: int = 256,
 
     def argmax_policy(p):
         def fn(obs):
-            logits, _ = model.apply({"params": p}, obs)
-            return jnp.argmax(logits, axis=-1)
+            out, _ = model.apply({"params": p}, obs)
+            if family == "continuous":
+                mean, _ = out  # deterministic actor: the Gaussian mean
+                return mean
+            return jnp.argmax(out, axis=-1)
         return fn
 
     eval_rng = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 101)
     before = cl.evaluate_policy(params, town, rcfg, argmax_policy(ac_params),
                                 eval_rng, n_envs=eval_envs, n_steps=eval_steps,
-                                mesh=mesh)
+                                mesh=mesh, control_space=family)
 
     from carla_imitation_learning_tpu.utils import ColorPrint
 
@@ -1433,7 +1442,7 @@ def rl_finetune(cfg, checkpoint: str | None = None, n_envs: int = 256,
 
     after = cl.evaluate_policy(params, town, rcfg, argmax_policy(ac_params),
                                eval_rng, n_envs=eval_envs, n_steps=eval_steps,
-                               mesh=mesh)
+                               mesh=mesh, control_space=family)
     out = Path(cfg["log_dir"]) / "rl_finetune" / "actor_params"
     save_pytree(out, {"params": actor_policy_params_from(ac_params)})
     return {"before": before, "after": after, "history": history,

@@ -43,16 +43,31 @@ class ActorCriticCNN(nn.Module):
     """PolicyCNN trunk + twin heads. Submodule names (ConvTrunk_0, MLPHead_0)
     deliberately match PolicyCNN's so a BC checkpoint warm-starts the actor
     branch by direct key copy (``warm_start_from_policy``); the critic head
-    (MLPHead_1) is fresh."""
+    (MLPHead_1) is fresh.
+
+    ``continuous=True`` swaps the categorical head for a diagonal-Gaussian
+    continuous actor over (steer, accel): the mean is ``tanh(MLPHead)`` —
+    EXACTLY ContinuousPolicyCNN's output, so a bc_continuous checkpoint
+    warm-starts it with the same key copy — plus a state-independent
+    learned ``log_std`` (fresh at warm start). Actor output becomes
+    ``((mean, log_std), value)``."""
 
     obs_size: int = 4
     n_actions: int = 9
     dtype: jnp.dtype = jnp.bfloat16
     s2d_stem: bool = False  # match PolicyCNN's stem variant for warm starts
+    continuous: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         feat = ConvTrunk(dtype=self.dtype, s2d_stem=self.s2d_stem)(x)
+        value = None
+        if self.continuous:
+            mean = jnp.tanh(MLPHead((64, 32, 2), dtype=self.dtype)(feat))
+            log_std = self.param(
+                "log_std", lambda k: jnp.full((2,), -0.7, jnp.float32))
+            value = MLPHead((64, 32, 1), dtype=self.dtype)(feat)
+            return (mean.astype(jnp.float32), log_std), jnp.squeeze(value, -1)
         logits = MLPHead((64, 32, self.n_actions), dtype=self.dtype)(feat)
         value = MLPHead((64, 32, 1), dtype=self.dtype)(feat)
         return logits, jnp.squeeze(value, -1)
@@ -173,13 +188,47 @@ def gather_windows(gray: jnp.ndarray, src: jnp.ndarray,
     return jnp.transpose(w, (0, 2, 3, 1)).astype(jnp.float32) * (1.0 / 255.0)
 
 
+_LOG_2PI = 1.8378770664093453
+
+
+def gaussian_logp(a: jnp.ndarray, mean: jnp.ndarray,
+                  log_std: jnp.ndarray) -> jnp.ndarray:
+    """Σ_d log N(a_d | μ_d, σ_d) over the last axis."""
+    z = (a - mean) * jnp.exp(-log_std)
+    return (-0.5 * (z * z + _LOG_2PI) - log_std).sum(axis=-1)
+
+
 def make_actor(model: ActorCriticCNN, sample: bool = True) -> Callable:
     """policy_fn(obs, extras, params) for make_rollout's params-rebinding
-    convention: samples an action from the actor's softmax with the
-    rollout's per-step key (``extras["rng"]``) and logs (logprob, value)
-    through the policy_extra channel — so ONE compiled rollout serves every
-    training iteration with live params. ``sample=False`` gives the
-    deterministic argmax actor."""
+    convention: draws an action with the rollout's per-step key
+    (``extras["rng"]``) and logs what the update needs through the
+    policy_extra channel — so ONE compiled rollout serves every training
+    iteration with live params. ``sample=False`` gives the deterministic
+    (argmax / mean) actor.
+
+    Discrete: softmax sample, extra = (logprob, value) (B, 2).
+    Continuous (``model.continuous``): diagonal-Gaussian sample around the
+    tanh mean, extra = (raw_a0, raw_a1, logprob, value) (B, 4) — the RAW
+    (unclipped) sample rides the extra channel because the executed control
+    is clipped to the unit square by the rollout, and PPO ratios must be
+    computed on what was actually drawn. Pair with
+    ``control_space="continuous"``."""
+
+    if model.continuous:
+        def policy_fn(obs, extras, params):
+            (mean, log_std), value = model.apply({"params": params}, obs)
+            if sample:
+                eps = jax.random.normal(extras["rng"], mean.shape)
+                raw = mean + jnp.exp(log_std) * eps
+            else:
+                raw = mean
+            lp = gaussian_logp(raw, mean, log_std)
+            extra = jnp.concatenate(
+                [raw, jnp.stack([lp, value.astype(jnp.float32)], axis=-1)],
+                axis=-1)
+            return raw, extra
+
+        return policy_fn
 
     def policy_fn(obs, extras, params):
         logits, value = model.apply({"params": params}, obs)
@@ -203,9 +252,18 @@ def make_ppo_update(model: ActorCriticCNN, tx, cfg: PPOConfig,
     observation windows gathered on device from the stored frames."""
 
     def loss_fn(params, obs, action, old_logp, adv, ret, old_value):
-        logits, value = model.apply({"params": params}, obs)
-        logp_all = jax.nn.log_softmax(logits, axis=-1)
-        logp = jnp.take_along_axis(logp_all, action[:, None], axis=-1)[:, 0]
+        if model.continuous:
+            (mean, log_std), value = model.apply({"params": params}, obs)
+            logp = gaussian_logp(action, mean, log_std)
+            # diagonal-Gaussian entropy, closed form (state-independent)
+            entropy = (log_std + 0.5 * (1.0 + _LOG_2PI)).sum()
+        else:
+            logits, value = model.apply({"params": params}, obs)
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            logp = jnp.take_along_axis(
+                logp_all, action[:, None], axis=-1)[:, 0]
+            entropy = -jnp.mean(
+                jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
         ratio = jnp.exp(logp - old_logp)
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
@@ -215,7 +273,6 @@ def make_ppo_update(model: ActorCriticCNN, tx, cfg: PPOConfig,
                                       -cfg.clip_eps, cfg.clip_eps)
         v_loss = 0.5 * jnp.mean(jnp.maximum((value - ret) ** 2,
                                             (v_clip - ret) ** 2))
-        entropy = -jnp.mean(jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1))
         total = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
         stats = {
             "pg_loss": pg_loss, "value_loss": v_loss, "entropy": entropy,
@@ -229,11 +286,15 @@ def make_ppo_update(model: ActorCriticCNN, tx, cfg: PPOConfig,
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def update(params, opt_state, traj, last_value, rng):
-        T, B = traj["action"].shape
+        T, B = traj["action"].shape[:2]
         H, W = traj["gray"].shape[2:]
         rewards = reward_from_traj(traj, cfg)
-        logp_value = traj["policy_extra"]                # (T, B, 2)
-        old_logp, values = logp_value[..., 0], logp_value[..., 1]
+        # extra channel: (logprob, value) discrete; (a0, a1, logprob, value)
+        # continuous — the RAW Gaussian draw (pre-clip), see make_actor
+        extra = traj["policy_extra"]                     # (T, B, 2|4)
+        old_logp, values = extra[..., -2], extra[..., -1]
+        act_field = (extra[..., :2] if model.continuous
+                     else traj["action"])                # (T, B[, 2])
         adv, ret = compute_gae(rewards, values, traj["done"], last_value,
                                cfg.gamma, cfg.gae_lambda)
         if cfg.normalize_advantages:
@@ -250,8 +311,8 @@ def make_ppo_update(model: ActorCriticCNN, tx, cfg: PPOConfig,
         if mt == 0:
             raise ValueError(
                 f"rollout_steps={T} < num_minibatches={cfg.num_minibatches}")
-        fields = {"action": traj["action"], "old_logp": old_logp,
-                  "adv": adv, "ret": ret, "old_value": values}  # (T, B)
+        fields = {"action": act_field, "old_logp": old_logp,
+                  "adv": adv, "ret": ret, "old_value": values}  # (T, B[, d])
 
         def epoch(carry, key):
             params, opt_state = carry
@@ -271,7 +332,8 @@ def make_ppo_update(model: ActorCriticCNN, tx, cfg: PPOConfig,
                     traj["gray"], src, fields, t_sel)   # w (B, mt, k, H, W)
                 obs = jnp.transpose(w, (0, 1, 3, 4, 2)).reshape(
                     B * mt, H, W, frame_skip).astype(jnp.float32) * (1.0 / 255.0)
-                f = {k: v.reshape(B * mt) for k, v in f.items()}
+                f = {k: v.reshape((B * mt,) + v.shape[2:])
+                     for k, v in f.items()}
                 (loss, stats), grads = grad_fn(
                     params, obs, f["action"], f["old_logp"],
                     f["adv"], f["ret"], f["old_value"])
@@ -312,7 +374,8 @@ def ppo_train(
 
     init_fn, rollout_fn = cl.make_rollout(
         sim_params, town, rcfg, actor, frame_skip, mesh=mesh,
-        policy_rng=policy_rng)
+        policy_rng=policy_rng,
+        control_space="continuous" if model.continuous else "discrete")
     update = make_ppo_update(model, tx, cfg, frame_skip)
     carry = init_fn(init_rng, n_envs)
 

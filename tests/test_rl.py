@@ -127,6 +127,43 @@ def test_warm_start_actor_matches_policy():
         lambda a, b: bool(jnp.all(a == b)), back, p_bc))
 
 
+def test_gaussian_logp_matches_numpy():
+    from carla_imitation_learning_tpu.training.rl import gaussian_logp
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(7, 2)).astype(np.float32)
+    mean = rng.normal(size=(7, 2)).astype(np.float32)
+    log_std = rng.normal(size=(2,)).astype(np.float32) * 0.3
+    std = np.exp(log_std)
+    want = (-0.5 * ((a - mean) / std) ** 2
+            - np.log(std) - 0.5 * np.log(2 * np.pi)).sum(-1)
+    got = np.asarray(gaussian_logp(jnp.asarray(a), jnp.asarray(mean),
+                                   jnp.asarray(log_std)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_warm_start_continuous_actor_matches_policy():
+    """A bc_continuous checkpoint warm-starts the Gaussian actor: the
+    deterministic mean IS the BC policy's output; log_std stays fresh."""
+    from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
+
+    H = W = 32
+    pol = ContinuousPolicyCNN(dtype=jnp.float32)
+    p_bc = pol.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 4)))["params"]
+    ac = ActorCriticCNN(dtype=jnp.float32, continuous=True)
+    p_ac = ac.init(jax.random.PRNGKey(2), ac.example_input(1, H, W))["params"]
+    p_ac = warm_start_from_policy(p_ac, p_bc)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, H, W, 4))
+    (mean, log_std), value = ac.apply({"params": p_ac}, x)
+    np.testing.assert_allclose(np.asarray(mean),
+                               np.asarray(pol.apply({"params": p_bc}, x)),
+                               rtol=1e-6, atol=1e-6)
+    assert log_std.shape == (2,) and value.shape == (2,)
+    # projection back is ContinuousPolicyCNN-shaped (log_std is actor-only)
+    back = actor_policy_params_from(p_ac)
+    assert set(back) == set(p_bc)
+
+
 TINY = [
     "sim.n_envs=4", "sim.n_agents=3", "render.height=32", "render.width=32",
     "render.max_triangles=256", "sim.town.blocks=2", "sim.town.n_buildings=6",
@@ -154,3 +191,35 @@ def test_cli_rl_finetune(tmp_path, capsys):
     assert "driving_score" in result["before"]
     assert "driving_score" in result["after"]
     assert (tmp_path / "logs" / "rl_finetune" / "actor_params").exists()
+
+
+def test_cli_rl_finetune_continuous(tmp_path, capsys):
+    """PPO over the continuous (steer, accel) Gaussian actor end-to-end; the
+    written actor checkpoint loads back as a ContinuousPolicyCNN and drives
+    the closed loop in continuous mode."""
+    from carla_imitation_learning_tpu.cli import main as cli_main
+
+    overrides = []
+    for o in TINY + [
+        f"log_dir={tmp_path}/logs", "policy_family=continuous",
+        "n_envs=4", "rollout_steps=8", "iterations=2", "eval_envs=4",
+        "eval_steps=8", "rl_update_epochs=1", "rl_num_minibatches=2",
+    ]:
+        overrides += ["-o", o]
+    rc = cli_main(["run", "rl_finetune", "--json"] + overrides)
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert len(result["history"]) == 2
+    for h in result["history"]:
+        for v in h.values():
+            assert np.isfinite(v)
+    ckpt = result["actor_checkpoint"]
+
+    rc = cli_main(["run", "closed_loop_eval", "--json"] + [
+        a for o in TINY + [f"log_dir={tmp_path}/logs",
+                           "policy_family=continuous",
+                           f"checkpoint={ckpt}", "n_envs=4", "n_steps=8"]
+        for a in ("-o", o)])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert 0.0 <= result["policy"]["driving_score"] <= 1.0

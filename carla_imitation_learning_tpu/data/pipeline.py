@@ -60,6 +60,13 @@ class FrameStore:
     # after the 80/10/10 sequential split re-bases positions. None for
     # simulator-collected stores (position IS the id within the stream).
     file_idx: np.ndarray | None = None
+    # (N, 2) float32 EXPERT (steer, accel) per frame — the continuous-control
+    # tier's regression targets (accel = throttle − brake). Filled by
+    # collect_dataset from the autopilot regardless of who DRIVES, so
+    # continuous DAgger aggregation works exactly like the discrete
+    # ``actions`` labels. None for reference-layout stores (derive from the
+    # state log instead).
+    controls: np.ndarray | None = None
 
     def __len__(self) -> int:
         return len(self.frames)
@@ -152,6 +159,7 @@ class FrameStore:
             None if self.commands is None else self.commands[start:stop],
             starts,
             None if self.file_idx is None else self.file_idx[start:stop],
+            None if self.controls is None else self.controls[start:stop],
         )
 
     @classmethod
@@ -167,6 +175,7 @@ class FrameStore:
                 st[0] = True
             starts.append(st)
         any_cmd = all(s.commands is not None for s in stores)
+        any_ctl = all(s.controls is not None for s in stores)
         return cls(
             frames=np.concatenate([s.frames for s in stores]),
             actions=np.concatenate([s.actions for s in stores]),
@@ -175,6 +184,8 @@ class FrameStore:
             commands=(np.concatenate([s.commands for s in stores])
                       if any_cmd else None),
             starts=np.concatenate(starts),
+            controls=(np.concatenate([s.controls for s in stores])
+                      if any_ctl else None),
         )
 
 

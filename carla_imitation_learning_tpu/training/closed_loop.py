@@ -352,6 +352,11 @@ def make_rollout(
         out = {
             "route_ds": route_ds,
             "gray": gray_u8, "action": action, "expert_action": expert_action,
+            # the expert's CONTINUOUS controls, logged regardless of who
+            # drives — continuous-regression supervision for BC and DAgger
+            # (accel = throttle − brake matches the continuous control map)
+            "expert_steer": expert.steer,
+            "expert_accel": expert.throttle - expert.brake,
             "sensor": sensors, "traffic": traffic, "command": command,
             "collision": info["collision"], "offroad": info["offroad"],
             "done": info["done"], "speed": info["speed"],
@@ -490,6 +495,7 @@ def collect_dataset(
     n_envs: int = 16, n_steps: int = 256, frame_skip: int = 4,
     policy_fn: Callable | None = None,
     noise: NoiseConfig | None = None,
+    control_space: str = "discrete",
 ):
     """Rollouts → FrameStore (frames packed uint8 + expert labels + sensors).
 
@@ -511,7 +517,7 @@ def collect_dataset(
     from carla_imitation_learning_tpu.data.pipeline import FrameStore
 
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
-                                       noise=noise)
+                                       noise=noise, control_space=control_space)
     carry = init_fn(rng, n_envs)
     _, traj = rollout_fn(carry, n_steps)
 
@@ -542,6 +548,9 @@ def collect_dataset(
         sensors=flat(traj["sensor"]).astype(np.float32),
         commands=flat(traj["command"]).astype(np.int32),
         starts=starts,
+        controls=np.stack(
+            [flat(traj["expert_steer"]).astype(np.float32),
+             flat(traj["expert_accel"]).astype(np.float32)], axis=1),
     )
     return store, state, traj
 
@@ -623,9 +632,13 @@ def dagger_iteration(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable, rng, n_envs: int = 16, n_steps: int = 256,
     frame_skip: int = 4, noise: NoiseConfig | None = None,
+    control_space: str = "discrete",
 ):
     """One DAgger round: policy drives, expert labels → aggregation store.
     ``noise`` adds exploration impulses on top of the policy's steering —
-    labels are the expert's regardless."""
+    labels are the expert's regardless. ``control_space="continuous"`` lets
+    a continuous policy drive; the aggregation store's discrete ``actions``
+    AND continuous ``controls`` labels both stay the expert's."""
     return collect_dataset(params, town, rcfg, rng, n_envs, n_steps, frame_skip,
-                           policy_fn=policy_fn, noise=noise)
+                           policy_fn=policy_fn, noise=noise,
+                           control_space=control_space)

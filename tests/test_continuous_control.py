@@ -123,6 +123,51 @@ def _store_and_labels():
     return store, labels
 
 
+def test_store_controls_are_expert_labels():
+    """collect_dataset fills store.controls with the EXPERT's continuous
+    (steer, accel) — equal to the state-log derivation when the expert
+    drives, and consistent with the discretized actions."""
+    store, labels = _store_and_labels()
+    assert store.controls.shape == (len(store), 2)
+    np.testing.assert_allclose(store.controls, labels, atol=1e-6)
+    # slices and concat propagate the controls, aligned with frames
+    part = store.slice(10, 50)
+    np.testing.assert_allclose(part.controls, labels[10:50], atol=1e-6)
+    both = pipe.FrameStore.concat([part, store.slice(50, 60)])
+    np.testing.assert_allclose(both.controls, labels[10:60], atol=1e-6)
+
+
+def test_continuous_dagger_labels_stay_expert():
+    """When a CONTINUOUS policy drives the DAgger round, the aggregation
+    store's continuous labels are the expert's controls — NOT the policy's
+    executed ones."""
+    from carla_imitation_learning_tpu.training.closed_loop import (
+        dagger_iteration,
+    )
+
+    def bad_policy(obs):  # constant hard-left full-brake — nothing expert-like
+        return jnp.tile(jnp.asarray([[-1.0, -1.0]], jnp.float32),
+                        (obs.shape[0], 1))
+
+    store, _, traj = dagger_iteration(
+        PARAMS, TOWN, RCFG, bad_policy, jax.random.PRNGKey(7),
+        n_envs=3, n_steps=16, control_space="continuous")
+    # the policy's executed controls are in the traj...
+    np.testing.assert_allclose(np.asarray(traj["steer"]), -1.0)
+    # ...but the stored labels are the expert's (a sane autopilot never
+    # commands hard-left + full-brake everywhere)
+    assert not np.allclose(store.controls[:, 0], -1.0)
+    # the stored continuous labels re-discretize EXACTLY to the discrete
+    # expert labels (accel = throttle − brake is invertible for the
+    # autopilot's {full, half, coast, brake} control set)
+    disc = np.asarray(continuous_to_discrete(
+        store.controls[:, 0],
+        np.maximum(store.controls[:, 1], 0.0),
+        np.maximum(-store.controls[:, 1], 0.0)))
+    assert np.array_equal(disc.astype(np.int64),
+                          np.asarray(store.actions, np.int64))
+
+
 def test_device_dataset_continuous_labels_align():
     store, labels = _store_and_labels()
     ds = pipe.DeviceDataset(store, 4, frame_skip=4, continuous_labels=labels)

@@ -163,6 +163,37 @@ def audit(n_devices: int) -> dict:
     out["ppo_update"] = collective_stats(txt)
     out["ppo_param_bytes"] = int(sum(
         x.size * 4 for x in jax.tree_util.tree_leaves(ac_params)))
+
+    # continuous PPO (Gaussian actor over (steer, accel)): the action field
+    # is vector-valued and the raw draws ride the policy_extra channel, but
+    # the minibatch stratification is the same — the compiled update must
+    # show the identical O(params) shape
+    acc = ActorCriticCNN(dtype=jnp.float32, continuous=True)
+    acc_params = acc.init(jax.random.PRNGKey(5),
+                          acc.example_input(1, 32, 32))["params"]
+    actor_c = make_actor(acc)
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, actor_c, mesh=mesh,
+                                       policy_rng=jax.random.PRNGKey(6),
+                                       control_space="continuous")
+    carry = init_fn(jax.random.PRNGKey(7), 2 * n_devices)
+    carry, traj = rollout_fn(carry, 4, policy_params=acc_params)
+    # NOTE: stochastic-actor rollouts (discrete and continuous alike) carry
+    # exactly ONE 8-byte u32 all-reduce: the policy-RNG key fold over the
+    # fleet's (sharded) env keys at rollout entry — a CONSTANT, independent
+    # of envs/steps/devices, not a scaling term. The expert rollout above
+    # has zero.
+    txt = rollout_fn.lower(carry, 8, policy_params=acc_params) \
+        .compile().as_text()
+    out["rollout_continuous"] = collective_stats(txt)
+    update_c = make_ppo_update(acc, ptx, pcfg)
+    fn_c = (update_c.__wrapped__ if hasattr(update_c, "__wrapped__")
+            else update_c)
+    txt = jax.jit(fn_c).lower(acc_params, ptx.init(acc_params), traj,
+                              last_value, jax.random.PRNGKey(8)) \
+        .compile().as_text()
+    out["ppo_continuous_update"] = collective_stats(txt)
+    out["ppo_continuous_param_bytes"] = int(sum(
+        x.size * 4 for x in jax.tree_util.tree_leaves(acc_params)))
     return out
 
 
@@ -297,6 +328,14 @@ def main() -> None:
         assert ar_bytes <= 1.2 * a["param_bytes"], \
             f"all-reduce bytes {ar_bytes} exceed O(params) {a['param_bytes']}"
         assert a["rollout"] == {}, f"rollout contains collectives: {a['rollout']}"
+        # stochastic-actor rollouts: only the constant 8-byte PRNG key fold
+        rc = dict(a["rollout_continuous"])
+        rc_ar = rc.pop("all-reduce", {"count": 0, "bytes": 0})
+        assert rc == {} and rc_ar["bytes"] <= 8, \
+            f"continuous rollout has real collectives: {a['rollout_continuous']}"
+        ppoc = a["ppo_continuous_update"].get("all-reduce", {}).get("bytes", 0)
+        assert ppoc <= 1.2 * a["ppo_continuous_param_bytes"], \
+            f"continuous-PPO all-reduce {ppoc} exceeds O(params)"
     assert a2["train_step"]["per_device_batch_8"] == \
         a8["train_step"]["per_device_batch_8"], \
         "per-device collective traffic grows with device count"
@@ -305,6 +344,9 @@ def main() -> None:
         "and device count (gradient psum only)",
         "fleet rollout compiles to ZERO collectives (env axis embarrassingly "
         "parallel; scales linearly with chips)",
+        "continuous-family rollout and Gaussian-PPO update show the same "
+        "shapes: rollout collectives = one constant 8-byte PRNG key fold "
+        "(stochastic actors only), O(params) update all-reduce",
     ]
     out = Path(__file__).resolve().parents[1] / "reports" / "scaling.json"
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -17,7 +17,8 @@ Surface:
   GET  /healthz      -> {"status": "ok"}
   GET  /v1/metadata  -> artifact meta + bucket ladder + platforms
   GET  /v1/stats     -> engine latency percentiles + coalescing counters
-  POST /v1/infer     -> {"actions": [...]}  (argmax int)
+  POST /v1/infer     -> {"actions": [...]}  (argmax int; continuous-family
+                        artifacts return {"controls": [[steer, accel], ...]})
   POST /v1/logits    -> {"logits": [[...]]} (float rows)
 
 POST bodies, either:
@@ -324,8 +325,14 @@ class PolicyServer:
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
                 if self.path == "/v1/infer":
-                    actions = np.argmax(logits, axis=-1).astype(int)
-                    self._json(200, {"actions": actions.tolist()})
+                    if server.meta.get("family") == "continuous":
+                        # continuous artifacts serve the (steer, accel)
+                        # floats themselves — argmax has no meaning
+                        self._json(200, {"controls": np.asarray(
+                            logits, np.float64).tolist()})
+                    else:
+                        actions = np.argmax(logits, axis=-1).astype(int)
+                        self._json(200, {"actions": actions.tolist()})
                 else:
                     self._json(200, {"logits": np.asarray(
                         logits, np.float64).tolist()})

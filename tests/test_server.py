@@ -167,3 +167,26 @@ def test_callable_policy_no_meta():
         assert out["actions"] == [0, 0, 0]
         with pytest.raises(RuntimeError):
             srv.warmup()
+
+
+def test_continuous_artifact_serves_controls(tmp_path):
+    """A continuous-family artifact serves its (steer, accel) floats from
+    /v1/infer — no argmax — matching the live model."""
+    from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
+
+    model = ContinuousPolicyCNN(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(9), jnp.zeros((1, H, W, 4)))["params"]
+    path = tmp_path / "cont_policy"
+    export_policy(model, params, path, height=H, width=W,
+                  platforms=("cpu",), extra_meta={"family": "continuous"})
+    with PolicyServer(path, window_ms=1.0) as srv:
+        frames = _frames(3, seed=11)
+        out = _post(srv.url + "/v1/infer", frames.tobytes(),
+                    {"Content-Type": "application/octet-stream",
+                     "X-Shape": f"3,{H},{W},4"})
+        got = np.asarray(out["controls"], np.float32)
+        assert got.shape == (3, 2)
+        live = np.asarray(model.apply(
+            {"params": params}, frames.astype(np.float32) / 255.0))
+        np.testing.assert_allclose(got, live, atol=1e-4)
+        assert np.abs(got).max() <= 1.0

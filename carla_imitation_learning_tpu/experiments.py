@@ -668,13 +668,26 @@ def scenario_eval(cfg, checkpoint: str | None = None,
 def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
            epochs_per_round: int = 3, **kw):
     """BASELINE config #5: DAgger — collect with expert, train, then iterate
-    policy-driven collection with expert labels."""
+    policy-driven collection with expert labels. ``policy_family=continuous``
+    runs the whole loop in the continuous action space: the regressor drives
+    collection, supervision is the expert's continuous controls
+    (FrameStore.controls), and evals execute the floats."""
     from carla_imitation_learning_tpu.training.steps import make_train_step
 
     town, params, rcfg = _sim_bits(cfg)
     mesh, sharding = _mesh_bits(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    model = PolicyCNN(dtype=_dtype(cfg))
+    family = _control_space(cfg)
+    if family == "continuous":
+        from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
+        from carla_imitation_learning_tpu.training import continuous_bc_loss_fn
+
+        model = ContinuousPolicyCNN(dtype=_dtype(cfg))
+        loss_fn = continuous_bc_loss_fn(float(cfg.get("steer_weight", 1.0)),
+                                        float(cfg.get("accel_weight", 0.5)))
+    else:
+        model = PolicyCNN(dtype=_dtype(cfg))
+        loss_fn = bc_loss_fn
     tx = make_optimizer(cfg, 1)
     state = create_train_state(
         model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
@@ -682,7 +695,14 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         from carla_imitation_learning_tpu.parallel.mesh import shard_train_state
 
         state = shard_train_state(mesh, state)
-    step = make_train_step(bc_loss_fn, donate=False)
+    step = make_train_step(loss_fn, donate=False)
+
+    def _policy(p):
+        def policy_fn(obs):
+            y = model.apply({"params": p}, obs)
+            return y if family == "continuous" else jnp.argmax(y, axis=-1)
+        return policy_fn
+
     stores = []
     history = []
     for rnd in range(rounds):
@@ -691,13 +711,10 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
             store, _, _ = cl.collect_dataset(params, town, rcfg, k, n_envs,
                                              n_steps, noise=_noise_bits(cfg))
         else:
-            p = state.params
-
-            def policy_fn(obs):
-                return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
-
-            store, _, _ = cl.dagger_iteration(params, town, rcfg, policy_fn, k,
-                                              n_envs, n_steps)
+            store, _, _ = cl.dagger_iteration(params, town, rcfg,
+                                              _policy(state.params), k,
+                                              n_envs, n_steps,
+                                              control_space=family)
         stores.append(store)
         # concat marks round boundaries; per-round stores carry env-stream
         # and reset boundaries → no training window ever crosses any of them
@@ -705,17 +722,15 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         ds = pipe.DeviceDataset(agg, int(cfg.get("BATCH_SIZE", 64)),
                                 frame_skip=int(cfg.get("frame_skip", 4)),
                                 shuffle=True, seed=rnd, sharding=sharding,
-                                balanced=bool(cfg.get("balanced_sampling", False)))
+                                balanced=bool(cfg.get("balanced_sampling", False)),
+                                continuous_labels=(agg.controls
+                                                   if family == "continuous"
+                                                   else None))
         last = {}
         for _ in range(epochs_per_round):
             for batch in ds:
                 rng, sk = jax.random.split(rng)
                 state, last = step(state, batch, sk)
-        p = state.params
-
-        def policy_fn(obs):
-            return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
-
         rng, ek = jax.random.split(rng)
         # the training mesh was validated against BATCH_SIZE — re-validate
         # against the eval fleet size (a 32-chip mesh divides batch 64 but
@@ -723,8 +738,9 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         eval_envs = min(n_envs, 32)
         eval_mesh, _ = _mesh_bits(cfg, batch_size=eval_envs) \
             if mesh is not None else (None, None)
-        m = cl.evaluate_policy(params, town, rcfg, policy_fn, ek,
-                               n_envs=eval_envs, n_steps=100, mesh=eval_mesh)
+        m = cl.evaluate_policy(params, town, rcfg, _policy(state.params), ek,
+                               n_envs=eval_envs, n_steps=100, mesh=eval_mesh,
+                               control_space=family)
         m["round"] = rnd
         m["train_loss"] = float(last.get("loss", float("nan")))
         m["dataset_frames"] = len(agg)

@@ -259,3 +259,20 @@ def test_cli_export_and_artifact_eval_continuous(tmp_path, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert 0.0 <= result["policy"]["driving_score"] <= 1.0
+
+
+def test_cli_dagger_continuous(tmp_path, capsys):
+    """The dagger experiment runs entirely in the continuous action space:
+    continuous policy drives round 2, expert continuous labels train it."""
+    from carla_imitation_learning_tpu.cli import main as cli_main
+
+    rc = cli_main(["run", "dagger", "--json"] + _ov(tmp_path, [
+        "policy_family=continuous", "NUM_EPOCHS=1", "BATCH_SIZE=8",
+        "rounds=2", "n_envs=4", "n_steps=24", "epochs_per_round=1"]))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert len(result["rounds"]) == 2
+    for r in result["rounds"]:
+        assert np.isfinite(r["train_loss"])
+        assert 0.0 <= r["driving_score"] <= 1.0
+    assert result["rounds"][1]["dataset_frames"] == 2 * 4 * 24

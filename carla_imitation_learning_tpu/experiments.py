@@ -559,20 +559,28 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
 
 def _eval_policy_fn(cfg, checkpoint: str | None, artifact: str | None,
                     height: int, width: int):
-    """policy_fn + rng for the eval experiments: a deployed StableHLO
-    servable when ``artifact`` is given, else a (checkpoint-restored) live
-    model via _policy_bits. One place so closed_loop_eval and scenario_eval
-    score the exact same thing."""
+    """(policy_fn, rng, control_space) for the eval experiments: a deployed
+    StableHLO servable when ``artifact`` is given, else a
+    (checkpoint-restored) live model via _policy_bits. One place so
+    closed_loop_eval and scenario_eval score the exact same thing.
+
+    Artifacts are SELF-DESCRIBING: their ``meta.family`` decides the control
+    space (a continuous artifact emits float controls — treating them as
+    argmax ints would silently garble the rollout), so ``policy_family`` in
+    the cfg only matters for the checkpoint/live path."""
     if artifact:
         from carla_imitation_learning_tpu.serving import (
             load_policy, policy_fn_from_servable,
         )
 
-        policy_fn = policy_fn_from_servable(load_policy(artifact))
+        servable = load_policy(artifact)
+        policy_fn = policy_fn_from_servable(servable)
         rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-        return policy_fn, rng
+        space = ("continuous" if servable.meta.get("family") == "continuous"
+                 else "discrete")
+        return policy_fn, rng, space
     policy_fn, rng, _, _ = _policy_bits(cfg, checkpoint, height, width)
-    return policy_fn, rng
+    return policy_fn, rng, _control_space(cfg)
 
 
 @experiment("closed_loop_eval")
@@ -585,12 +593,12 @@ def closed_loop_eval(cfg, checkpoint: str | None = None,
     directory, possibly int8) instead of a checkpoint — the exported program
     composes under jit, so the exact artifact you ship drives the rollout."""
     town, params, rcfg = _sim_bits(cfg)
-    policy_fn, rng = _eval_policy_fn(cfg, checkpoint, artifact,
-                                     rcfg.height, rcfg.width)
+    policy_fn, rng, space = _eval_policy_fn(cfg, checkpoint, artifact,
+                                            rcfg.height, rcfg.width)
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                  n_envs=n_envs, n_steps=n_steps, mesh=mesh,
-                                 control_space=_control_space(cfg))
+                                 control_space=space)
     expert = cl.evaluate_policy(params, town, rcfg, None, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
     return {"policy": metrics, "expert": expert}
@@ -631,7 +639,7 @@ def scenario_eval(cfg, checkpoint: str | None = None,
     unknown = [n for n in names if n not in SCENARIOS]
     if unknown:
         raise ValueError(f"unknown scenarios {unknown}; have {list(SCENARIOS)}")
-    policy_fn, rng = _eval_policy_fn(
+    policy_fn, rng, space = _eval_policy_fn(
         cfg, checkpoint, artifact,
         int(cfg.get_dotted("render.height", 128)),
         int(cfg.get_dotted("render.width", 128)))
@@ -649,7 +657,7 @@ def scenario_eval(cfg, checkpoint: str | None = None,
         mesh, _ = _mesh_bits(scfg, batch_size=n_envs)
         pm = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh,
-                                control_space=_control_space(cfg))
+                                control_space=space)
         em = cl.evaluate_policy(params, town, rcfg, None, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
         out[name] = {"policy": pm, "expert": em}

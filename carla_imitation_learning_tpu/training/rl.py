@@ -61,7 +61,6 @@ class ActorCriticCNN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         feat = ConvTrunk(dtype=self.dtype, s2d_stem=self.s2d_stem)(x)
-        value = None
         if self.continuous:
             mean = jnp.tanh(MLPHead((64, 32, 2), dtype=self.dtype)(feat))
             log_std = self.param(

@@ -253,9 +253,11 @@ def test_cli_export_and_artifact_eval_continuous(tmp_path, capsys):
     meta = json.loads((__import__("pathlib").Path(art) / "meta.json").read_text())
     assert meta["family"] == "continuous"
 
+    # artifact evals are SELF-DESCRIBING: no policy_family override needed —
+    # meta.family drives the control space (a forgotten flag must not
+    # silently argmax float controls)
     rc = cli_main(["run", "closed_loop_eval", "--json"] + _ov(tmp_path, [
-        "policy_family=continuous", f"artifact={art}",
-        "n_envs=4", "n_steps=10"]))
+        f"artifact={art}", "n_envs=4", "n_steps=10"]))
     assert rc == 0
     result = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert 0.0 <= result["policy"]["driving_score"] <= 1.0

@@ -29,6 +29,16 @@ def main(argv=None) -> int:
 
     sub.add_parser("list", help="list experiments")
 
+    doc_p = sub.add_parser(
+        "doctor", help="environment/device diagnostics (wedge-safe: every "
+                       "device probe runs in a timeout-bounded subprocess)")
+    doc_p.add_argument("--timeout", type=float, default=90.0,
+                       help="per-probe timeout seconds")
+    doc_p.add_argument("--cpu", action="store_true",
+                       help="pin probes to the CPU backend (diagnose the "
+                            "host while an accelerator tunnel is down)")
+    doc_p.add_argument("--json", action="store_true")
+
     bench_p = sub.add_parser("bench", help="run the headline benchmark")
     bench_p.add_argument("--envs", type=int, default=1024)
 
@@ -52,6 +62,18 @@ def main(argv=None) -> int:
             doc = (fn.__doc__ or "").strip().splitlines()[0]
             print(f"{name:<20} {doc}")
         return 0
+
+    if args.command == "doctor":
+        from carla_imitation_learning_tpu.utils.doctor import (
+            print_report, run_doctor,
+        )
+
+        report = run_doctor(timeout=args.timeout, force_cpu=args.cpu)
+        if args.json:
+            print(json.dumps(report))
+        else:
+            print_report(report)
+        return 0 if report["ok"] else 1
 
     if args.command == "serve":
         from carla_imitation_learning_tpu.serving import PolicyServer

@@ -146,3 +146,15 @@ def test_every_config_preset_composes(tmp_path):
                                      f"log_dir={tmp_path}",
                                      f"data_dir={tmp_path}/data"])
             check(cfg)  # raises on any stale/invalid preset
+
+
+def test_cli_doctor_cpu(capsys):
+    """Doctor runs every check green with CPU-pinned probes; device probes
+    are subprocess-isolated so a wedged accelerator can't hang it."""
+    rc = cli_main(["doctor", "--cpu", "--timeout", "300", "--json"])
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rc == 0 and out["ok"]
+    for name in ("jax_import", "device_compute", "compile_smoke",
+                 "virtual_cpu_mesh", "native_framestore", "configs"):
+        assert out["checks"][name]["ok"], (name, out["checks"][name])
+    assert out["checks"]["jax_import"]["platform"] == "cpu"

@@ -16,6 +16,7 @@ from carla_imitation_learning_tpu.serving.export import (
 )
 from carla_imitation_learning_tpu.serving.quant import (
     make_quantized_policy,
+    quantize_params,
     quantized_apply,
 )
 from carla_imitation_learning_tpu.serving.server import PolicyServer
@@ -29,5 +30,6 @@ __all__ = [
     "load_policy",
     "policy_fn_from_servable",
     "make_quantized_policy",
+    "quantize_params",
     "quantized_apply",
 ]

@@ -29,6 +29,14 @@ def main(argv=None) -> int:
 
     sub.add_parser("list", help="list experiments")
 
+    imp_p = sub.add_parser(
+        "import_torch",
+        help="convert a reference PyTorch/Lightning policy checkpoint "
+             "(ConvNet1/ConvNetRawSegment .ckpt) into a framework checkpoint")
+    imp_p.add_argument("ckpt", help="path to the torch .ckpt/.pt file")
+    imp_p.add_argument("--out", required=True,
+                       help="output checkpoint dir (feeds checkpoint=...)")
+
     doc_p = sub.add_parser(
         "doctor", help="environment/device diagnostics (wedge-safe: every "
                        "device probe runs in a timeout-bounded subprocess)")
@@ -61,6 +69,17 @@ def main(argv=None) -> int:
         for name, fn in sorted(EXPERIMENTS.items()):
             doc = (fn.__doc__ or "").strip().splitlines()[0]
             print(f"{name:<20} {doc}")
+        return 0
+
+    if args.command == "import_torch":
+        from carla_imitation_learning_tpu.utils import ColorPrint
+        from carla_imitation_learning_tpu.utils.torch_import import (
+            import_and_save,
+        )
+
+        out = import_and_save(args.ckpt, args.out)
+        ColorPrint.print_run(
+            f"imported {args.ckpt} -> {out} (use with -o checkpoint={out})")
         return 0
 
     if args.command == "doctor":

@@ -1032,6 +1032,77 @@ def world_model(cfg, n_envs: int = 16, n_steps: int = 128, seq_len: int = 8,
     return result
 
 
+@experiment("dream_policy")
+def dream_policy(cfg, n_envs: int = 16, n_steps: int = 200, seq_len: int = 8,
+                 horizon: int = 15, imag_updates: int = 300,
+                 imag_batch: int = 128, reward_steps: int = 300,
+                 eval_envs: int = 32, eval_steps: int = 150, **kw):
+    """Imagination-trained policy (Dreamer-lite, training/imagination.py):
+    train the latent world model on on-device rollouts, fit a reward head on
+    recorded driving rewards, train a latent policy ENTIRELY inside the
+    model's imagination (no simulator in the training loop), then score it
+    in the real sim. The reference's world model is a report sketch; this
+    makes it load-bearing."""
+    from carla_imitation_learning_tpu.models.world_model import LatentWorldModel
+    from carla_imitation_learning_tpu.training import imagination as imag
+    from carla_imitation_learning_tpu.training.losses import world_model_loss_fn
+    from carla_imitation_learning_tpu.training.rl import (
+        PPOConfig, reward_from_traj,
+    )
+
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    rng, kc = jax.random.split(rng)
+    store, _, traj = cl.collect_dataset(params, town, rcfg, kc, n_envs, n_steps)
+    # per-frame dense driving reward, env-major like the store's frames
+    rewards = jnp.swapaxes(
+        reward_from_traj(traj, PPOConfig()), 0, 1).reshape(-1)
+
+    # world model fit (same recipe as the world_model experiment)
+    n = len(store)
+    split = (n_envs - 1) * n_steps if n_envs > 1 else int(0.9 * n)
+    wm_batch = int(cfg.get("wm_batch", 16))
+    mk = lambda s, sh: pipe.SequenceDataset(  # noqa: E731
+        s, batch_size=wm_batch, seq_len=seq_len, episode_len=n_steps,
+        shuffle=sh, seed=int(cfg.get("seed", 0)))
+    loaders = {"train_dataloader": mk(store.slice(0, split), True),
+               "val_dataloader": mk(store.slice(split, n), False)}
+    model = LatentWorldModel(
+        z_size=int(cfg.get("wm_z_size", 64)), rnn=str(cfg.get("wm_rnn", "gru")),
+        n_actions=int(cfg.get("n_actions", 9)),
+        height=rcfg.height, width=rcfg.width, dtype=_dtype(cfg))
+    wm_fit = _fit(cfg, "dream_policy_wm", model, model.example_input(1, seq_len),
+                  world_model_loss_fn(), loaders)
+    wm_params = wm_fit["state"].params
+
+    frames = jnp.asarray(store.frames, jnp.float32)[..., None] * (1.0 / 255.0)
+    zs = imag.encode_frames(model, wm_params, frames)
+    rng, kr, kp, ke = jax.random.split(rng, 4)
+    head, rh_params, rh_hist = imag.train_reward_head(
+        zs, rewards, kr, steps=reward_steps)
+    policy, p_params, hist = imag.imagination_train(
+        model, wm_params, head, rh_params, zs, kp, updates=imag_updates,
+        batch=imag_batch, horizon=horizon,
+        gamma=float(cfg.get("imag_gamma", 0.98)),
+        lr=float(cfg.get("imag_lr", 3e-4)),
+        entropy_coef=float(cfg.get("imag_entropy", 3e-3)))
+
+    pf = imag.latent_policy_fn(model, wm_params, policy, p_params)
+    eval_m = cl.evaluate_policy(params, town, rcfg, pf, ke,
+                                n_envs=eval_envs, n_steps=eval_steps)
+    expert_m = cl.evaluate_policy(params, town, rcfg, None, ke,
+                                  n_envs=eval_envs, n_steps=eval_steps)
+    return {
+        "wm_val_loss": wm_fit["history"][-1].get("val_loss"),
+        "reward_head_mse": rh_hist,
+        "imagination": hist,
+        "imagined_return_first": hist[0]["imagined_return"],
+        "imagined_return_last": hist[-1]["imagined_return"],
+        "eval": eval_m,
+        "expert": expert_m,
+    }
+
+
 @experiment("world_model_sweep")
 def world_model_sweep(cfg, n_envs: int = 16, n_steps: int = 128,
                       z_sizes=(64, 128, 512), rnns=("lstm", "gru"),

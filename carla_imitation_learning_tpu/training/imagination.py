@@ -1,0 +1,211 @@
+"""Imagination-trained driving policy (Dreamer-lite) — beyond the reference.
+
+The reference's reports sketch a latent world model (encoder→RNN→decoder,
+reports/figures/combined_archiecture.pdf) but never use it for anything.
+This module closes the loop the sketch implies: a reward head and a small
+latent policy are trained ENTIRELY inside the world model's imagination —
+thousands of latent rollouts per second with no rendering, no simulator —
+and the resulting policy is then evaluated in the real on-device sim.
+
+TPU-first shape: the whole imagination rollout (policy sample → reward →
+latent dynamics step, H steps) is one ``lax.scan`` inside one jitted update;
+gradients flow through BOTH the action distribution (straight-through
+Gumbel-softmax — the world model's RNN consumes one-hot floats, so relaxed
+actions slot straight in) and the latent dynamics (the analytic pathwise
+gradient Dreamer uses), so no high-variance REINFORCE estimator is needed.
+
+Pipeline (experiments.dream_policy):
+  collect → train LatentWorldModel (existing loss) → fit RewardHead on
+  real-frame latents vs recorded rewards (rl.reward_from_traj — the SAME
+  dense signal PPO optimizes) → train LatentPolicy in imagination →
+  evaluate_policy in the real sim.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from carla_imitation_learning_tpu.models.world_model import LatentWorldModel
+
+
+class RewardHead(nn.Module):
+    """z → r̂ (the dense driving reward at the state that produced z)."""
+
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(nn.Dense(self.hidden)(z))
+        return jnp.squeeze(nn.Dense(1)(h), -1)
+
+
+class LatentPolicy(nn.Module):
+    """z → action logits. Tiny on purpose: all perception lives in the
+    world model's encoder; the policy only reads the latent."""
+
+    n_actions: int = 9
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(nn.Dense(self.hidden)(z))
+        return nn.Dense(self.n_actions, dtype=jnp.float32)(h)
+
+
+# -- functional access to the trained world model (frozen params) ----------
+
+def _wm_encode(mdl: LatentWorldModel, frames):
+    return mdl.encoder(frames)
+
+
+def _wm_carry(mdl: LatentWorldModel, batch: int):
+    return mdl.rnn_layer.cell.initialize_carry(
+        jax.random.PRNGKey(0), (batch, mdl.z_size + mdl.n_actions))
+
+
+def _wm_step(mdl: LatentWorldModel, carry, z, a_onehot):
+    """One latent dynamics step with a (possibly RELAXED) one-hot action —
+    mirrors LatentWorldModel.imagine exactly, including the tanh-range clip."""
+    inp = jnp.concatenate([z, a_onehot], axis=-1)
+    carry, h = mdl.rnn_layer.cell(carry, inp)
+    return carry, jnp.clip(mdl.to_z(h), -1.0, 1.0)
+
+
+def encode_frames(wm: LatentWorldModel, wm_params, frames, batch: int = 512):
+    """(N, H, W, C) float frames → (N, z) latents, chunked to bound memory."""
+    outs = []
+    for i in range(0, frames.shape[0], batch):
+        outs.append(wm.apply({"params": wm_params}, frames[i:i + batch],
+                             method=_wm_encode))
+    return jnp.concatenate(outs, axis=0)
+
+
+def train_reward_head(zs, rewards, rng, *, steps: int = 300,
+                      batch: int = 256, lr: float = 1e-3, hidden: int = 64):
+    """Fit RewardHead on (latent, recorded reward) pairs. Returns
+    (head, params, history of mse)."""
+    head = RewardHead(hidden=hidden)
+    rng, ki = jax.random.split(rng)
+    params = head.init(ki, zs[:1])["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    n = zs.shape[0]
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        def loss_fn(p):
+            pred = head.apply({"params": p}, zs[idx])
+            return jnp.mean((pred - rewards[idx]) ** 2)
+
+        mse, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, mse
+
+    history = []
+    for s in range(steps):
+        rng, ks = jax.random.split(rng)
+        idx = jax.random.randint(ks, (min(batch, n),), 0, n)
+        params, opt_state, mse = step(params, opt_state, idx)
+        if s % max(1, steps // 10) == 0 or s == steps - 1:
+            history.append(float(mse))
+    return head, params, history
+
+
+def make_imagination_update(
+    wm: LatentWorldModel, wm_params, head: RewardHead, rh_params,
+    policy: LatentPolicy, tx, *, horizon: int = 15, gamma: float = 0.98,
+    temperature: float = 1.0, entropy_coef: float = 3e-3,
+) -> Callable:
+    """Jitted policy update: imagined discounted return, maximized by
+    backprop through the (frozen) reward head and latent dynamics.
+    update(policy_params, opt_state, z0 (B, z), rng) →
+    (policy_params, opt_state, metrics)."""
+
+    def imagined_loss(p_params, z0, rng):
+        carry = wm.apply({"params": wm_params}, z0.shape[0], method=_wm_carry)
+
+        def step(state, key):
+            carry, z = state
+            logits = policy.apply({"params": p_params}, z)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            # straight-through Gumbel-softmax: hard one-hot forward, relaxed
+            # gradient — the RNN input stays exactly one-hot-shaped
+            g = jax.random.gumbel(key, logits.shape)
+            y = jax.nn.softmax((logits + g) / temperature, axis=-1)
+            hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1])
+            a = hard + y - jax.lax.stop_gradient(y)
+            r = head.apply({"params": rh_params}, z)
+            entropy = -jnp.sum(jnp.exp(logp) * logp, axis=-1).mean()
+            carry, z_next = wm.apply({"params": wm_params}, carry, z, a,
+                                     method=_wm_step)
+            return (carry, z_next), (r, entropy)
+
+        keys = jax.random.split(rng, horizon)
+        (_, _), (rs, ents) = jax.lax.scan(step, (carry, z0), keys)
+        disc = gamma ** jnp.arange(horizon, dtype=jnp.float32)
+        ret = jnp.mean(jnp.sum(rs * disc[:, None], axis=0))
+        entropy = jnp.mean(ents)
+        loss = -(ret + entropy_coef * entropy)
+        return loss, {"imagined_return": ret, "entropy": entropy}
+
+    @jax.jit
+    def update(p_params, opt_state, z0, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            imagined_loss, has_aux=True)(p_params, z0, rng)
+        updates, opt_state = tx.update(grads, opt_state, p_params)
+        p_params = optax.apply_updates(p_params, updates)
+        metrics["loss"] = loss
+        return p_params, opt_state, metrics
+
+    return update
+
+
+def latent_policy_fn(wm: LatentWorldModel, wm_params,
+                     policy: LatentPolicy, policy_params) -> Callable:
+    """Real-sim adapter: the rollout's (B, H, W, fs) float window → the
+    NEWEST frame → world-model latent → argmax latent-policy action. Encoder
+    + policy both jit-compose inside the rollout scan (zero host syncs)."""
+
+    def policy_fn(obs):
+        frame = obs[..., -1:]  # the world model sees single frames
+        z = wm.apply({"params": wm_params}, frame, method=_wm_encode)
+        logits = policy.apply({"params": policy_params}, z)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return policy_fn
+
+
+def imagination_train(
+    wm: LatentWorldModel, wm_params, head: RewardHead, rh_params,
+    zs_start, rng, *, updates: int = 300, batch: int = 128,
+    horizon: int = 15, gamma: float = 0.98, lr: float = 3e-4,
+    entropy_coef: float = 3e-3, hidden: int = 64,
+):
+    """Train a LatentPolicy purely in imagination, starting each rollout
+    from real-frame latents (``zs_start``). Returns
+    (policy, policy_params, history of periodic metric dicts)."""
+    policy = LatentPolicy(n_actions=wm.n_actions, hidden=hidden)
+    rng, ki = jax.random.split(rng)
+    p_params = policy.init(ki, zs_start[:1])["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(p_params)
+    update = make_imagination_update(
+        wm, wm_params, head, rh_params, policy, tx, horizon=horizon,
+        gamma=gamma, entropy_coef=entropy_coef)
+    n = zs_start.shape[0]
+    history = []
+    for s in range(updates):
+        rng, ks, ku = jax.random.split(rng, 3)
+        idx = jax.random.randint(ks, (min(batch, n),), 0, n)
+        p_params, opt_state, metrics = update(p_params, opt_state,
+                                              zs_start[idx], ku)
+        if s % max(1, updates // 10) == 0 or s == updates - 1:
+            history.append({"update": s,
+                            **{k: float(v) for k, v in metrics.items()}})
+    return policy, p_params, history

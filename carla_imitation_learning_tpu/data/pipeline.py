@@ -503,7 +503,15 @@ class SequenceDataset:
 
     def __init__(self, store: FrameStore, batch_size: int, seq_len: int = 8,
                  episode_len: int | None = None, shuffle: bool = True,
-                 seed: int = 0, sharding=None):
+                 seed: int = 0, sharding=None,
+                 continuous_actions: bool = False):
+        """``continuous_actions=True`` yields the EXPERT's continuous
+        (steer, accel) rows (store.controls) as the action sequences —
+        (B, T, 2) float32 — for continuous-conditioned world models."""
+        if continuous_actions and store.controls is None:
+            raise ValueError(
+                "continuous_actions=True needs store.controls (collected "
+                "stores carry them; reference-layout stores do not)")
         self._sharding = sharding
         self.store = store
         self.batch_size = batch_size
@@ -524,15 +532,17 @@ class SequenceDataset:
         if len(starts) == 0:
             raise ValueError(f"no length-{seq_len} sequences in store of {n}")
         self.starts = starts
+        acts = (store.controls.astype(np.float32) if continuous_actions
+                else store.actions.astype(np.int32))
         if sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             rep = NamedSharding(sharding.mesh, PartitionSpec())
             self.frames = jax.device_put(store.frames, rep)
-            self.actions = jax.device_put(store.actions.astype(np.int32), rep)
+            self.actions = jax.device_put(acts, rep)
         else:
             self.frames = jnp.asarray(store.frames)
-            self.actions = jnp.asarray(store.actions.astype(np.int32))
+            self.actions = jnp.asarray(acts)
 
     def __len__(self) -> int:
         return max(1, len(self.starts) // self.batch_size)

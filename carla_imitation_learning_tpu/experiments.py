@@ -1042,7 +1042,13 @@ def dream_policy(cfg, n_envs: int = 16, n_steps: int = 200, seq_len: int = 8,
     recorded driving rewards, train a latent policy ENTIRELY inside the
     model's imagination (no simulator in the training loop), then score it
     in the real sim. The reference's world model is a report sketch; this
-    makes it load-bearing."""
+    makes it load-bearing.
+
+    ``policy_family=continuous`` switches the WHOLE chain to the continuous
+    action space: the world model conditions on the expert's raw
+    (steer, accel) rows, the imagination policy is a tanh controller with
+    pure pathwise gradients (no Gumbel relaxation needed), and the real-sim
+    eval executes the floats."""
     from carla_imitation_learning_tpu.models.world_model import LatentWorldModel
     from carla_imitation_learning_tpu.training import imagination as imag
     from carla_imitation_learning_tpu.training.losses import world_model_loss_fn
@@ -1059,17 +1065,19 @@ def dream_policy(cfg, n_envs: int = 16, n_steps: int = 200, seq_len: int = 8,
         reward_from_traj(traj, PPOConfig()), 0, 1).reshape(-1)
 
     # world model fit (same recipe as the world_model experiment)
+    family = _control_space(cfg)
     n = len(store)
     split = (n_envs - 1) * n_steps if n_envs > 1 else int(0.9 * n)
     wm_batch = int(cfg.get("wm_batch", 16))
     mk = lambda s, sh: pipe.SequenceDataset(  # noqa: E731
         s, batch_size=wm_batch, seq_len=seq_len, episode_len=n_steps,
-        shuffle=sh, seed=int(cfg.get("seed", 0)))
+        shuffle=sh, seed=int(cfg.get("seed", 0)),
+        continuous_actions=(family == "continuous"))
     loaders = {"train_dataloader": mk(store.slice(0, split), True),
                "val_dataloader": mk(store.slice(split, n), False)}
     model = LatentWorldModel(
         z_size=int(cfg.get("wm_z_size", 64)), rnn=str(cfg.get("wm_rnn", "gru")),
-        n_actions=int(cfg.get("n_actions", 9)),
+        n_actions=int(cfg.get("n_actions", 9)), action_space=family,
         height=rcfg.height, width=rcfg.width, dtype=_dtype(cfg))
     wm_fit = _fit(cfg, "dream_policy_wm", model, model.example_input(1, seq_len),
                   world_model_loss_fn(), loaders)
@@ -1085,11 +1093,13 @@ def dream_policy(cfg, n_envs: int = 16, n_steps: int = 200, seq_len: int = 8,
         batch=imag_batch, horizon=horizon,
         gamma=float(cfg.get("imag_gamma", 0.98)),
         lr=float(cfg.get("imag_lr", 3e-4)),
-        entropy_coef=float(cfg.get("imag_entropy", 3e-3)))
+        entropy_coef=float(cfg.get("imag_entropy", 3e-3)),
+        explore_std=float(cfg.get("imag_explore_std", 0.1)))
 
     pf = imag.latent_policy_fn(model, wm_params, policy, p_params)
     eval_m = cl.evaluate_policy(params, town, rcfg, pf, ke,
-                                n_envs=eval_envs, n_steps=eval_steps)
+                                n_envs=eval_envs, n_steps=eval_steps,
+                                control_space=family)
     expert_m = cl.evaluate_policy(params, town, rcfg, None, ke,
                                   n_envs=eval_envs, n_steps=eval_steps)
     return {

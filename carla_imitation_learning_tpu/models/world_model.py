@@ -73,10 +73,28 @@ class LatentWorldModel(nn.Module):
     channels: int = 1
     hidden_size: int = 256
     dtype: jnp.dtype = jnp.bfloat16
+    # "discrete": actions are (B, T) int ids, one-hot-embedded (n_actions
+    # wide). "continuous": actions are (B, T, 2) float (steer, accel) —
+    # the continuous control tier's native conditioning, fed to the RNN
+    # as-is (already in [-1, 1]).
+    action_space: str = "discrete"
+
+    @property
+    def action_width(self) -> int:
+        return self.n_actions if self.action_space == "discrete" else 2
+
+    def _action_input(self, actions: jnp.ndarray) -> jnp.ndarray:
+        if self.action_space == "discrete":
+            return jnp.eye(self.n_actions, dtype=jnp.float32)[actions]
+        return actions.astype(jnp.float32)
 
     def setup(self):
         if self.rnn not in ("lstm", "gru"):
             raise ValueError(f"rnn must be 'lstm' or 'gru', got {self.rnn!r}")
+        if self.action_space not in ("discrete", "continuous"):
+            raise ValueError(
+                f"action_space must be 'discrete' or 'continuous', "
+                f"got {self.action_space!r}")
         self.encoder = FrameEncoder(self.z_size, self.dtype)
         self.decoder = FrameDecoder(self.height, self.width, self.channels, self.dtype)
         cell_cls = nn.OptimizedLSTMCell if self.rnn == "lstm" else nn.GRUCell
@@ -97,9 +115,10 @@ class LatentWorldModel(nn.Module):
         return x.reshape((b, t) + x.shape[1:])
 
     def predict_latents(self, z: jnp.ndarray, actions: jnp.ndarray) -> jnp.ndarray:
-        """(B, T, z) + (B, T) int actions → (B, T, z) one-step predictions
+        """(B, T, z) + (B, T) int actions (or (B, T, 2) float controls for
+        ``action_space="continuous"``) → (B, T, z) one-step predictions
         ẑ_{t+1} (aligned so output[:, t] predicts z[:, t+1])."""
-        a_onehot = jnp.eye(self.n_actions, dtype=jnp.float32)[actions]
+        a_onehot = self._action_input(actions)
         inp = jnp.concatenate([z, a_onehot], axis=-1)  # (B, T, z+A)
         hidden = self.rnn_layer(inp)  # (B, T, hidden) — scan inside one jit
         return self.to_z(hidden)
@@ -113,10 +132,10 @@ class LatentWorldModel(nn.Module):
         Predictions are clipped to the encoder's tanh range [−1, 1] each step
         (identity for in-range values) so compounding one-step errors cannot
         blow up the trajectory."""
-        a_onehot = jnp.eye(self.n_actions, dtype=jnp.float32)[actions]  # (B,H,A)
+        a_onehot = self._action_input(actions)  # (B, H, A)
         carry0 = self.rnn_layer.cell.initialize_carry(
             jax.random.PRNGKey(0),
-            (z0.shape[0], self.z_size + self.n_actions))
+            (z0.shape[0], self.z_size + self.action_width))
 
         def step(mdl, carry_z, a_t):
             carry, z = carry_z
@@ -148,7 +167,10 @@ class LatentWorldModel(nn.Module):
         return recon, z, z_pred, frames_pred
 
     def example_input(self, batch: int = 1, seq: int = 4):
+        actions = (jnp.zeros((batch, seq), jnp.int32)
+                   if self.action_space == "discrete"
+                   else jnp.zeros((batch, seq, 2), jnp.float32))
         return (
             jnp.zeros((batch, seq, self.height, self.width, self.channels), jnp.float32),
-            jnp.zeros((batch, seq), jnp.int32),
+            actions,
         )

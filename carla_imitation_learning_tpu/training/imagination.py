@@ -58,6 +58,20 @@ class LatentPolicy(nn.Module):
         return nn.Dense(self.n_actions, dtype=jnp.float32)(h)
 
 
+class ContinuousLatentPolicy(nn.Module):
+    """z → tanh (steer, accel) for continuous-conditioned world models.
+    Deterministic: in imagination, exploration comes from additive Gaussian
+    noise on the emitted control (pathwise gradients flow through the mean —
+    no relaxation needed, the dynamics input is already continuous)."""
+
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        h = nn.relu(nn.Dense(self.hidden)(z))
+        return jnp.tanh(nn.Dense(2, dtype=jnp.float32)(h))
+
+
 # -- functional access to the trained world model (frozen params) ----------
 
 def _wm_encode(mdl: LatentWorldModel, frames):
@@ -66,7 +80,7 @@ def _wm_encode(mdl: LatentWorldModel, frames):
 
 def _wm_carry(mdl: LatentWorldModel, batch: int):
     return mdl.rnn_layer.cell.initialize_carry(
-        jax.random.PRNGKey(0), (batch, mdl.z_size + mdl.n_actions))
+        jax.random.PRNGKey(0), (batch, mdl.z_size + mdl.action_width))
 
 
 def _wm_step(mdl: LatentWorldModel, carry, z, a_onehot):
@@ -119,29 +133,41 @@ def train_reward_head(zs, rewards, rng, *, steps: int = 300,
 
 def make_imagination_update(
     wm: LatentWorldModel, wm_params, head: RewardHead, rh_params,
-    policy: LatentPolicy, tx, *, horizon: int = 15, gamma: float = 0.98,
+    policy, tx, *, horizon: int = 15, gamma: float = 0.98,
     temperature: float = 1.0, entropy_coef: float = 3e-3,
+    explore_std: float = 0.1,
 ) -> Callable:
     """Jitted policy update: imagined discounted return, maximized by
     backprop through the (frozen) reward head and latent dynamics.
     update(policy_params, opt_state, z0 (B, z), rng) →
-    (policy_params, opt_state, metrics)."""
+    (policy_params, opt_state, metrics).
+
+    Action handling follows the world model's conditioning: discrete models
+    get straight-through Gumbel-softmax samples (hard one-hot forward,
+    relaxed gradient); continuous models get the tanh policy's controls with
+    additive Gaussian exploration noise (``explore_std``) — pure pathwise
+    gradients, entropy term zero."""
+    continuous = wm.action_space == "continuous"
 
     def imagined_loss(p_params, z0, rng):
         carry = wm.apply({"params": wm_params}, z0.shape[0], method=_wm_carry)
 
         def step(state, key):
             carry, z = state
-            logits = policy.apply({"params": p_params}, z)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            # straight-through Gumbel-softmax: hard one-hot forward, relaxed
-            # gradient — the RNN input stays exactly one-hot-shaped
-            g = jax.random.gumbel(key, logits.shape)
-            y = jax.nn.softmax((logits + g) / temperature, axis=-1)
-            hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1])
-            a = hard + y - jax.lax.stop_gradient(y)
+            out = policy.apply({"params": p_params}, z)
+            if continuous:
+                noise = explore_std * jax.random.normal(key, out.shape)
+                a = jnp.clip(out + noise, -1.0, 1.0)
+                entropy = jnp.zeros(())
+            else:
+                logits = out
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                g = jax.random.gumbel(key, logits.shape)
+                y = jax.nn.softmax((logits + g) / temperature, axis=-1)
+                hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1])
+                a = hard + y - jax.lax.stop_gradient(y)
+                entropy = -jnp.sum(jnp.exp(logp) * logp, axis=-1).mean()
             r = head.apply({"params": rh_params}, z)
-            entropy = -jnp.sum(jnp.exp(logp) * logp, axis=-1).mean()
             carry, z_next = wm.apply({"params": wm_params}, carry, z, a,
                                      method=_wm_step)
             return (carry, z_next), (r, entropy)
@@ -167,16 +193,21 @@ def make_imagination_update(
 
 
 def latent_policy_fn(wm: LatentWorldModel, wm_params,
-                     policy: LatentPolicy, policy_params) -> Callable:
+                     policy, policy_params) -> Callable:
     """Real-sim adapter: the rollout's (B, H, W, fs) float window → the
-    NEWEST frame → world-model latent → argmax latent-policy action. Encoder
-    + policy both jit-compose inside the rollout scan (zero host syncs)."""
+    NEWEST frame → world-model latent → latent-policy action (argmax for
+    discrete; the tanh controls for continuous — pair that with
+    ``control_space="continuous"``). Encoder + policy both jit-compose
+    inside the rollout scan (zero host syncs)."""
+    continuous = wm.action_space == "continuous"
 
     def policy_fn(obs):
         frame = obs[..., -1:]  # the world model sees single frames
         z = wm.apply({"params": wm_params}, frame, method=_wm_encode)
-        logits = policy.apply({"params": policy_params}, z)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = policy.apply({"params": policy_params}, z)
+        if continuous:
+            return out
+        return jnp.argmax(out, axis=-1).astype(jnp.int32)
 
     return policy_fn
 
@@ -185,19 +216,24 @@ def imagination_train(
     wm: LatentWorldModel, wm_params, head: RewardHead, rh_params,
     zs_start, rng, *, updates: int = 300, batch: int = 128,
     horizon: int = 15, gamma: float = 0.98, lr: float = 3e-4,
-    entropy_coef: float = 3e-3, hidden: int = 64,
+    entropy_coef: float = 3e-3, hidden: int = 64, explore_std: float = 0.1,
 ):
-    """Train a LatentPolicy purely in imagination, starting each rollout
-    from real-frame latents (``zs_start``). Returns
+    """Train a latent policy purely in imagination, starting each rollout
+    from real-frame latents (``zs_start``). The policy family follows the
+    world model's action conditioning (LatentPolicy for discrete,
+    ContinuousLatentPolicy for continuous). Returns
     (policy, policy_params, history of periodic metric dicts)."""
-    policy = LatentPolicy(n_actions=wm.n_actions, hidden=hidden)
+    if wm.action_space == "continuous":
+        policy = ContinuousLatentPolicy(hidden=hidden)
+    else:
+        policy = LatentPolicy(n_actions=wm.n_actions, hidden=hidden)
     rng, ki = jax.random.split(rng)
     p_params = policy.init(ki, zs_start[:1])["params"]
     tx = optax.adam(lr)
     opt_state = tx.init(p_params)
     update = make_imagination_update(
         wm, wm_params, head, rh_params, policy, tx, horizon=horizon,
-        gamma=gamma, entropy_coef=entropy_coef)
+        gamma=gamma, entropy_coef=entropy_coef, explore_std=explore_std)
     n = zs_start.shape[0]
     history = []
     for s in range(updates):

@@ -23,7 +23,6 @@ Pipeline (experiments.dream_policy):
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

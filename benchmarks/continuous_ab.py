@@ -73,7 +73,7 @@ def main() -> None:
 
     keep = ("driving_score", "route_completion", "success_rate",
             "collisions_per_km", "red_violations_per_km", "mean_speed",
-            "action_agreement", "km_driven",
+            "action_agreement", "km_driven", "steer_rate",
             "driving_score_arc", "route_completion_arc")
 
     def trim(m):

@@ -467,8 +467,17 @@ def evaluate_policy(
     arc_completion = np.clip(route_km_env / ideal_km, 0.0, 1.0)
     penalty = (0.60 ** coll.sum(0)) * (0.65 ** off.sum(0)) \
         * (0.70 ** ran_red.sum(0))
+    # comfort tier: mean per-step |Δ commanded steer| (rad of wheel command
+    # per step), masked across auto-resets — a bang-bang discrete policy
+    # saturates this where a continuous one glides (the CARLA leaderboard's
+    # comfort criteria measure the same failure mode via accelerations)
+    steer_cmd = np.asarray(traj["steer"], np.float64)      # (T, B)
+    dsteer = np.abs(np.diff(steer_cmd, axis=0))
+    valid = ~done[:-1]                                     # reset boundaries
+    steer_rate = float((dsteer * valid).sum() / max(valid.sum(), 1))
     return {
         "mean_speed": float(speed.mean()),
+        "steer_rate": steer_rate,
         "collisions_per_1k_steps": float(coll.sum()) / steps * 1000,
         "offroad_per_1k_steps": float(off.sum()) / steps * 1000,
         "episodes_ended": int(done.sum()),

@@ -278,3 +278,21 @@ def test_cli_dagger_continuous(tmp_path, capsys):
         assert np.isfinite(r["train_loss"])
         assert 0.0 <= r["driving_score"] <= 1.0
     assert result["rounds"][1]["dataset_frames"] == 2 * 4 * 24
+
+
+def test_steer_rate_comfort_metric():
+    """evaluate_policy reports mean |Δ commanded steer| per step; a smooth
+    constant-steer continuous policy scores ~0 while a bang-bang alternator
+    scores ~2 (full-range flips)."""
+    def smooth(obs):
+        return jnp.tile(jnp.asarray([[0.2, 0.5]], jnp.float32),
+                        (obs.shape[0], 1))
+
+    m = evaluate_policy(PARAMS, TOWN, RCFG, smooth, jax.random.PRNGKey(20),
+                        n_envs=3, n_steps=12, control_space="continuous")
+    assert m["steer_rate"] < 1e-6
+
+    # the expert steers smoothly: small but bounded nonzero command motion
+    e = evaluate_policy(PARAMS, TOWN, RCFG, None, jax.random.PRNGKey(21),
+                        n_envs=3, n_steps=30)
+    assert 0.0 <= e["steer_rate"] < 2.0

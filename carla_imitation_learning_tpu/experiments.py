@@ -1612,3 +1612,84 @@ def bc_rnn(cfg, n_envs: int = 32, n_steps: int = 300, seq_len: int = 8,
         policy_carry_init=carry_init)
     result["closed_loop"] = metrics
     return result
+
+
+@experiment("replay")
+def replay_exp(cfg, record: str | None = None, checkpoint: str | None = None,
+               n_envs: int = 16, n_steps: int = 120, env_index: int = -1,
+               out_height: int = 128, out_width: int = 128,
+               make_gif: bool = True, **kw):
+    """CARLA-recorder equivalent (client.start_recorder / replay_file),
+    TPU-native: record = (initial WorldState, executed controls) — a few KB
+    for a whole fleet — and replay re-steps the pure sim bit-exactly
+    (training/replay.py).
+
+    Without ``record=``: rolls out ``n_envs`` x ``n_steps`` (the expert, or
+    ``checkpoint=`` policy) and saves ``log_dir/episode.npz``. Then — either
+    way — replays: picks ``env_index`` (default −1 = the most EVENTFUL env:
+    most collisions, then most distance), re-renders it at
+    ``out_height``x``out_width`` with RGB + semantic planes (the spectator-
+    camera workflow), writes a GIF, and self-checks replay exactness against
+    a second dynamics pass."""
+    from carla_imitation_learning_tpu.sim.town import town_kwargs_from_cfg
+    from carla_imitation_learning_tpu.training import replay as rp
+
+    log_dir = Path(cfg["log_dir"])
+    log_dir.mkdir(parents=True, exist_ok=True)
+    if record:
+        rec = rp.load_record(record)
+        rec_path = str(record)
+    else:
+        town, params, rcfg = _sim_bits(cfg)
+        policy_fn, rng, space = _eval_policy_fn(cfg, checkpoint, None,
+                                                rcfg.height, rcfg.width)
+        init_fn, rollout_fn = cl.make_rollout(
+            params, town, rcfg, policy_fn,
+            frame_skip=int(cfg.get("frame_skip", 4)), control_space=space)
+        carry = init_fn(rng, n_envs)
+        states0 = carry[0]
+        _, traj = rollout_fn(carry, n_steps)
+        rec = rp.record_from_rollout(
+            states0, traj, params=params,
+            town_kwargs=town_kwargs_from_cfg(
+                cfg, seed=int(cfg.get("data_seed", 0))),
+            rcfg=rcfg,
+            meta={"driver": "checkpoint" if checkpoint else "expert",
+                  "seed": int(cfg.get("seed", 0))})
+        rec_path = rp.save_record(log_dir / "episode.npz", rec)
+
+    # dynamics-only replay of the WHOLE fleet: env pick + exactness stats
+    dyn = rp.replay_record(rec, render=False)
+    collisions = np.asarray(dyn["collision"]).sum(axis=0)
+    km = np.asarray(dyn["speed"]).sum(axis=0)
+    idx = (int(env_index) if int(env_index) >= 0
+           else int(np.lexsort((-km, -collisions))[0]))
+    dyn2 = rp.replay_record(rp.select_envs(rec, idx), render=False)
+    exact = float(np.abs(np.asarray(dyn2["speed"])[:, 0]
+                         - np.asarray(dyn["speed"])[:, idx]).max())
+
+    out = {"record": rec_path, "n_envs": rec.n_envs, "n_steps": rec.n_steps,
+           "env_index": idx, "env_collisions": int(collisions[idx]),
+           "replay_speed_max_abs_diff": exact,
+           "record_bytes": Path(rec_path).stat().st_size}
+    if make_gif:
+        frames = rp.replay_record(
+            rp.select_envs(rec, idx),
+            render_override={"height": int(out_height),
+                             "width": int(out_width), "rgb": True,
+                             "semantic": True, "backend": "jax",
+                             "fast": False})
+        from PIL import Image
+
+        rgb = np.clip(np.asarray(frames["rgb"])[:, 0] * 255,
+                      0, 255).astype(np.uint8)
+        sem = np.clip(np.asarray(frames["semantic_rgb"])[:, 0] * 255,
+                      0, 255).astype(np.uint8)
+        imgs = [Image.fromarray(np.concatenate([a, b], axis=1))
+                for a, b in zip(rgb, sem)]
+        gif_path = str(log_dir / f"replay_env{idx}.gif")
+        imgs[0].save(gif_path, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 * float(rec.sim.get("dt", 0.05))),
+                     loop=0)
+        out["gif"] = gif_path
+    return out

@@ -373,9 +373,12 @@ def make_town(
     )
 
 
-def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
+def town_kwargs_from_cfg(cfg, seed: int = 0) -> dict:
+    """The ``make_town`` kwargs a config implies — recorded verbatim into
+    episode records (training/replay.py) so a replay rebuilds the identical
+    town."""
     t = cfg.sim.town
-    return make_town(
+    return dict(
         blocks=int(t.blocks), block_size=float(t.block_size),
         lane_width=float(t.lane_width), n_buildings=int(t.n_buildings),
         n_lights=int(cfg.sim.n_lights), seed=seed,
@@ -384,6 +387,10 @@ def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
         superblocks=bool(t.get("superblocks", False)),
         turn_fans=bool(t.get("turn_fans", False)),
     )
+
+
+def make_town_from_cfg(cfg, seed: int = 0) -> TownMap:
+    return make_town(**town_kwargs_from_cfg(cfg, seed))
 
 
 def route_point(town: TownMap, route_idx, s):

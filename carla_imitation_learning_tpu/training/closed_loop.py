@@ -103,6 +103,18 @@ def _noise_schedule(key, n_steps: int, n_envs: int, ncfg: NoiseConfig):
     return jnp.clip(conv, -ncfg.magnitude, ncfg.magnitude)
 
 
+def rollout_spawn_pool(params: SimParams, town: TownMap):
+    """The packed auto-reset spawn pool every rollout draws from. One shared
+    constructor (fixed seed/size) so a deterministic REPLAY (training/replay.py)
+    reproduces the rollout's ``pick_fresh_packed`` picks bit-for-bit."""
+    from carla_imitation_learning_tpu.sim.world import (
+        make_spawn_pool, pack_spawn_pool,
+    )
+
+    return pack_spawn_pool(
+        make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024))
+
+
 def make_rollout(
     params: SimParams,
     town: TownMap,
@@ -172,12 +184,9 @@ def make_rollout(
         rcfg = _dc.replace(rcfg, lod_px=2.0)
     render = make_renderer(params, town, rcfg)
     render_batch = jax.vmap(render)
-    from carla_imitation_learning_tpu.sim.world import (
-        make_spawn_pool, pack_spawn_pool, pick_fresh_packed,
-    )
+    from carla_imitation_learning_tpu.sim.world import pick_fresh_packed
 
-    spawn_pool = pack_spawn_pool(
-        make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024))
+    spawn_pool = rollout_spawn_pool(params, town)
     step_batch = jax.vmap(lambda s, c, f: step_env(params, town, s, c, f))
     expert_batch = jax.vmap(lambda s: autopilot_control(params, town, s))
     sensor_batch = jax.vmap(lambda s: sensor_vector(params, s))

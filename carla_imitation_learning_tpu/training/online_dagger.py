@@ -43,11 +43,10 @@ from carla_imitation_learning_tpu.data.actions import continuous_to_discrete
 from carla_imitation_learning_tpu.render.pipeline import RenderConfig, make_renderer
 from carla_imitation_learning_tpu.sim.town import TownMap
 from carla_imitation_learning_tpu.sim.world import (
-    SimParams, autopilot_control, make_spawn_pool, pack_spawn_pool,
-    pick_fresh_packed, reset_env, step_env,
+    SimParams, autopilot_control, pick_fresh_packed, reset_env, step_env,
 )
 from carla_imitation_learning_tpu.training.closed_loop import (
-    control_from_discrete, update_framebuf,
+    control_from_discrete, rollout_spawn_pool, update_framebuf,
 )
 from carla_imitation_learning_tpu.training.steps import TrainState
 
@@ -139,8 +138,7 @@ def make_online_dagger(
         rcfg = _dc.replace(rcfg, rgb=False, fast=True)
     k_per_env = max(1, batch // n_envs)
     render_batch = jax.vmap(make_renderer(params, town, rcfg))
-    spawn_pool = pack_spawn_pool(
-        make_spawn_pool(params, town, jax.random.PRNGKey(0x5EED), 1024))
+    spawn_pool = rollout_spawn_pool(params, town)
     step_batch = jax.vmap(lambda s, c, f: step_env(params, town, s, c, f))
     expert_batch = jax.vmap(lambda s: autopilot_control(params, town, s))
 

@@ -1,0 +1,167 @@
+"""Episode recorder/replay (training/replay.py): deterministic re-stepping.
+
+The CARLA-recorder-equivalent tier: a record is (initial WorldState, executed
+controls, static configs); replay must reproduce the original rollout's
+dynamics exactly and support re-rendering with a different camera config.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+from carla_imitation_learning_tpu.sim import SimParams, make_town
+from carla_imitation_learning_tpu.training import closed_loop as cl
+from carla_imitation_learning_tpu.training.replay import (
+    EpisodeRecord,
+    load_record,
+    make_replay,
+    rebuild_world,
+    record_from_rollout,
+    replay_record,
+    save_record,
+    select_envs,
+)
+
+N_ENVS, N_STEPS = 6, 50
+
+
+@pytest.fixture(scope="module")
+def world():
+    town_kwargs = dict(blocks=2, n_buildings=8, n_lights=4, seed=1,
+                       corner_radius=4.0)
+    params = SimParams(n_agents=6, episode_len=30)  # short: forces auto-resets
+    rcfg = RenderConfig(height=32, width=32, backend="jax",
+                        max_triangles=256)
+    return params, make_town(**town_kwargs), town_kwargs, rcfg
+
+
+@pytest.fixture(scope="module")
+def recorded(world):
+    params, town, town_kwargs, rcfg = world
+    init_fn, rollout_fn = cl.make_rollout(params, town, rcfg, None)
+    carry = init_fn(jax.random.PRNGKey(7), N_ENVS)
+    states0 = carry[0]
+    _, traj = rollout_fn(carry, N_STEPS)
+    rec = record_from_rollout(states0, traj, params=params,
+                              town_kwargs=town_kwargs, rcfg=rcfg,
+                              meta={"driver": "expert"})
+    return rec, traj
+
+
+def test_record_shape_and_meta(recorded):
+    rec, _ = recorded
+    assert rec.controls.shape == (N_STEPS, N_ENVS, 3)
+    assert rec.n_steps == N_STEPS and rec.n_envs == N_ENVS
+    assert rec.meta["driver"] == "expert"
+    assert rec.sim["n_agents"] == 6 and rec.town["blocks"] == 2
+
+
+def test_replay_reproduces_dynamics_exactly(recorded, world):
+    """Replayed sensors/speed/collision/done traces equal the original
+    rollout's — same platform, same pick_fresh→step composition."""
+    params, town, _, _ = world
+    rec, traj = recorded
+    replay_fn = make_replay(params, town, rcfg=None)
+    _, out = replay_fn(jax.tree_util.tree_map(jnp.asarray, rec.states0),
+                       jnp.asarray(rec.controls))
+    np.testing.assert_array_equal(np.asarray(out["done"]),
+                                  np.asarray(traj["done"]))
+    np.testing.assert_array_equal(np.asarray(out["collision"]),
+                                  np.asarray(traj["collision"]))
+    np.testing.assert_array_equal(np.asarray(out["traffic"]),
+                                  np.asarray(traj["traffic"]))
+    np.testing.assert_allclose(np.asarray(out["speed"]),
+                               np.asarray(traj["speed"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["sensor"]),
+                               np.asarray(traj["sensor"]), atol=1e-5)
+
+
+def test_replay_covers_auto_resets(recorded):
+    """episode_len=30 < 50 steps guarantees mid-rollout resets; the replay
+    must reproduce them (spawn-pool picks included), not diverge after one."""
+    rec, traj = recorded
+    done = np.asarray(traj["done"])
+    assert done.any(), "fixture must exercise auto-resets"
+    out = replay_record(rec, render=False)
+    np.testing.assert_array_equal(np.asarray(out["done"]), done)
+    # sensors AFTER the first reset still match → post-reset state identical
+    t0 = int(np.argwhere(done.any(axis=1))[0, 0])
+    np.testing.assert_allclose(np.asarray(out["sensor"])[t0 + 1:],
+                               np.asarray(traj["sensor"])[t0 + 1:],
+                               atol=1e-5)
+
+
+def test_save_load_roundtrip(tmp_path, recorded):
+    rec, _ = recorded
+    p = save_record(tmp_path / "ep.npz", rec)
+    rec2 = load_record(p)
+    assert isinstance(rec2, EpisodeRecord)
+    np.testing.assert_array_equal(rec2.controls, rec.controls)
+    for f in dataclasses.fields(type(rec.states0)):
+        np.testing.assert_array_equal(np.asarray(getattr(rec2.states0, f.name)),
+                                      np.asarray(getattr(rec.states0, f.name)))
+    assert rec2.sim == rec.sim and rec2.town == rec.town
+    assert rec2.render == rec.render and rec2.meta == rec.meta
+    params2, town2 = rebuild_world(rec2)
+    assert params2.n_agents == 6
+    out = replay_record(rec2, render=False)
+    assert np.asarray(out["speed"]).shape == (N_STEPS, N_ENVS)
+
+
+def test_select_envs_replays_standalone(recorded):
+    """A single env sliced from the fleet replays to the same per-env trace —
+    envs are independent."""
+    rec, traj = recorded
+    sub = select_envs(rec, 3)
+    assert sub.n_envs == 1
+    out = replay_record(sub, render=False)
+    np.testing.assert_allclose(np.asarray(out["speed"])[:, 0],
+                               np.asarray(traj["speed"])[:, 3], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["done"])[:, 0],
+                                  np.asarray(traj["done"])[:, 3])
+
+
+def test_rerender_with_new_camera(recorded):
+    """The spectator-camera workflow: replay a grayscale 32x32 record at a
+    different resolution with RGB + semantic planes."""
+    rec, traj = recorded
+    sub = select_envs(rec, [0, 1])
+    out = replay_record(sub, render_override={"height": 64, "width": 64,
+                                              "rgb": True, "semantic": True})
+    assert out["rgb"].shape == (N_STEPS, 2, 64, 64, 3)
+    assert out["semantic"].shape == (N_STEPS, 2, 64, 64)
+    assert out["gray"].shape == (N_STEPS, 2, 64, 64)
+    # dynamics unchanged by the new camera
+    np.testing.assert_array_equal(np.asarray(out["done"]),
+                                  np.asarray(traj["done"])[:, :2])
+    # the replayed gray at the RECORDED config matches what the policy saw:
+    # rollout quantized to uint8, so compare at that precision
+    out_same = replay_record(select_envs(rec, [0]), render_override=None)
+    gray_u8 = np.clip(np.asarray(out_same["gray"]) * 255.0 + 0.5,
+                      0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(gray_u8[:, 0], np.asarray(traj["gray"])[:, 0])
+
+
+def test_noise_rides_the_executed_controls(world):
+    """Noise-injected collection replays exactly: the executed (noised) steer
+    is what the record carries."""
+    params, town, town_kwargs, rcfg = world
+    noise = cl.NoiseConfig(prob=0.2, duration=5, magnitude=0.6, seed=3)
+    init_fn, rollout_fn = cl.make_rollout(params, town, rcfg, None,
+                                          noise=noise)
+    carry = init_fn(jax.random.PRNGKey(11), 4)
+    states0 = carry[0]
+    _, traj = rollout_fn(carry, 30)
+    assert not np.allclose(np.asarray(traj["steer"]),
+                           np.asarray(traj["clean_steer"]))
+    rec = record_from_rollout(states0, traj, params=params,
+                              town_kwargs=town_kwargs, rcfg=rcfg)
+    out = replay_record(rec, render=False)
+    np.testing.assert_allclose(np.asarray(out["speed"]),
+                               np.asarray(traj["speed"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["collision"]),
+                                  np.asarray(traj["collision"]))

@@ -1693,3 +1693,40 @@ def replay_exp(cfg, record: str | None = None, checkpoint: str | None = None,
                      loop=0)
         out["gif"] = gif_path
     return out
+
+
+@experiment("route_eval")
+def route_eval(cfg, checkpoint: str | None = None, artifact: str | None = None,
+               n_envs: int = 64, n_steps: int = 600, n_goals: int = 8, **kw):
+    """Destination-based (A→B) evaluation — the CARLA leaderboard's actual
+    task shape, enabled by the global route planner (sim/planner.py):
+    ``n_goals`` destinations are sampled on the town's shared lane stretches,
+    shortest-path navigation tables are baked host-side once (Dijkstra over
+    the quantized route graph), and each env drives to its assigned goal —
+    arrival rate / time-to-arrival / infractions per km for the policy, with
+    the privileged expert's numbers as the ceiling. The town must have turn
+    fans (the preset enables them); goal routing is pure gathers inside the
+    rollout scan."""
+    from carla_imitation_learning_tpu.sim.planner import (
+        plan_to_goals, sample_goals,
+    )
+
+    # the planner routes over the turn-fan graph — force it on
+    if not bool(cfg.get_dotted("sim.town.turn_fans", False)):
+        cfg.set_dotted("sim.town.turn_fans", True)
+    town, params, rcfg = _sim_bits(cfg)
+    goals = sample_goals(town, int(cfg.get("data_seed", 0)), int(n_goals))
+    town = plan_to_goals(town, goals)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
+    expert = cl.evaluate_routes(params, town, rcfg, None, rng,
+                                n_envs=n_envs, n_steps=n_steps, mesh=mesh)
+    out = {"goals": np.asarray(goals).tolist(), "expert": expert}
+    if checkpoint or artifact:
+        policy_fn, prng, space = _eval_policy_fn(cfg, checkpoint, artifact,
+                                                 rcfg.height, rcfg.width)
+        out["policy"] = cl.evaluate_routes(params, town, rcfg, policy_fn,
+                                           prng, n_envs=n_envs,
+                                           n_steps=n_steps, mesh=mesh,
+                                           control_space=space)
+    return out

@@ -52,6 +52,14 @@ class TownMap(struct.PyTreeNode):
     transfer_route: jnp.ndarray | None = None
     transfer_s: jnp.ndarray | None = None
     transfer_valid: jnp.ndarray | None = None
+    # Goal navigation tables (sim/planner.py plan_to_goals, else None):
+    # for goal g at node (route r, sample point p), nav_slot[g,r,p] is the
+    # turn-fan slot to take (−1 = stay), nav_dist[g,r,p] the meters to goal,
+    # nav_goals[g] the goal point. Consulted per step by pure gathers for
+    # envs with WorldState.goal >= 0 (sim/world.py _apply_route_transfers).
+    nav_slot: jnp.ndarray | None = None
+    nav_dist: jnp.ndarray | None = None
+    nav_goals: jnp.ndarray | None = None
 
     @property
     def n_routes(self) -> int:

@@ -43,6 +43,10 @@ class SimParams:
     light_yellow: float = 2.0
     light_red: float = 6.0
     collision_radius: float = 2.2
+    # Goal navigation (sim/planner.py): an env with WorldState.goal >= 0
+    # arrives — episode ends as a success — within this many meters of its
+    # goal point.
+    arrive_radius: float = 4.0
     episode_len: int = 400
     target_speed: float = 8.0  # autopilot cruise speed
     # Scripted ego lane changes (multi-lane towns): every ``lane_change_period``
@@ -80,6 +84,7 @@ class SimParams:
             lane_change_window=int(s.get("lane_change_window", 12)),
             turn_period=int(s.get("turn_period", 0)),
             agent_turn_prob=float(s.get("agent_turn_prob", 0.0)),
+            arrive_radius=float(s.get("arrive_radius", 4.0)),
         )
 
 
@@ -98,6 +103,9 @@ class WorldState(struct.PyTreeNode):
     peds_phase: jnp.ndarray     # (P,) walk/wait phase (sim/pedestrians.py)
     t: jnp.ndarray          # () int32 step count within episode
     rng: jnp.ndarray        # PRNG key folded at resets
+    # () int32 navigation goal id into town.nav_* tables (sim/planner.py);
+    # −1 (the reset default) = free-roam, identical to the pre-goal behavior.
+    goal: jnp.ndarray
 
 
 class VehicleControl(struct.PyTreeNode):
@@ -132,6 +140,7 @@ def reset_env(params: SimParams, town: TownMap, rng) -> WorldState:
         agents_v=jnp.full((a,), params.agent_target_speed * 0.5),
         peds_crossing=peds_crossing, peds_s=peds_s, peds_phase=peds_phase,
         t=jnp.zeros((), jnp.int32), rng=k_state,
+        goal=jnp.full((), -1, jnp.int32),
     )
 
 
@@ -243,23 +252,49 @@ def _apply_route_transfers(params: SimParams, town: TownMap,
     probability scales with how few options the current stretch offers);
     agents roll with per-step probability ``agent_turn_prob``. All pure
     gathers + one PRNG draw; compiles out entirely when disabled."""
+    nav = town.nav_slot is not None
     if town.transfer_route is None or (
-            params.turn_period <= 0 and params.agent_turn_prob <= 0.0):
+            params.turn_period <= 0 and params.agent_turn_prob <= 0.0
+            and not nav):
         return mid
     K = town.transfer_route.shape[-1]
     key = jax.random.fold_in(jax.random.fold_in(state.rng, 0x7F2B), state.t)
     k_slot, k_ag, k_agslot = jax.random.split(key, 3)
     out = mid
-    if params.turn_period > 0:
+    if params.turn_period > 0 or nav:
         i = _route_index(town, mid.ego_route, mid.ego_s)
         slot = jax.random.randint(k_slot, (), 0, K)
-        hit = jnp.mod(mid.t, params.turn_period) == 0
+        hit = (jnp.mod(mid.t, params.turn_period) == 0
+               if params.turn_period > 0 else jnp.zeros((), bool))
+        if nav:
+            # goal navigation overrides the random turn re-roll: take the
+            # planner's prescribed slot wherever its table says so
+            # (sim/planner.py — every step, pure gathers)
+            g = jnp.clip(mid.goal, 0, town.nav_slot.shape[0] - 1)
+            nav_slot = town.nav_slot[g, mid.ego_route, i]
+            nav_on = mid.goal >= 0
+            slot = jnp.where(nav_on, jnp.maximum(nav_slot, 0), slot)
+            hit = jnp.where(nav_on, nav_slot >= 0, hit)
         do = hit & town.transfer_valid[mid.ego_route, i, slot]
         new_route = town.transfer_route[mid.ego_route, i, slot]
         frac_off = jnp.mod(mid.ego_s, town.route_total[mid.ego_route]) \
             - town.route_arclen[mid.ego_route, i]
         new_s = jnp.mod(town.transfer_s[mid.ego_route, i, slot] + frac_off,
                         town.route_total[new_route])
+        if nav:
+            # monotone-descent gate: a nav transfer must STRICTLY reduce the
+            # table distance at the node it actually LANDS on. The parent
+            # tree is acyclic over graph nodes, but the runtime landing index
+            # quantizes ±1 node off the graph target, which can compose
+            # prescriptions into route-id ping-pongs between coincident
+            # loops; requiring strict descent (the true parent edge saves
+            # ≥ its hop cost; a bounce saves nothing) kills every cycle
+            # while a needed transfer fires within a node's transit time.
+            g = jnp.clip(mid.goal, 0, town.nav_slot.shape[0] - 1)
+            i_new = _route_index(town, new_route, new_s)
+            descent = (town.nav_dist[g, new_route, i_new]
+                       < town.nav_dist[g, mid.ego_route, i])
+            do &= jnp.where(mid.goal >= 0, descent, True)
         out = out.replace(
             ego_route=jnp.where(do, new_route, mid.ego_route),
             ego_s=jnp.where(do, new_s, mid.ego_s))
@@ -333,14 +368,30 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
     collided = hit_vehicle | hit_building | hit_ped
     t_new = state.t + 1
     timeout = t_new >= params.episode_len
-    done = collided | off | timeout
+    arrived = jnp.zeros((), bool)
+    unreachable = jnp.zeros((), bool)
+    if town.nav_goals is not None:
+        # goal navigation (sim/planner.py): reaching the goal point ends the
+        # episode as a success. A spawn from which the goal is UNREACHABLE
+        # (inf in the distance table — e.g. the perimeter loop, which shares
+        # no lane line with the fan graph) ends immediately so the respawn
+        # re-attempts from a connected spawn instead of orbiting forever.
+        g = jnp.clip(state.goal, 0, town.nav_goals.shape[0] - 1)
+        nav_on = state.goal >= 0
+        arrived = nav_on & (
+            jnp.linalg.norm(ego_pos - town.nav_goals[g])
+            < params.arrive_radius)
+        i = _route_index(town, state.ego_route, state.ego_s)
+        unreachable = nav_on & ~jnp.isfinite(
+            town.nav_dist[g, state.ego_route, i])
+    done = collided | off | timeout | arrived | unreachable
 
     mid = WorldState(
         ego_pos=ego_pos, ego_yaw=ego_yaw, ego_v=ego_v, ego_steer=ego_steer,
         ego_route=state.ego_route, ego_s=state.ego_s,
         agents_route=agents_route, agents_s=agents_s, agents_v=agents_v,
         peds_crossing=state.peds_crossing, peds_s=peds_s, peds_phase=peds_phase,
-        t=t_new, rng=state.rng,
+        t=t_new, rng=state.rng, goal=state.goal,
     )
     mid = _apply_ego_lane_change(params, town, state, mid)
     mid = mid.replace(ego_s=_nearest_s_update(town, mid))
@@ -351,6 +402,9 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
         reset_rng, next_rng = jax.random.split(jax.random.fold_in(state.rng, state.t))
         fresh = reset_env(params, town, reset_rng)
         fresh = fresh.replace(rng=next_rng)
+    # the goal survives auto-resets: a goal-directed env re-attempts its
+    # destination from the fresh spawn (free-roam envs keep −1)
+    fresh = fresh.replace(goal=state.goal)
     new_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(done, a, b), fresh, mid)  # done is scalar: broadcasts
 
@@ -358,7 +412,7 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
         "collision": collided, "offroad": off, "timeout": timeout, "done": done,
         "speed": ego_v, "red_light": agent_lib.red_light_ahead(
             town, ego_pos, ego_yaw, phases, stop_distance=15.0),
-        "pedestrian": hit_ped,
+        "pedestrian": hit_ped, "arrived": arrived,
     }
     return new_state, info
 

@@ -369,7 +369,7 @@ def make_rollout(
             "sensor": sensors, "traffic": traffic, "command": command,
             "collision": info["collision"], "offroad": info["offroad"],
             "done": info["done"], "speed": info["speed"],
-            "red_light": info["red_light"],
+            "red_light": info["red_light"], "arrived": info["arrived"],
             "steer": control.steer, "throttle": control.throttle,
             "brake": control.brake,
         }
@@ -505,6 +505,79 @@ def evaluate_policy(
         "route_km": float(route_km_env.sum()),
         "route_completion_arc": float(arc_completion.mean()),
         "driving_score_arc": float((arc_completion * penalty).mean()),
+    }
+
+
+def evaluate_routes(
+    params: SimParams, town: TownMap, rcfg: RenderConfig,
+    policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 600,
+    frame_skip: int = 4, mesh=None, control_space: str = "discrete",
+) -> dict:
+    """Destination-based (A→B) driving evaluation — the CARLA leaderboard's
+    actual task shape: each env gets a GOAL (round-robin over
+    ``town.nav_goals``, baked by sim/planner.plan_to_goals), the planner's
+    tables steer the route plan, and the score is about REACHING the
+    destination — arrival rate over attempted episodes, steps per arrival,
+    infractions per km — rather than open-ended cruising. Requires a town
+    with nav tables; the whole fleet still runs as one jitted scan (goal
+    routing is pure gathers; arrivals auto-reset and re-attempt).
+
+    An episode "attempt" ends in exactly one of: arrival (success), crash /
+    off-road (failure), timeout, or unreachable-spawn respawn (excluded —
+    the spawn, not the driver, failed; they are ended at t=1 with no steps
+    driven). The trailing unfinished episode of each env is not counted.
+    """
+    if town.nav_goals is None:
+        raise ValueError("evaluate_routes needs a town with nav tables "
+                         "(sim/planner.plan_to_goals)")
+    init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn,
+                                       frame_skip, mesh=mesh,
+                                       control_space=control_space)
+    carry = init_fn(rng, n_envs)
+    n_goals = int(town.nav_goals.shape[0])
+    goal_ids = jnp.arange(n_envs, dtype=jnp.int32) % n_goals
+    carry = (carry[0].replace(goal=goal_ids),) + tuple(carry[1:])
+    _, traj = rollout_fn(carry, n_steps)
+
+    done = np.asarray(traj["done"], bool)          # (T, B)
+    arrived = np.asarray(traj["arrived"], bool)
+    coll = np.asarray(traj["collision"], bool)
+    off = np.asarray(traj["offroad"], bool)
+    speed = np.asarray(traj["speed"], np.float64)
+    km = float(speed.sum() * params.dt / 1000.0)
+
+    arrivals = crashes = timeouts = 0
+    steps_to_arrival = []
+    for b in range(done.shape[1]):
+        start = 0
+        for t in np.nonzero(done[:, b])[0]:
+            length = int(t) - start + 1
+            start = int(t) + 1
+            if arrived[t, b]:
+                arrivals += 1
+                steps_to_arrival.append(length)
+            elif coll[t, b] or off[t, b]:
+                crashes += 1
+            elif length > 1:
+                timeouts += 1
+            # length == 1 and no infraction → unreachable-spawn respawn
+    attempts = arrivals + crashes + timeouts
+    failed = coll.sum() + off.sum()
+    return {
+        "goals": n_goals,
+        "attempts": int(attempts),
+        "arrivals": int(arrivals),
+        "arrival_rate": float(arrivals / attempts) if attempts else 0.0,
+        "crashes": int(crashes),
+        "timeouts": int(timeouts),
+        "mean_steps_to_arrival": (float(np.mean(steps_to_arrival))
+                                  if steps_to_arrival else None),
+        "mean_seconds_to_arrival": (float(np.mean(steps_to_arrival))
+                                    * params.dt if steps_to_arrival else None),
+        "km_driven": km,
+        "arrivals_per_km": float(arrivals / km) if km > 0 else None,
+        "infractions_per_km": float(failed / km) if km > 0 else None,
+        "env_steps": int(done.size),
     }
 
 

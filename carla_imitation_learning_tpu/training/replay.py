@@ -124,8 +124,16 @@ def save_record(path, rec: EpisodeRecord) -> str:
 def load_record(path) -> EpisodeRecord:
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
-        states0 = WorldState(**{n: z[f"state0_{n}"] for n in _STATE_FIELDS})
         controls = z["controls"]
+        fields = {}
+        for n in _STATE_FIELDS:
+            if f"state0_{n}" in z:
+                fields[n] = z[f"state0_{n}"]
+            elif n == "goal":  # records predating goal navigation: free-roam
+                fields[n] = np.full((controls.shape[1],), -1, np.int32)
+            else:
+                raise KeyError(f"record lacks WorldState field {n!r}")
+        states0 = WorldState(**fields)
     return EpisodeRecord(states0=states0, controls=controls, sim=meta["sim"],
                          town=meta["town"], render=meta["render"],
                          meta=meta["meta"])

@@ -344,6 +344,28 @@ def _sim_bits(cfg, backend: str | None = None):
     return town, params, rcfg
 
 
+def _plan_goals(cfg, town, n_goals: int, n_envs: int):
+    """Goal navigation setup shared by route_eval / bc_cil / collect_data:
+    sample ``n_goals`` destinations (sim/planner.sample_goals, seeded by
+    data_seed), bake shortest-path nav tables into the town, and assign envs
+    round-robin goal ids. → (town_with_tables, goals (G,2), goal_ids (B,))."""
+    from carla_imitation_learning_tpu.sim.planner import (
+        plan_to_goals, sample_goals,
+    )
+
+    goals = sample_goals(town, int(cfg.get("data_seed", 0)), int(n_goals))
+    town = plan_to_goals(town, goals)
+    goal_ids = np.arange(int(n_envs), dtype=np.int32) % int(n_goals)
+    return town, goals, goal_ids
+
+
+def _force_turn_fans(cfg) -> None:
+    """The route planner plans over the turn-fan graph — make sure the town
+    about to be built (``_sim_bits``) carries the transfer table."""
+    if not bool(cfg.get_dotted("sim.town.turn_fans", False)):
+        cfg.set_dotted("sim.town.turn_fans", True)
+
+
 def _noise_bits(cfg) -> "cl.NoiseConfig | None":
     """CIL-style collection noise from cfg (off unless noise_injection=true).
     noise_prob / noise_duration / noise_magnitude override the defaults."""
@@ -357,17 +379,26 @@ def _noise_bits(cfg) -> "cl.NoiseConfig | None":
 
 
 @experiment("collect_data")
-def collect_data(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
+def collect_data(cfg, n_envs: int = 32, n_steps: int = 300, n_goals: int = 0,
+                 **kw):
     """On-device expert data collection — the CARLA-server replacement: writes
     a raw log (frames + state.csv) in the reference's exact contract.
     ``-o noise_injection=true`` adds CIL-style recovery-state exploration
-    (executed steering perturbed, supervision stays clean — cl.NoiseConfig)."""
+    (executed steering perturbed, supervision stays clean — cl.NoiseConfig).
+    ``-o n_goals=N`` collects GOAL-DIRECTED runs via the route planner (the
+    expert navigates to N sampled destinations; commands announce its turns)."""
+    goal_ids = None
+    if n_goals > 0:
+        _force_turn_fans(cfg)
     town, params, rcfg = _sim_bits(cfg)
+    if n_goals > 0:
+        town, _, goal_ids = _plan_goals(cfg, town, n_goals, n_envs)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     store, state_log, _ = cl.collect_dataset(params, town, rcfg, rng,
                                              n_envs=n_envs, n_steps=n_steps,
                                              frame_skip=int(cfg.get("frame_skip", 4)),
-                                             noise=_noise_bits(cfg))
+                                             noise=_noise_bits(cfg),
+                                             goal_ids=goal_ids)
     data_dir = Path(cfg["data_dir"])
     log = kw.get("log_name", "SimLog1")
     fl.save_frames(data_dir / "raw" / log / "camera", store.frames)
@@ -527,29 +558,54 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     contract (incl. the s2d_stem variant and the policy family) stays in one
     place. ``policy_family=continuous`` builds ContinuousPolicyCNN and the
     policy_fn emits its (steer, accel) floats (pair with
-    ``control_space="continuous"``); the default is the argmax PolicyCNN.
+    ``control_space="continuous"``); ``policy_family=cil`` builds
+    BranchedCILPolicy and the policy_fn consumes the rollout's extras
+    (speed + navigation command — with planner nav tables baked the command
+    announces the route to the goal, so a CIL checkpoint NAVIGATES in
+    route_eval); the default is the argmax PolicyCNN. CIL export via
+    export_policy is not wired (multi-input servable); it fails loudly.
     Returns (policy_fn, rng, model, params)."""
     fs = int(cfg.get("frame_skip", 4))
-    continuous = _control_space(cfg) == "continuous"
-    if continuous:
+    family = str(cfg.get("policy_family", "discrete"))
+    if family == "continuous":
         from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
 
         model = ContinuousPolicyCNN(obs_size=fs, dtype=_dtype(cfg),
                                     s2d_stem=bool(cfg.get("s2d_stem", False)))
+    elif family == "cil":
+        model = BranchedCILPolicy(obs_size=fs,
+                                  n_actions=int(cfg.get("n_actions", 9)),
+                                  n_commands=int(cfg.get("n_commands", 6)),
+                                  dtype=_dtype(cfg))
     else:
         model = PolicyCNN(obs_size=fs, n_actions=int(cfg.get("n_actions", 9)),
                           dtype=_dtype(cfg),
                           s2d_stem=bool(cfg.get("s2d_stem", False)))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    mparams = model.init(rng, jnp.zeros((1, height, width, fs)))["params"]
+    if family == "cil":
+        mparams = model.init(rng, *model.example_input(1, height, width))["params"]
+    else:
+        mparams = model.init(rng, jnp.zeros((1, height, width, fs)))["params"]
     if checkpoint:
-        from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
+        # tolerant of both payload shapes: params-only exports AND the
+        # full {params, opt_state, step} checkpoints _fit's best_path names
+        from carla_imitation_learning_tpu.utils.checkpoint import restore_params
 
-        mparams = restore_pytree(checkpoint, {"params": mparams})["params"]
+        mparams = restore_params(checkpoint, mparams)
 
-    if continuous:
+    if family == "continuous":
         def policy_fn(obs):
             return model.apply({"params": mparams}, obs)
+    elif family == "cil":
+        n_cmd = int(cfg.get("n_commands", 6))
+
+        def policy_fn(obs, extras):
+            # clip, don't wrap: lane-change commands on a smaller-taxonomy
+            # checkpoint degrade to the highest branch it trained
+            cmd = jnp.clip(extras["command"], 0, n_cmd - 1)
+            logits, _ = model.apply({"params": mparams}, obs,
+                                    extras["speed"], cmd)
+            return jnp.argmax(logits, axis=-1)
     else:
         def policy_fn(obs):
             return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
@@ -802,13 +858,25 @@ def dagger_online(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
 
 
 @experiment("bc_cil")
-def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, **kw):
+def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, n_goals: int = 0, **kw):
     """BASELINE config #2: command-conditioned branched policy + speed head,
-    trained on on-device collected data."""
+    trained on on-device collected data.
+
+    ``n_goals > 0`` makes collection GOAL-DIRECTED via the route planner
+    (sim/planner.py): the expert drives to sampled destinations and the
+    command channel records the planner's announced turns — the training
+    distribution a CIL policy needs to navigate A→B itself (score it with
+    ``route_eval -o checkpoint=...``)."""
+    goal_ids = None
+    if n_goals > 0:
+        _force_turn_fans(cfg)
     town, params, rcfg = _sim_bits(cfg)
+    if n_goals > 0:
+        town, _, goal_ids = _plan_goals(cfg, town, n_goals, n_envs)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     store, _, _ = cl.collect_dataset(params, town, rcfg, rng, n_envs, n_steps,
-                                     noise=_noise_bits(cfg))
+                                     noise=_noise_bits(cfg),
+                                     goal_ids=goal_ids)
     n = len(store)
     splits = {"train": store.slice(0, int(0.8 * n)),
               "val": store.slice(int(0.8 * n), int(0.9 * n)),
@@ -1707,16 +1775,9 @@ def route_eval(cfg, checkpoint: str | None = None, artifact: str | None = None,
     the privileged expert's numbers as the ceiling. The town must have turn
     fans (the preset enables them); goal routing is pure gathers inside the
     rollout scan."""
-    from carla_imitation_learning_tpu.sim.planner import (
-        plan_to_goals, sample_goals,
-    )
-
-    # the planner routes over the turn-fan graph — force it on
-    if not bool(cfg.get_dotted("sim.town.turn_fans", False)):
-        cfg.set_dotted("sim.town.turn_fans", True)
+    _force_turn_fans(cfg)
     town, params, rcfg = _sim_bits(cfg)
-    goals = sample_goals(town, int(cfg.get("data_seed", 0)), int(n_goals))
-    town = plan_to_goals(town, goals)
+    town, goals, _ = _plan_goals(cfg, town, n_goals, n_envs)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     expert = cl.evaluate_routes(params, town, rcfg, None, rng,

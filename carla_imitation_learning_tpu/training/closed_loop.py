@@ -508,6 +508,14 @@ def evaluate_policy(
     }
 
 
+def assign_goals(carry, goal_ids):
+    """Give each env of a rollout carry a navigation goal: ``goal_ids`` (B,)
+    indexes ``town.nav_goals`` (baked by sim/planner.plan_to_goals); −1 keeps
+    that env free-roam (bit-identical to the pre-goal behavior)."""
+    states = carry[0].replace(goal=jnp.asarray(goal_ids, jnp.int32))
+    return (states,) + tuple(carry[1:])
+
+
 def evaluate_routes(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 600,
@@ -535,8 +543,7 @@ def evaluate_routes(
                                        control_space=control_space)
     carry = init_fn(rng, n_envs)
     n_goals = int(town.nav_goals.shape[0])
-    goal_ids = jnp.arange(n_envs, dtype=jnp.int32) % n_goals
-    carry = (carry[0].replace(goal=goal_ids),) + tuple(carry[1:])
+    carry = assign_goals(carry, jnp.arange(n_envs, dtype=jnp.int32) % n_goals)
     _, traj = rollout_fn(carry, n_steps)
 
     done = np.asarray(traj["done"], bool)          # (T, B)
@@ -587,6 +594,7 @@ def collect_dataset(
     policy_fn: Callable | None = None,
     noise: NoiseConfig | None = None,
     control_space: str = "discrete",
+    goal_ids=None,
 ):
     """Rollouts → FrameStore (frames packed uint8 + expert labels + sensors).
 
@@ -603,6 +611,13 @@ def collect_dataset(
     (continous_to_discreet over state.csv columns,
     imitation_dataset.py:317-339) match ``store.actions`` exactly — the same
     noise-free-supervision convention CARLA CIL collection used.
+
+    ``goal_ids`` (B,) makes collection GOAL-DIRECTED (the town must carry
+    nav tables, sim/planner.plan_to_goals): each env drives to a destination,
+    so the command channel records the PLANNER's announced turns — the
+    training distribution a command-conditioned (CIL) policy needs to later
+    navigate routes itself (evaluate_routes). Arrivals auto-reset and
+    re-attempt; the episode-start bitmap marks them like any reset.
     """
     from carla_imitation_learning_tpu.data.frame_log import StateLog
     from carla_imitation_learning_tpu.data.pipeline import FrameStore
@@ -610,6 +625,8 @@ def collect_dataset(
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
                                        noise=noise, control_space=control_space)
     carry = init_fn(rng, n_envs)
+    if goal_ids is not None:
+        carry = assign_goals(carry, goal_ids)
     _, traj = rollout_fn(carry, n_steps)
 
     # (T,B,...) → env-major (B*T, ...) so each env's stream is contiguous

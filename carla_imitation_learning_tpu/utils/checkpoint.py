@@ -118,3 +118,25 @@ def restore_pytree(path: str | Path, target: Any) -> Any:
     import orbax.checkpoint as ocp
 
     return ocp.StandardCheckpointer().restore(Path(path).resolve(), target)
+
+
+def restore_params(path: str | Path, params_template: Any) -> Any:
+    """Model params from EITHER checkpoint payload shape: params-only
+    (``save_pytree({"params": ...})`` — export/import/test fixtures) or a
+    full training checkpoint (``{"params", "opt_state", "step"}`` — what
+    BestKCheckpointManager saves each epoch, i.e. every ``best_path``).
+    Restores templateless (this orbax has no partial_restore), takes the
+    params subtree, and casts leaves onto the template's dtypes; a tree
+    mismatch still fails loudly via tree_map."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    raw = ocp.StandardCheckpointer().restore(Path(path).resolve())
+    src = raw.get("params", raw) if isinstance(raw, dict) else raw
+    if isinstance(src, dict) and isinstance(params_template, dict) and \
+            set(src) != set(params_template) and "params" in src:
+        src = src["params"]  # {"params": {"params": ...}} templates
+    return jax.tree_util.tree_map(
+        lambda t, a: jnp.asarray(a, getattr(t, "dtype", None)),
+        params_template, src)

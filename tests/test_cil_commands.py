@@ -121,3 +121,25 @@ def test_single_lane_town_plan_is_inert():
     tgt, cmd = ego_lane_change_plan(params, town,
                                     state.replace(t=jnp.asarray(25, jnp.int32)))
     assert int(tgt) == int(state.ego_route) and int(cmd) == 0
+
+
+def test_policy_family_cil_drives_rollout(rich_town):
+    """policy_family=cil wires a BranchedCILPolicy into the shared
+    checkpoint-eval contract (_policy_bits): the policy_fn consumes the
+    rollout's extras (speed + command) and emits discrete actions — so CIL
+    checkpoints score in closed_loop_eval / scenario_eval / route_eval."""
+    from carla_imitation_learning_tpu.config import compose
+    from carla_imitation_learning_tpu.experiments import _policy_bits
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.training.closed_loop import make_rollout
+
+    cfg = compose("config", overrides=["model=imitation",
+                                       "policy_family=cil"])
+    policy_fn, rng, model, mparams = _policy_bits(cfg, None, 32, 32)
+    params = SimParams(n_agents=0, episode_len=100)
+    rcfg = RenderConfig(32, 32, max_triangles=256, backend="jax")
+    init_fn, rollout_fn = make_rollout(params, rich_town, rcfg, policy_fn)
+    _, traj = rollout_fn(init_fn(rng, 4), 6)
+    acts = np.asarray(traj["action"])
+    assert acts.shape == (6, 4) and acts.dtype == np.int32
+    assert (acts >= 0).all() and (acts < 9).all()

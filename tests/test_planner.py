@@ -13,7 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from carla_imitation_learning_tpu.render.pipeline import RenderConfig
 from carla_imitation_learning_tpu.sim import SimParams, make_town
+from carla_imitation_learning_tpu.training import closed_loop as cl
 from carla_imitation_learning_tpu.sim.planner import (
     nearest_node,
     plan_to_goals,
@@ -154,6 +156,48 @@ def test_unreachable_spawn_ends_episode(world):
     )
     _, info = step_env(params, town, s, autopilot_control(params, town, s))
     assert bool(info["done"]) and not bool(info["arrived"])
+
+
+def test_goal_directed_collection(world):
+    """collect_dataset(goal_ids=...) records planner-driven runs: envs
+    arrive (arrivals show up as auto-reset episode starts in the store's
+    bitmap) and the command channel announces turns — the training
+    distribution a CIL policy needs for A→B navigation."""
+    params, town, _ = world
+    rcfg = RenderConfig(height=16, width=16)
+    goal_ids = np.arange(8, dtype=np.int32) % N_GOALS
+    store, _, traj = cl.collect_dataset(params, town, rcfg,
+                                        jax.random.PRNGKey(0),
+                                        n_envs=8, n_steps=1000,
+                                        goal_ids=goal_ids)
+    arrived = np.asarray(traj["arrived"], bool)
+    assert arrived.any(), "no env arrived in the collection budget"
+    cmds = np.asarray(store.commands)
+    assert ((cmds == 1) | (cmds == 2)).any()
+    # arrivals are episode boundaries: starts bitmap has the env-stream
+    # heads PLUS one start right after every mid-stream done
+    n_extra = int(np.asarray(store.starts).sum()) - 8
+    assert n_extra >= int(arrived.sum()) > 0
+
+
+def test_free_roam_collection_identical_with_tables(world):
+    """goal_ids=None collection is bit-identical whether or not nav tables
+    are baked into the town."""
+    params, town, _ = world
+    plain = town.replace(nav_slot=None, nav_dist=None, nav_goals=None)
+    rcfg = RenderConfig(height=16, width=16)
+    s_nav, _, _ = cl.collect_dataset(params, town, rcfg,
+                                     jax.random.PRNGKey(1), n_envs=4,
+                                     n_steps=60)
+    s_plain, _, _ = cl.collect_dataset(params, plain, rcfg,
+                                       jax.random.PRNGKey(1), n_envs=4,
+                                       n_steps=60)
+    np.testing.assert_array_equal(np.asarray(s_nav.frames),
+                                  np.asarray(s_plain.frames))
+    np.testing.assert_array_equal(np.asarray(s_nav.actions),
+                                  np.asarray(s_plain.actions))
+    np.testing.assert_array_equal(np.asarray(s_nav.commands),
+                                  np.asarray(s_plain.commands))
 
 
 def test_no_route_ping_pong(world):

@@ -1,0 +1,166 @@
+"""A→B route quality: expert vs untrained vs goal-trained CIL policy.
+
+The CARLA leaderboard's actual task is destination-based: drive from A to B
+along a planned route. The reference never closes the loop at all (SURVEY.md
+§2.3); this harness proves the framework's full driving STACK composes:
+global route planner (sim/planner.py — host Dijkstra baked into device
+tables) → goal-directed expert collection (commands announce the planner's
+turns) → command-conditioned BranchedCILPolicy training → route_eval-style
+scoring (training/closed_loop.evaluate_routes): arrival rate, time to
+arrival, infractions per km, with the privileged expert as the ceiling.
+
+Expected ordering: untrained << CIL ≤ expert (the same controller labeling).
+
+Usage: python benchmarks/route_quality.py [--envs 64] [--steps 2500]
+         [--goals 8] [--collect-envs 64] [--collect-steps 800] [--epochs 8]
+Writes reports/route_quality.json INCREMENTALLY and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=64, help="eval fleet size")
+    ap.add_argument("--steps", type=int, default=2500, help="eval horizon")
+    ap.add_argument("--goals", type=int, default=8)
+    ap.add_argument("--collect-envs", type=int, default=64)
+    ap.add_argument("--collect-steps", type=int, default=800)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--episode-len", type=int, default=2500,
+                    help="per-attempt step budget (one-way loop detours + "
+                         "red lights make generous budgets realistic)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from carla_imitation_learning_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from carla_imitation_learning_tpu.data import pipeline as pipe
+    from carla_imitation_learning_tpu.models import BranchedCILPolicy
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.sim import SimParams, make_town
+    from carla_imitation_learning_tpu.sim.planner import (
+        plan_to_goals, sample_goals,
+    )
+    from carla_imitation_learning_tpu.training import closed_loop as cl
+    from carla_imitation_learning_tpu.training.losses import cil_loss_fn
+    from carla_imitation_learning_tpu.training.steps import (
+        create_train_state, make_train_step,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    # turn fans are the planner's graph; superblocks add straight-through +
+    # right-turn geometry so the command taxonomy is richer than {0,1}
+    town = make_town(blocks=3, n_buildings=24, n_lights=8,
+                     superblocks=True, turn_fans=True, seed=args.seed)
+    goals = sample_goals(town, args.seed, args.goals)
+    town = plan_to_goals(town, goals)
+    params = SimParams(n_agents=15, episode_len=args.episode_len)
+    rcfg = RenderConfig(height=128, width=128,
+                        backend="pallas" if on_tpu else "jax")
+    rng = jax.random.PRNGKey(args.seed)
+    n_commands = 6
+    model = BranchedCILPolicy(n_commands=n_commands, dtype=jnp.bfloat16)
+
+    def policy_from(p):
+        def policy_fn(obs, extras):
+            cmd = jnp.clip(extras["command"], 0, n_commands - 1)
+            logits, _ = model.apply({"params": p}, obs, extras["speed"], cmd)
+            return jnp.argmax(logits, axis=-1)
+        return policy_fn
+
+    def ev(policy_fn, key):
+        return cl.evaluate_routes(params, town, rcfg, policy_fn,
+                                  jax.random.PRNGKey(key),
+                                  n_envs=args.envs, n_steps=args.steps)
+
+    def trim(m):
+        return {k: (None if v is None else round(float(v), 4))
+                for k, v in m.items()}
+
+    t0 = time.perf_counter()
+    result: dict = {"config": vars(args),
+                    "platform": jax.devices()[0].platform}
+    out = (Path(args.out) if args.out else
+           Path(__file__).resolve().parents[1] / "reports" / "route_quality.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def save():
+        # incremental: a wedged tunnel mid-run must not lose finished tiers
+        out.write_text(json.dumps(result, indent=2))
+
+    result["expert"] = trim(ev(None, 100))
+    print(f"expert: {result['expert']}", flush=True)
+    save()
+
+    rng, ki = jax.random.split(rng)
+    tx = optax.adam(1e-3)
+    ex = model.example_input(1, rcfg.height, rcfg.width)
+    state = create_train_state(model, ki, ex, tx)
+    result["untrained"] = trim(ev(policy_from(state.params), 101))
+    print(f"untrained: {result['untrained']}", flush=True)
+    save()
+
+    # --- goal-directed collection + CIL training ---------------------------
+    rng, kc = jax.random.split(rng)
+    tc = time.perf_counter()
+    goal_ids = np.arange(args.collect_envs, dtype=np.int32) % args.goals
+    store, _, _ = cl.collect_dataset(params, town, rcfg, kc,
+                                     args.collect_envs, args.collect_steps,
+                                     goal_ids=goal_ids)
+    result["collect_seconds"] = round(time.perf_counter() - tc, 1)
+    result["dataset_frames"] = len(store)
+    result["command_histogram"] = np.bincount(
+        store.commands, minlength=n_commands).tolist()
+    save()
+
+    step = make_train_step(cil_loss_fn(), donate=False)
+    tt = time.perf_counter()
+    ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=args.seed,
+                            cil=True)
+    last = {}
+    for _ in range(args.epochs):
+        for batch in ds:
+            rng, sk = jax.random.split(rng)
+            state, last = step(state, batch, sk)
+    if last:
+        jax.block_until_ready(last["loss"])
+        result["cil_final_loss"] = round(float(last["loss"]), 4)
+        result["cil_final_accuracy"] = round(float(last["accuracy"]), 4)
+    result["train_seconds"] = round(time.perf_counter() - tt, 1)
+    save()
+
+    result["cil"] = trim(ev(policy_from(state.params), 102))
+    print(f"cil: {result['cil']}", flush=True)
+    result["wall_seconds"] = round(time.perf_counter() - t0, 1)
+    save()
+    print(json.dumps({
+        "metric": "route_arrival_rate_cil",
+        "value": result["cil"]["arrival_rate"],
+        "unit": "arrivals/attempt (A->B)",
+        "expert": result["expert"]["arrival_rate"],
+        "untrained": result["untrained"]["arrival_rate"],
+        "expert_steps_to_arrival": result["expert"]["mean_steps_to_arrival"],
+        "cil_steps_to_arrival": result["cil"]["mean_steps_to_arrival"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -730,18 +730,29 @@ def scenario_eval(cfg, checkpoint: str | None = None,
 
 @experiment("dagger")
 def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
-           epochs_per_round: int = 3, **kw):
+           epochs_per_round: int = 3, n_goals: int = 0, **kw):
     """BASELINE config #5: DAgger — collect with expert, train, then iterate
     policy-driven collection with expert labels. ``policy_family=continuous``
     runs the whole loop in the continuous action space: the regressor drives
     collection, supervision is the expert's continuous controls
-    (FrameStore.controls), and evals execute the floats."""
+    (FrameStore.controls), and evals execute the floats.
+    ``policy_family=cil`` runs it command-conditioned (BranchedCILPolicy);
+    with ``n_goals > 0`` every round is GOAL-DIRECTED via the route planner —
+    round 0 is the navigating expert, later rounds are the navigating POLICY
+    with expert labels: on-policy A→B aggregation."""
     from carla_imitation_learning_tpu.training.steps import make_train_step
 
+    goal_ids = None
+    if n_goals > 0:
+        _force_turn_fans(cfg)
     town, params, rcfg = _sim_bits(cfg)
+    if n_goals > 0:
+        town, _, goal_ids = _plan_goals(cfg, town, n_goals, n_envs)
     mesh, sharding = _mesh_bits(cfg)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    pf = str(cfg.get("policy_family", "discrete"))
     family = _control_space(cfg)
+    n_commands = int(cfg.get("n_commands", 6))
     if family == "continuous":
         from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
         from carla_imitation_learning_tpu.training import continuous_bc_loss_fn
@@ -749,12 +760,16 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         model = ContinuousPolicyCNN(dtype=_dtype(cfg))
         loss_fn = continuous_bc_loss_fn(float(cfg.get("steer_weight", 1.0)),
                                         float(cfg.get("accel_weight", 0.5)))
+    elif pf == "cil":
+        model = BranchedCILPolicy(n_commands=n_commands, dtype=_dtype(cfg))
+        loss_fn = cil_loss_fn(float(cfg.get("speed_weight", 0.1)))
     else:
         model = PolicyCNN(dtype=_dtype(cfg))
         loss_fn = bc_loss_fn
     tx = make_optimizer(cfg, 1)
-    state = create_train_state(
-        model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+    example = (model.example_input(1, rcfg.height, rcfg.width) if pf == "cil"
+               else jnp.zeros((1, rcfg.height, rcfg.width, 4)))
+    state = create_train_state(model, rng, example, tx)
     if mesh is not None:
         from carla_imitation_learning_tpu.parallel.mesh import shard_train_state
 
@@ -762,9 +777,16 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
     step = make_train_step(loss_fn, donate=False)
 
     def _policy(p):
-        def policy_fn(obs):
-            y = model.apply({"params": p}, obs)
-            return y if family == "continuous" else jnp.argmax(y, axis=-1)
+        if pf == "cil":
+            def policy_fn(obs, extras):
+                cmd = jnp.clip(extras["command"], 0, n_commands - 1)
+                logits, _ = model.apply({"params": p}, obs,
+                                        extras["speed"], cmd)
+                return jnp.argmax(logits, axis=-1)
+        else:
+            def policy_fn(obs):
+                y = model.apply({"params": p}, obs)
+                return y if family == "continuous" else jnp.argmax(y, axis=-1)
         return policy_fn
 
     stores = []
@@ -773,12 +795,14 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         rng, k = jax.random.split(rng)
         if rnd == 0:
             store, _, _ = cl.collect_dataset(params, town, rcfg, k, n_envs,
-                                             n_steps, noise=_noise_bits(cfg))
+                                             n_steps, noise=_noise_bits(cfg),
+                                             goal_ids=goal_ids)
         else:
             store, _, _ = cl.dagger_iteration(params, town, rcfg,
                                               _policy(state.params), k,
                                               n_envs, n_steps,
-                                              control_space=family)
+                                              control_space=family,
+                                              goal_ids=goal_ids)
         stores.append(store)
         # concat marks round boundaries; per-round stores carry env-stream
         # and reset boundaries → no training window ever crosses any of them
@@ -786,6 +810,7 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         ds = pipe.DeviceDataset(agg, int(cfg.get("BATCH_SIZE", 64)),
                                 frame_skip=int(cfg.get("frame_skip", 4)),
                                 shuffle=True, seed=rnd, sharding=sharding,
+                                cil=(pf == "cil"),
                                 balanced=bool(cfg.get("balanced_sampling", False)),
                                 continuous_labels=(agg.controls
                                                    if family == "continuous"
@@ -809,7 +834,14 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         m["train_loss"] = float(last.get("loss", float("nan")))
         m["dataset_frames"] = len(agg)
         history.append(m)
-    return {"rounds": history}
+    out = {"rounds": history}
+    if n_goals > 0:
+        # goal-directed runs: also score the final policy on the A→B task
+        rng, kr = jax.random.split(rng)
+        out["routes"] = cl.evaluate_routes(
+            params, town, rcfg, _policy(state.params), kr, n_envs=n_envs,
+            n_steps=n_steps, control_space=family)
+    return out
 
 
 @experiment("dagger_online")

@@ -740,13 +740,16 @@ def dagger_iteration(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable, rng, n_envs: int = 16, n_steps: int = 256,
     frame_skip: int = 4, noise: NoiseConfig | None = None,
-    control_space: str = "discrete",
+    control_space: str = "discrete", goal_ids=None,
 ):
     """One DAgger round: policy drives, expert labels → aggregation store.
     ``noise`` adds exploration impulses on top of the policy's steering —
     labels are the expert's regardless. ``control_space="continuous"`` lets
     a continuous policy drive; the aggregation store's discrete ``actions``
-    AND continuous ``controls`` labels both stay the expert's."""
+    AND continuous ``controls`` labels both stay the expert's. ``goal_ids``
+    makes the round goal-directed (nav-table town): the POLICY attempts the
+    routes, so aggregation covers exactly the states a navigating policy
+    visits — on-policy A→B data."""
     return collect_dataset(params, town, rcfg, rng, n_envs, n_steps, frame_skip,
                            policy_fn=policy_fn, noise=noise,
-                           control_space=control_space)
+                           control_space=control_space, goal_ids=goal_ids)

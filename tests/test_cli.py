@@ -88,6 +88,23 @@ def test_cli_dagger(tmp_path, capsys):
     assert rc == 0
 
 
+@pytest.mark.slow
+def test_cli_dagger_cil_goal_directed(tmp_path, capsys):
+    """dagger -o policy_family=cil -o n_goals=N is on-policy A→B
+    aggregation: round 0 is the navigating expert, later rounds the
+    navigating BranchedCILPolicy with expert labels, and the final policy
+    is scored on the routes (arrival rate / infractions)."""
+    rc = cli_main(["run", "dagger", "--json"] + _overrides(
+        tmp_path, ["policy_family=cil", "n_goals=2", "rounds=2",
+                   "n_envs=4", "n_steps=48", "epochs_per_round=1"]))
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert len(result["rounds"]) == 2
+    assert result["rounds"][-1]["dataset_frames"] > 0
+    assert "arrival_rate" in result["routes"]
+    assert "infractions_per_km" in result["routes"]
+
+
 def test_cli_experiment_preset(tmp_path, capsys):
     """-o experiment=<preset> selects the block AND its knobs
     (configs/experiment/*.yaml — the reference's exp_example_* scheme)."""

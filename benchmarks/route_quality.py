@@ -79,12 +79,7 @@ def main() -> None:
     n_commands = 6
     model = BranchedCILPolicy(n_commands=n_commands, dtype=jnp.bfloat16)
 
-    def policy_from(p):
-        def policy_fn(obs, extras):
-            cmd = jnp.clip(extras["command"], 0, n_commands - 1)
-            logits, _ = model.apply({"params": p}, obs, extras["speed"], cmd)
-            return jnp.argmax(logits, axis=-1)
-        return policy_fn
+    policy_from = model.as_policy_fn
 
     def ev(policy_fn, key):
         return cl.evaluate_routes(params, town, rcfg, policy_fn,

@@ -562,8 +562,8 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     BranchedCILPolicy and the policy_fn consumes the rollout's extras
     (speed + navigation command — with planner nav tables baked the command
     announces the route to the goal, so a CIL checkpoint NAVIGATES in
-    route_eval); the default is the argmax PolicyCNN. CIL export via
-    export_policy is not wired (multi-input servable); it fails loudly.
+    route_eval); the default is the argmax PolicyCNN. CIL export ships as a
+    multi-input servable (serving/export.export_cil_policy).
     Returns (policy_fn, rng, model, params)."""
     fs = int(cfg.get("frame_skip", 4))
     family = str(cfg.get("policy_family", "discrete"))
@@ -597,15 +597,7 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
         def policy_fn(obs):
             return model.apply({"params": mparams}, obs)
     elif family == "cil":
-        n_cmd = int(cfg.get("n_commands", 6))
-
-        def policy_fn(obs, extras):
-            # clip, don't wrap: lane-change commands on a smaller-taxonomy
-            # checkpoint degrade to the highest branch it trained
-            cmd = jnp.clip(extras["command"], 0, n_cmd - 1)
-            logits, _ = model.apply({"params": mparams}, obs,
-                                    extras["speed"], cmd)
-            return jnp.argmax(logits, axis=-1)
+        policy_fn = model.as_policy_fn(mparams)
     else:
         def policy_fn(obs):
             return jnp.argmax(model.apply({"params": mparams}, obs), axis=-1)
@@ -752,23 +744,27 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     pf = str(cfg.get("policy_family", "discrete"))
     family = _control_space(cfg)
-    n_commands = int(cfg.get("n_commands", 6))
+    fs = int(cfg.get("frame_skip", 4))
     if family == "continuous":
         from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
         from carla_imitation_learning_tpu.training import continuous_bc_loss_fn
 
-        model = ContinuousPolicyCNN(dtype=_dtype(cfg))
+        model = ContinuousPolicyCNN(obs_size=fs, dtype=_dtype(cfg))
         loss_fn = continuous_bc_loss_fn(float(cfg.get("steer_weight", 1.0)),
                                         float(cfg.get("accel_weight", 0.5)))
     elif pf == "cil":
-        model = BranchedCILPolicy(n_commands=n_commands, dtype=_dtype(cfg))
+        model = BranchedCILPolicy(obs_size=fs,
+                                  n_actions=int(cfg.get("n_actions", 9)),
+                                  n_commands=int(cfg.get("n_commands", 6)),
+                                  dtype=_dtype(cfg))
         loss_fn = cil_loss_fn(float(cfg.get("speed_weight", 0.1)))
     else:
-        model = PolicyCNN(dtype=_dtype(cfg))
+        model = PolicyCNN(obs_size=fs, n_actions=int(cfg.get("n_actions", 9)),
+                          dtype=_dtype(cfg))
         loss_fn = bc_loss_fn
     tx = make_optimizer(cfg, 1)
     example = (model.example_input(1, rcfg.height, rcfg.width) if pf == "cil"
-               else jnp.zeros((1, rcfg.height, rcfg.width, 4)))
+               else jnp.zeros((1, rcfg.height, rcfg.width, fs)))
     state = create_train_state(model, rng, example, tx)
     if mesh is not None:
         from carla_imitation_learning_tpu.parallel.mesh import shard_train_state
@@ -778,15 +774,11 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
 
     def _policy(p):
         if pf == "cil":
-            def policy_fn(obs, extras):
-                cmd = jnp.clip(extras["command"], 0, n_commands - 1)
-                logits, _ = model.apply({"params": p}, obs,
-                                        extras["speed"], cmd)
-                return jnp.argmax(logits, axis=-1)
-        else:
-            def policy_fn(obs):
-                y = model.apply({"params": p}, obs)
-                return y if family == "continuous" else jnp.argmax(y, axis=-1)
+            return model.as_policy_fn(p)
+
+        def policy_fn(obs):
+            y = model.apply({"params": p}, obs)
+            return y if family == "continuous" else jnp.argmax(y, axis=-1)
         return policy_fn
 
     stores = []
@@ -795,12 +787,13 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         rng, k = jax.random.split(rng)
         if rnd == 0:
             store, _, _ = cl.collect_dataset(params, town, rcfg, k, n_envs,
-                                             n_steps, noise=_noise_bits(cfg),
+                                             n_steps, frame_skip=fs,
+                                             noise=_noise_bits(cfg),
                                              goal_ids=goal_ids)
         else:
             store, _, _ = cl.dagger_iteration(params, town, rcfg,
                                               _policy(state.params), k,
-                                              n_envs, n_steps,
+                                              n_envs, n_steps, frame_skip=fs,
                                               control_space=family,
                                               goal_ids=goal_ids)
         stores.append(store)
@@ -808,7 +801,7 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
         # and reset boundaries → no training window ever crosses any of them
         agg = pipe.FrameStore.concat(stores)
         ds = pipe.DeviceDataset(agg, int(cfg.get("BATCH_SIZE", 64)),
-                                frame_skip=int(cfg.get("frame_skip", 4)),
+                                frame_skip=fs,
                                 shuffle=True, seed=rnd, sharding=sharding,
                                 cil=(pf == "cil"),
                                 balanced=bool(cfg.get("balanced_sampling", False)),
@@ -829,18 +822,20 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
             if mesh is not None else (None, None)
         m = cl.evaluate_policy(params, town, rcfg, _policy(state.params), ek,
                                n_envs=eval_envs, n_steps=100, mesh=eval_mesh,
-                               control_space=family)
+                               frame_skip=fs, control_space=family)
         m["round"] = rnd
         m["train_loss"] = float(last.get("loss", float("nan")))
         m["dataset_frames"] = len(agg)
         history.append(m)
     out = {"rounds": history}
     if n_goals > 0:
-        # goal-directed runs: also score the final policy on the A→B task
+        # goal-directed runs: also score the final policy on the A→B task,
+        # over the SAME env→goal assignment the rounds trained on
         rng, kr = jax.random.split(rng)
         out["routes"] = cl.evaluate_routes(
             params, town, rcfg, _policy(state.params), kr, n_envs=n_envs,
-            n_steps=n_steps, control_space=family)
+            n_steps=n_steps, frame_skip=fs, control_space=family,
+            goal_ids=goal_ids)
     return out
 
 
@@ -1518,7 +1513,7 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
     load_from_checkpoint + the torch source (train.py:198-201); this artifact
     needs neither."""
     from carla_imitation_learning_tpu.serving import (
-        InferenceEngine, export_policy, load_policy,
+        InferenceEngine, export_cil_policy, export_policy, load_policy,
     )
 
     # the model build + checkpoint restore live in _policy_bits (one contract
@@ -1526,33 +1521,51 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
     _, _, model, params = _policy_bits(cfg, checkpoint, height, width)
     frame_skip = int(cfg.get("frame_skip", 4))
 
-    family = _control_space(cfg)
+    pf = str(cfg.get("policy_family", "discrete"))
+    family = "cil" if pf == "cil" else _control_space(cfg)
     out = Path(artifact_dir or (Path(cfg["log_dir"]) / "policy_artifact"))
-    export_policy(model, params, out, height=height, width=width,
-                  obs_size=frame_skip,
-                  quantize=(str(cfg.get("quantize")) if cfg.get("quantize")
-                            else None),
+    quantize = str(cfg.get("quantize")) if cfg.get("quantize") else None
+    common = dict(height=height, width=width, obs_size=frame_skip,
+                  quantize=quantize,
                   extra_meta={"n_actions": int(cfg.get("n_actions", 9)),
                               "family": family,
                               "checkpoint": checkpoint or ""})
+    if family == "cil":
+        export_cil_policy(model, params, out, **common)
+    else:
+        export_policy(model, params, out, **common)
 
     servable = load_policy(out)
     eng = InferenceEngine(servable, max_batch=int(cfg.get("serve_max_batch", 64)))
     rng_np = np.random.default_rng(0)
+    n_cmd = int(cfg.get("n_commands", 6))
     max_err = 0.0
     for b in verify_batches:
         x = rng_np.integers(0, 256, (int(b), height, width, frame_skip),
                             dtype=np.uint8)
-        live = np.asarray(model.apply({"params": params},
-                                      x.astype(np.float32) / 255.0), np.float32)
-        max_err = max(max_err, float(np.abs(np.asarray(servable.call(x),
-                                                       np.float32) - live).max()))
-    eng.warmup(height, width, frame_skip)
+        if family == "cil":
+            sp = rng_np.uniform(0, 12, (int(b),)).astype(np.float32)
+            cm = rng_np.integers(0, n_cmd, (int(b),), dtype=np.int32)
+            live = np.asarray(model.apply({"params": params},
+                                          x.astype(np.float32) / 255.0,
+                                          sp, cm)[0], np.float32)
+            got = np.asarray(servable.call(x, sp, cm), np.float32)
+        else:
+            live = np.asarray(model.apply({"params": params},
+                                          x.astype(np.float32) / 255.0),
+                              np.float32)
+            got = np.asarray(servable.call(x), np.float32)
+        max_err = max(max_err, float(np.abs(got - live).max()))
+    cil_specs = [((), np.float32), ((), np.int32)] if family == "cil" else []
+    eng.warmup(height, width, frame_skip, extra_specs=cil_specs)
     smoke = rng_np.integers(0, 256, (3, height, width, frame_skip),
                             dtype=np.uint8)
-    # discrete artifacts serve actions (argmax of logits); continuous ones
-    # serve the (steer, accel) floats themselves
-    (eng.infer_logits if family == "continuous" else eng.infer)(smoke)
+    smoke_extras = ((np.zeros(3, np.float32), np.zeros(3, np.int32))
+                    if family == "cil" else ())
+    # discrete/cil artifacts serve actions (argmax of logits); continuous
+    # ones serve the (steer, accel) floats themselves
+    (eng.infer_logits if family == "continuous" else eng.infer)(
+        smoke, *smoke_extras)
     blob = (out / "policy.stablehlo").stat().st_size
     return {"artifact": str(out), "blob_bytes": int(blob),
             "platforms": list(servable.platforms),
@@ -1741,8 +1754,14 @@ def replay_exp(cfg, record: str | None = None, checkpoint: str | None = None,
         rec_path = str(record)
     else:
         town, params, rcfg = _sim_bits(cfg)
-        policy_fn, rng, space = _eval_policy_fn(cfg, checkpoint, None,
-                                                rcfg.height, rcfg.width)
+        if checkpoint:
+            policy_fn, rng, space = _eval_policy_fn(cfg, checkpoint, None,
+                                                    rcfg.height, rcfg.width)
+        else:
+            # no checkpoint → record the AUTOPILOT expert (policy_fn=None),
+            # not a freshly-initialized policy
+            policy_fn, space = None, "discrete"
+            rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
         init_fn, rollout_fn = cl.make_rollout(
             params, town, rcfg, policy_fn,
             frame_skip=int(cfg.get("frame_skip", 4)), control_space=space)
@@ -1809,11 +1828,12 @@ def route_eval(cfg, checkpoint: str | None = None, artifact: str | None = None,
     rollout scan."""
     _force_turn_fans(cfg)
     town, params, rcfg = _sim_bits(cfg)
-    town, goals, _ = _plan_goals(cfg, town, n_goals, n_envs)
+    town, goals, goal_ids = _plan_goals(cfg, town, n_goals, n_envs)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     expert = cl.evaluate_routes(params, town, rcfg, None, rng,
-                                n_envs=n_envs, n_steps=n_steps, mesh=mesh)
+                                n_envs=n_envs, n_steps=n_steps, mesh=mesh,
+                                goal_ids=goal_ids)
     out = {"goals": np.asarray(goals).tolist(), "expert": expert}
     if checkpoint or artifact:
         policy_fn, prng, space = _eval_policy_fn(cfg, checkpoint, artifact,
@@ -1821,5 +1841,6 @@ def route_eval(cfg, checkpoint: str | None = None, artifact: str | None = None,
         out["policy"] = cl.evaluate_routes(params, town, rcfg, policy_fn,
                                            prng, n_envs=n_envs,
                                            n_steps=n_steps, mesh=mesh,
-                                           control_space=space)
+                                           control_space=space,
+                                           goal_ids=goal_ids)
     return out

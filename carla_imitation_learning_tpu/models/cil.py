@@ -57,3 +57,17 @@ class BranchedCILPolicy(nn.Module):
             jnp.zeros((batch,), jnp.float32),
             jnp.zeros((batch,), jnp.int32),
         )
+
+    def as_policy_fn(self, params):
+        """The closed-loop ``policy_fn(obs, extras) -> int32 actions`` for
+        this model — THE single convention every consumer (checkpoint eval,
+        DAgger, benchmarks) must share: clip the rollout's navigation command
+        into this head's taxonomy (clip, don't wrap — lane-change commands on
+        a smaller-taxonomy checkpoint degrade to the highest branch it
+        trained), condition on speed, argmax the active branch's logits."""
+        def policy_fn(obs, extras):
+            cmd = jnp.clip(extras["command"], 0, self.n_commands - 1)
+            logits, _ = self.apply({"params": params}, obs,
+                                   extras["speed"], cmd)
+            return jnp.argmax(logits, axis=-1)
+        return policy_fn

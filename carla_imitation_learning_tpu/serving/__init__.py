@@ -9,6 +9,7 @@ AOT artifact and serves through a shape-stable batching engine.
 from carla_imitation_learning_tpu.serving.engine import InferenceEngine
 from carla_imitation_learning_tpu.serving.export import (
     LoadedPolicy,
+    export_cil_policy,
     export_fn,
     export_policy,
     load_policy,
@@ -25,6 +26,7 @@ __all__ = [
     "InferenceEngine",
     "LoadedPolicy",
     "PolicyServer",
+    "export_cil_policy",
     "export_fn",
     "export_policy",
     "load_policy",

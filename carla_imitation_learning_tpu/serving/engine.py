@@ -92,36 +92,55 @@ class InferenceEngine:
                 return b
         return self.max_batch
 
-    def _run_chunk(self, frames: np.ndarray) -> np.ndarray:
+    def _run_chunk(self, frames: np.ndarray, extras=()) -> np.ndarray:
         n = frames.shape[0]
         b = self._bucket_for(n)
         if n < b:
-            pad = np.zeros((b - n,) + frames.shape[1:], frames.dtype)
-            frames = np.concatenate([frames, pad], axis=0)
-        logits = np.asarray(jax.device_get(self._fn(frames)))
+            def _pad(a):
+                pad = np.zeros((b - n,) + a.shape[1:], a.dtype)
+                return np.concatenate([a, pad], axis=0)
+            frames = _pad(frames)
+            extras = tuple(_pad(e) for e in extras)
+        logits = np.asarray(jax.device_get(self._fn(frames, *extras)))
         self._padded_frac.append(1.0 - n / b)
         return logits[:n]
 
-    def infer_logits(self, frames) -> np.ndarray:
+    def infer_logits(self, frames, *extras) -> np.ndarray:
+        """Batched logits. ``extras`` are optional per-row side inputs for
+        multi-input servables (e.g. a CIL artifact's (speed, command)) —
+        each must share the frames' leading dim; they pad/chunk in lockstep."""
         frames = np.asarray(frames)
         if frames.ndim != 4:
             raise ValueError(f"expected (B,H,W,C) uint8 frames, got {frames.shape}")
+        extras = tuple(np.asarray(e) for e in extras)
+        for e in extras:
+            if e.shape[:1] != frames.shape[:1]:
+                raise ValueError(f"extra input rows {e.shape[0]} != frames "
+                                 f"rows {frames.shape[0]}")
         t0 = time.perf_counter()
         m = self.max_batch
         # an empty request is still one (fully padded) chunk: valid shape out
         stops = range(0, frames.shape[0], m) if frames.shape[0] else (0,)
-        chunks = [self._run_chunk(frames[i:i + m]) for i in stops]
+        chunks = [self._run_chunk(frames[i:i + m],
+                                  tuple(e[i:i + m] for e in extras))
+                  for i in stops]
         out = np.concatenate(chunks, axis=0)
         self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
         return out
 
-    def infer(self, frames) -> np.ndarray:
-        return np.argmax(self.infer_logits(frames), axis=-1).astype(np.int32)
+    def infer(self, frames, *extras) -> np.ndarray:
+        return np.argmax(self.infer_logits(frames, *extras),
+                         axis=-1).astype(np.int32)
 
     def warmup(self, height: int, width: int, channels: int = 4,
-               dtype=np.uint8) -> None:
+               dtype=np.uint8, extra_specs: Sequence[tuple] = ()) -> None:
+        """Pre-compile every bucket. ``extra_specs`` are ``(shape_tail,
+        dtype)`` pairs for multi-input servables (leading dim is the
+        bucket), e.g. ``[((), np.float32), ((), np.int32)]`` for CIL."""
         for b in self.buckets:
-            self._fn(np.zeros((b, height, width, channels), dtype))
+            extras = tuple(np.zeros((b,) + tuple(tail), dt)
+                           for tail, dt in extra_specs)
+            self._fn(np.zeros((b, height, width, channels), dtype), *extras)
         # warmup calls shouldn't pollute serving stats
         self._latencies_ms.clear()
         self._padded_frac.clear()

@@ -130,6 +130,68 @@ def export_policy(
     return export_fn(infer, [spec], path, platforms=platforms, meta=meta)
 
 
+def export_cil_policy(
+    model: Any,
+    params: Any,
+    path: str | Path,
+    *,
+    height: int,
+    width: int,
+    obs_size: int = 4,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    quantize: str | None = None,
+    extra_meta: dict | None = None,
+) -> Path:
+    """Export a command-conditioned (BranchedCILPolicy-shaped) policy as a
+    MULTI-INPUT servable: ``(frames_u8 (b,H,W,C), speed f32 (b,),
+    command i32 (b,)) → action logits (b, n_actions)``.
+
+    The command clip (into this head's taxonomy — same convention as
+    ``BranchedCILPolicy.as_policy_fn``) is baked INTO the program, so the
+    artifact is safe against out-of-taxonomy commands wherever it deploys.
+    The speed head is a training-time auxiliary and is not exported. All
+    batch dims share one symbolic size; ``quantize="int8"`` runs the
+    Conv/Dense contractions int8 exactly like the single-input path (the
+    branch einsums stay float — they are <2% of the FLOPs)."""
+    params = jax.device_get(params)
+    n_commands = int(getattr(model, "n_commands", 0)) or 1
+
+    if quantize == "int8":
+        from carla_imitation_learning_tpu.serving.quant import (
+            quantize_params, quantized_apply,
+        )
+
+        qparams = quantize_params(params)
+
+        def infer(frames_u8, speed, command):
+            obs = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+            cmd = jnp.clip(command, 0, n_commands - 1)
+            logits, _ = quantized_apply(model, qparams, obs,
+                                        speed.astype(jnp.float32), cmd)
+            return logits
+    elif quantize is None:
+        def infer(frames_u8, speed, command):
+            obs = frames_u8.astype(jnp.float32) * (1.0 / 255.0)
+            cmd = jnp.clip(command, 0, n_commands - 1)
+            logits, _ = model.apply({"params": params}, obs,
+                                    speed.astype(jnp.float32), cmd)
+            return logits
+    else:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+
+    specs = [
+        jax.ShapeDtypeStruct(("b", height, width, obs_size), jnp.uint8),
+        jax.ShapeDtypeStruct(("b",), jnp.float32),
+        jax.ShapeDtypeStruct(("b",), jnp.int32),
+    ]
+    meta = {"kind": "policy", "model": type(model).__name__,
+            "height": height, "width": width, "obs_size": obs_size,
+            "family": "cil", "n_commands": n_commands,
+            "quantize": quantize or "none"}
+    meta.update(extra_meta or {})
+    return export_fn(infer, specs, path, platforms=platforms, meta=meta)
+
+
 class LoadedPolicy:
     """A deserialized servable: ``call(*arrays)`` runs the baked program.
 
@@ -177,11 +239,26 @@ def policy_fn_from_servable(servable: LoadedPolicy):
     Artifacts are self-describing: discrete-family artifacts (the default)
     emit logits and this adapter argmaxes them; artifacts exported with
     ``meta["family"] == "continuous"`` emit (steer, accel) controls, which
-    pass through untouched (pair with ``control_space="continuous"``).
+    pass through untouched (pair with ``control_space="continuous"``);
+    ``meta["family"] == "cil"`` artifacts are multi-input — the adapter takes
+    the rollout's extras (speed + navigation command) and the command clip is
+    already baked inside the program (export_cil_policy).
     """
     import jax.numpy as jnp
 
-    continuous = servable.meta.get("family") == "continuous"
+    family = servable.meta.get("family")
+
+    if family == "cil":
+        def policy_fn(obs, extras):
+            frames_u8 = jnp.clip(jnp.round(obs * 255.0), 0,
+                                 255).astype(jnp.uint8)
+            logits = servable.call(frames_u8,
+                                   extras["speed"].astype(jnp.float32),
+                                   extras["command"].astype(jnp.int32))
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return policy_fn
+
+    continuous = family == "continuous"
 
     def policy_fn(obs):
         frames_u8 = jnp.clip(jnp.round(obs * 255.0), 0, 255).astype(jnp.uint8)

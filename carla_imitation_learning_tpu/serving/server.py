@@ -25,6 +25,10 @@ POST bodies, either:
   application/octet-stream with header  X-Shape: B,H,W,C  (raw uint8 bytes)
   application/json {"frames": <base64 uint8 bytes>, "shape": [B,H,W,C]}
   application/json {"frames": <nested list>}
+
+CIL (command-conditioned) artifacts additionally take per-row side inputs:
+  JSON fields "speed" (floats) and "command" (ints), or X-Speed/X-Command
+  comma-separated headers on octet-stream bodies; scalars broadcast.
 """
 
 from __future__ import annotations
@@ -45,10 +49,11 @@ from carla_imitation_learning_tpu.serving.export import LoadedPolicy, load_polic
 class _Request:
     """One in-flight inference request parked on the batcher queue."""
 
-    __slots__ = ("frames", "logits", "error", "done")
+    __slots__ = ("frames", "extras", "logits", "error", "done")
 
-    def __init__(self, frames: np.ndarray):
+    def __init__(self, frames: np.ndarray, extras: tuple = ()):
         self.frames = frames
+        self.extras = extras  # per-row side inputs (e.g. CIL speed, command)
         self.logits: np.ndarray | None = None
         self.error: Exception | None = None
         self.done = threading.Event()
@@ -82,8 +87,8 @@ class _MicroBatcher:
                                         name="tpuil-microbatcher")
         self._thread.start()
 
-    def submit(self, frames: np.ndarray) -> _Request:
-        req = _Request(frames)
+    def submit(self, frames: np.ndarray, extras: tuple = ()) -> _Request:
+        req = _Request(frames, extras)
         with self._lock:
             self._queue.append(req)
             self._lock.notify()
@@ -132,7 +137,10 @@ class _MicroBatcher:
         try:
             frames = (reqs[0].frames if len(reqs) == 1
                       else np.concatenate([r.frames for r in reqs], axis=0))
-            logits = self._engine.infer_logits(frames)
+            extras = (reqs[0].extras if len(reqs) == 1 else tuple(
+                np.concatenate([r.extras[i] for r in reqs], axis=0)
+                for i in range(len(reqs[0].extras))))
+            logits = self._engine.infer_logits(frames, *extras)
             self.batches_total += 1
             self.requests_total += len(reqs)
             self.rows_total += frames.shape[0]
@@ -173,6 +181,36 @@ def _parse_frames(headers, body: bytes) -> np.ndarray:
         frames = np.frombuffer(base64.b64decode(raw), np.uint8)
         return frames.reshape(tuple(int(s) for s in shape))
     return np.asarray(raw, np.uint8)
+
+
+def _parse_cil_extras(headers, body: bytes, n_rows: int) -> tuple:
+    """(speed f32 (B,), command i32 (B,)) for CIL artifacts: JSON fields
+    ``speed``/``command`` (number lists), or ``X-Speed``/``X-Command``
+    comma-separated headers on octet-stream bodies. Scalars broadcast."""
+    ctype = (headers.get("Content-Type") or "").split(";")[0].strip()
+    if ctype == "application/octet-stream":
+        sp_hdr, cm_hdr = headers.get("X-Speed"), headers.get("X-Command")
+        if not sp_hdr or not cm_hdr:
+            raise ValueError("CIL artifacts need X-Speed and X-Command "
+                             "headers (comma-separated, one per row) on "
+                             "octet-stream bodies")
+        speed = np.array([float(s) for s in sp_hdr.split(",")], np.float32)
+        command = np.array([int(s) for s in cm_hdr.split(",")], np.int32)
+    else:
+        payload = json.loads(body.decode())
+        if "speed" not in payload or "command" not in payload:
+            raise ValueError("CIL artifacts need 'speed' and 'command' "
+                             "fields (one per frame row)")
+        speed = np.asarray(payload["speed"], np.float32)
+        command = np.asarray(payload["command"], np.int32)
+    if speed.ndim == 0:
+        speed = np.full((n_rows,), float(speed), np.float32)
+    if command.ndim == 0:
+        command = np.full((n_rows,), int(command), np.int32)
+    if speed.shape != (n_rows,) or command.shape != (n_rows,):
+        raise ValueError(f"speed {speed.shape} / command {command.shape} "
+                         f"must be ({n_rows},) — one per frame row")
+    return speed, command
 
 
 class PolicyServer:
@@ -253,7 +291,9 @@ class PolicyServer:
         if self._expect_hwc is None:
             raise RuntimeError("warmup needs artifact input-shape metadata")
         h, w, c = self._expect_hwc
-        self.engine.warmup(h, w, c)
+        specs = ([((), np.float32), ((), np.int32)]
+                 if self.meta.get("family") == "cil" else [])
+        self.engine.warmup(h, w, c, extra_specs=specs)
 
     # -- request handling --------------------------------------------------
     def _stats(self) -> dict:
@@ -265,14 +305,14 @@ class PolicyServer:
                                        if b.batches_total else 0.0)}
         return out
 
-    def _infer(self, frames: np.ndarray) -> np.ndarray:
+    def _infer(self, frames: np.ndarray, extras: tuple = ()) -> np.ndarray:
         if frames.ndim != 4:
             raise ValueError(f"expected (B,H,W,C) frames, got {frames.shape}")
         if self._expect_hwc and frames.shape[1:] != self._expect_hwc:
             raise ValueError(
                 f"frame shape {frames.shape[1:]} != artifact input "
                 f"{self._expect_hwc}")
-        req = self._batcher.submit(frames)
+        req = self._batcher.submit(frames, extras)
         req.done.wait()
         if req.error is not None:
             raise req.error
@@ -312,12 +352,16 @@ class PolicyServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    frames = _parse_frames(self.headers, self.rfile.read(n))
+                    body = self.rfile.read(n)
+                    frames = _parse_frames(self.headers, body)
+                    extras = (_parse_cil_extras(self.headers, body,
+                                                frames.shape[0])
+                              if server.meta.get("family") == "cil" else ())
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})
                     return
                 try:
-                    logits = server._infer(frames)
+                    logits = server._infer(frames, extras)
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
                     return

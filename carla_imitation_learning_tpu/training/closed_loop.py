@@ -520,10 +520,13 @@ def evaluate_routes(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 600,
     frame_skip: int = 4, mesh=None, control_space: str = "discrete",
+    goal_ids=None,
 ) -> dict:
     """Destination-based (A→B) driving evaluation — the CARLA leaderboard's
-    actual task shape: each env gets a GOAL (round-robin over
-    ``town.nav_goals``, baked by sim/planner.plan_to_goals), the planner's
+    actual task shape: each env gets a GOAL (``goal_ids`` (B,), default
+    round-robin over ``town.nav_goals``, baked by sim/planner.plan_to_goals
+    — pass the collection's assignment to score the exact trained
+    distribution), the planner's
     tables steer the route plan, and the score is about REACHING the
     destination — arrival rate over attempted episodes, steps per arrival,
     infractions per km — rather than open-ended cruising. Requires a town
@@ -543,7 +546,9 @@ def evaluate_routes(
                                        control_space=control_space)
     carry = init_fn(rng, n_envs)
     n_goals = int(town.nav_goals.shape[0])
-    carry = assign_goals(carry, jnp.arange(n_envs, dtype=jnp.int32) % n_goals)
+    if goal_ids is None:
+        goal_ids = jnp.arange(n_envs, dtype=jnp.int32) % n_goals
+    carry = assign_goals(carry, jnp.asarray(goal_ids, jnp.int32))
     _, traj = rollout_fn(carry, n_steps)
 
     done = np.asarray(traj["done"], bool)          # (T, B)
@@ -569,7 +574,9 @@ def evaluate_routes(
                 timeouts += 1
             # length == 1 and no infraction → unreachable-spawn respawn
     attempts = arrivals + crashes + timeouts
-    failed = coll.sum() + off.sum()
+    # infractions are crash EPISODES, not raw flag-steps: a single impact at
+    # a road edge sets collision AND offroad the same step and must count once
+    failed = crashes
     return {
         "goals": n_goals,
         "attempts": int(attempts),

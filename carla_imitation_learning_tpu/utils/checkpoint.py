@@ -127,9 +127,12 @@ def restore_params(path: str | Path, params_template: Any) -> Any:
     BestKCheckpointManager saves each epoch, i.e. every ``best_path``).
     Restores templateless (this orbax has no partial_restore), takes the
     params subtree, and casts leaves onto the template's dtypes; a tree
-    mismatch still fails loudly via tree_map."""
+    mismatch fails loudly via tree_map, and a LEAF SHAPE mismatch (e.g. a
+    9-action checkpoint into an n_actions=5 model) raises instead of loading
+    silently — the apply would run and emit garbage otherwise."""
     import jax
     import jax.numpy as jnp
+    import numpy as _np
     import orbax.checkpoint as ocp
 
     raw = ocp.StandardCheckpointer().restore(Path(path).resolve())
@@ -137,6 +140,15 @@ def restore_params(path: str | Path, params_template: Any) -> Any:
     if isinstance(src, dict) and isinstance(params_template, dict) and \
             set(src) != set(params_template) and "params" in src:
         src = src["params"]  # {"params": {"params": ...}} templates
-    return jax.tree_util.tree_map(
-        lambda t, a: jnp.asarray(a, getattr(t, "dtype", None)),
-        params_template, src)
+
+    def _cast(keypath, t, a):
+        ts = getattr(t, "shape", None)
+        if ts is not None and tuple(_np.shape(a)) != tuple(ts):
+            raise ValueError(
+                f"checkpoint {path} leaf {jax.tree_util.keystr(keypath)} has "
+                f"shape {tuple(_np.shape(a))} but the model expects "
+                f"{tuple(ts)} — wrong n_actions/n_commands/frame_skip or "
+                "policy_family for this checkpoint?")
+        return jnp.asarray(a, getattr(t, "dtype", None))
+
+    return jax.tree_util.tree_map_with_path(_cast, params_template, src)

@@ -96,7 +96,8 @@ def test_cli_dagger_cil_goal_directed(tmp_path, capsys):
     is scored on the routes (arrival rate / infractions)."""
     rc = cli_main(["run", "dagger", "--json"] + _overrides(
         tmp_path, ["policy_family=cil", "n_goals=2", "rounds=2",
-                   "n_envs=4", "n_steps=48", "epochs_per_round=1"]))
+                   "n_envs=4", "n_steps=48", "epochs_per_round=1",
+                   "frame_skip=2"]))  # non-default: model must follow cfg
     assert rc == 0
     result = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert len(result["rounds"]) == 2

@@ -217,3 +217,21 @@ def test_no_route_ping_pong(world):
         if bool(info["arrived"]):
             break
     assert rewrites <= steps // 4, f"{rewrites} rewrites in {steps} steps"
+
+
+def test_route_metrics_count_crash_episodes_once(world):
+    """infractions_per_km counts crash EPISODES (an impact at a road edge
+    sets collision AND offroad on the same step — it is ONE infraction), and
+    an explicit goal_ids assignment is honored."""
+    params, town, _ = world
+    rcfg = RenderConfig(height=16, width=16)
+
+    def swerve(obs):  # full throttle + hard left (class 6): guaranteed crashes
+        return jnp.full((obs.shape[0],), 6, jnp.int32)
+
+    res = cl.evaluate_routes(params, town, rcfg, swerve,
+                             jax.random.PRNGKey(5), n_envs=6, n_steps=300,
+                             goal_ids=np.zeros(6, np.int32))
+    assert res["crashes"] > 0 and res["km_driven"] > 0
+    np.testing.assert_allclose(res["infractions_per_km"],
+                               res["crashes"] / res["km_driven"], rtol=1e-9)

@@ -165,3 +165,36 @@ def test_noise_rides_the_executed_controls(world):
                                np.asarray(traj["speed"]), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out["collision"]),
                                   np.asarray(traj["collision"]))
+
+
+def test_replay_experiment_records_the_true_expert(tmp_path, capsys):
+    """The replay EXPERIMENT without a checkpoint must record the AUTOPILOT
+    expert (policy_fn=None) — not a freshly-initialized policy labeled
+    "expert". Guard: reproduce the record bit-exactly from an explicit
+    expert rollout over the record's own rebuilt world."""
+    from carla_imitation_learning_tpu.cli import main as cli_main
+    from carla_imitation_learning_tpu.render.pipeline import (
+        RenderConfig as RC,
+    )
+
+    tiny = ["n_envs=3", "n_steps=16", "make_gif=false", "out_height=24",
+            "out_width=24", "sim.n_envs=3", "sim.n_agents=3",
+            "render.height=32", "render.width=32", "render.max_triangles=256",
+            "sim.town.blocks=2", "sim.town.n_buildings=6", "sim.n_lights=4",
+            f"log_dir={tmp_path}", f"data_dir={tmp_path}/data/"]
+    args = ["run", "replay", "--json"]
+    for o in tiny:
+        args += ["-o", o]
+    assert cli_main(args) == 0
+    rec = load_record(tmp_path / "episode.npz")
+    assert rec.meta["driver"] == "expert"
+    params, town = rebuild_world(rec)
+    rcfg = RC(**rec.render)
+    init_fn, rollout_fn = cl.make_rollout(params, town, rcfg, None)
+    carry = init_fn(jax.random.PRNGKey(int(rec.meta["seed"])), 3)
+    _, traj = rollout_fn(carry, 16)
+    expert_controls = np.stack(
+        [np.asarray(traj["steer"], np.float32),
+         np.asarray(traj["throttle"], np.float32),
+         np.asarray(traj["brake"], np.float32)], axis=-1)
+    np.testing.assert_array_equal(rec.controls, expert_controls)

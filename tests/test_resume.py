@@ -31,3 +31,28 @@ def test_resume_continues_from_checkpoint(tmp_path):
     # loss continues run 1's curve instead of restarting near scratch
     assert (r2["camera"]["history"][0]["train_loss"]
             < r1["camera"]["history"][0]["train_loss"] - 0.05)
+
+
+def test_restore_params_shape_mismatch_raises(tmp_path):
+    """A checkpoint whose head/stem shapes disagree with the model being
+    restored into must fail LOUDLY (e.g. a 9-action checkpoint into an
+    n_actions=5 eval) — silent loading would emit garbage actions."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from carla_imitation_learning_tpu.models import PolicyCNN
+    from carla_imitation_learning_tpu.utils.checkpoint import (
+        restore_params, save_pytree,
+    )
+
+    p9 = PolicyCNN(n_actions=9).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)))["params"]
+    save_pytree(tmp_path / "ck", {"params": p9})
+    restored = restore_params(tmp_path / "ck", p9)  # matching template: fine
+    assert jax.tree_util.tree_structure(restored) == \
+        jax.tree_util.tree_structure(p9)
+    p5 = PolicyCNN(n_actions=5).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)))["params"]
+    with pytest.raises(ValueError, match="shape"):
+        restore_params(tmp_path / "ck", p5)

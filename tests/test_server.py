@@ -190,3 +190,47 @@ def test_continuous_artifact_serves_controls(tmp_path):
             {"params": params}, frames.astype(np.float32) / 255.0))
         np.testing.assert_allclose(got, live, atol=1e-4)
         assert np.abs(got).max() <= 1.0
+
+
+def test_cil_artifact_serves_with_side_inputs(tmp_path):
+    """A CIL artifact serves over HTTP with per-row (speed, command) side
+    inputs — JSON fields or X-Speed/X-Command headers — and rejects requests
+    that omit them."""
+    from carla_imitation_learning_tpu.models import BranchedCILPolicy
+    from carla_imitation_learning_tpu.serving import export_cil_policy
+
+    model = BranchedCILPolicy(n_commands=4, dtype=jnp.float32)
+    ef, es, ec = model.example_input(1, H, W)
+    params = model.init(jax.random.PRNGKey(13), ef, es, ec)["params"]
+    path = tmp_path / "cil_policy"
+    export_cil_policy(model, params, path, height=H, width=W,
+                      platforms=("cpu",))
+    with PolicyServer(path, window_ms=1.0) as srv:
+        srv.warmup()
+        frames = _frames(3, seed=21)
+        speed = [1.5, 0.0, 9.0]
+        command = [0, 2, 1]
+        live = np.argmax(np.asarray(model.apply(
+            {"params": params}, frames.astype(np.float32) / 255.0,
+            np.asarray(speed, np.float32),
+            np.asarray(command, np.int32))[0]), axis=-1)
+        # JSON body with side-input fields
+        body = json.dumps({
+            "frames": base64.b64encode(frames.tobytes()).decode(),
+            "shape": [3, H, W, 4], "speed": speed, "command": command,
+        }).encode()
+        out = _post(srv.url + "/v1/infer", body,
+                    {"Content-Type": "application/json"})
+        np.testing.assert_array_equal(np.asarray(out["actions"]), live)
+        # octet-stream with X-Speed / X-Command headers
+        out2 = _post(srv.url + "/v1/infer", frames.tobytes(),
+                     {"Content-Type": "application/octet-stream",
+                      "X-Shape": f"3,{H},{W},4",
+                      "X-Speed": "1.5,0.0,9.0", "X-Command": "0,2,1"})
+        np.testing.assert_array_equal(np.asarray(out2["actions"]), live)
+        # missing side inputs → 400, not a server error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(srv.url + "/v1/infer", frames.tobytes(),
+                  {"Content-Type": "application/octet-stream",
+                   "X-Shape": f"3,{H},{W},4"})
+        assert ei.value.code == 400

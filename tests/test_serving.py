@@ -209,3 +209,73 @@ def test_servable_drives_closed_loop(trained, artifact):
                                  n_envs=4, n_steps=10)
     for k in ("driving_score", "route_completion", "mean_speed", "km_driven"):
         assert live[k] == pytest.approx(shipped[k], abs=1e-9), k
+
+
+def test_export_cil_policy_full_contract(tmp_path):
+    """export_cil_policy ships the branched CIL policy as a self-describing
+    multi-input servable: logits match live apply, the command clip is baked
+    into the program, and the engine pads/chunks the side inputs in lockstep
+    with the frames."""
+    from carla_imitation_learning_tpu.models import BranchedCILPolicy
+    from carla_imitation_learning_tpu.serving import (
+        export_cil_policy, load_policy,
+    )
+
+    model = BranchedCILPolicy(n_commands=4, dtype=jnp.float32)
+    frames, speed, command = model.example_input(1, H, W)
+    params = model.init(jax.random.PRNGKey(2), frames, speed, command)["params"]
+    art = export_cil_policy(model, params, tmp_path / "cil", height=H,
+                            width=W, platforms=("cpu",))
+    servable = load_policy(art)
+    assert servable.meta["family"] == "cil"
+    assert servable.meta["n_commands"] == 4
+    assert len(servable.meta["inputs"]) == 3
+
+    rng = np.random.default_rng(1)
+    f = rng.integers(0, 256, (5, H, W, 4), dtype=np.uint8)
+    s = rng.uniform(0, 12, 5).astype(np.float32)
+    c = np.array([0, 1, 2, 3, 9], np.int32)  # 9 = out of taxonomy
+    live = np.asarray(model.apply({"params": params},
+                                  f.astype(np.float32) / 255.0, s,
+                                  np.clip(c, 0, 3))[0])
+    got = np.asarray(servable.call(f, s, c))
+    np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-5)
+
+    # engine: extras pad/chunk with the frames (5 rows over max_batch 4 →
+    # one full chunk + one padded chunk)
+    eng = InferenceEngine(servable, max_batch=4)
+    eng.warmup(H, W, 4, extra_specs=[((), np.float32), ((), np.int32)])
+    acts = eng.infer(f, s, c)
+    np.testing.assert_array_equal(acts, np.argmax(live, axis=-1))
+    with pytest.raises(ValueError, match="rows"):
+        eng.infer(f, s[:3], c)
+
+
+def test_cil_servable_drives_closed_loop(tmp_path):
+    """Deployment parity for the CIL family: the shipped multi-input artifact
+    drives the rollout (speed + command extras) and matches the live
+    as_policy_fn eval exactly."""
+    from carla_imitation_learning_tpu.models import BranchedCILPolicy
+    from carla_imitation_learning_tpu.render.pipeline import RenderConfig
+    from carla_imitation_learning_tpu.serving import (
+        export_cil_policy, load_policy, policy_fn_from_servable,
+    )
+    from carla_imitation_learning_tpu.sim import SimParams, make_town
+    from carla_imitation_learning_tpu.training import closed_loop as cl
+
+    model = BranchedCILPolicy(n_commands=6, dtype=jnp.float32)
+    frames, speed, command = model.example_input(1, H, W)
+    params = model.init(jax.random.PRNGKey(4), frames, speed, command)["params"]
+    art = export_cil_policy(model, params, tmp_path / "cil", height=H,
+                            width=W, platforms=("cpu",))
+    servable_fn = policy_fn_from_servable(load_policy(art))
+
+    town = make_town(blocks=2, n_buildings=4, n_lights=2, turn_fans=True)
+    sim = SimParams(n_agents=2)
+    rcfg = RenderConfig(H, W, max_triangles=256, backend="jax")
+    live = cl.evaluate_policy(sim, town, rcfg, model.as_policy_fn(params),
+                              jax.random.PRNGKey(5), n_envs=4, n_steps=30)
+    shipped = cl.evaluate_policy(sim, town, rcfg, servable_fn,
+                                 jax.random.PRNGKey(5), n_envs=4, n_steps=30)
+    for k in ("driving_score", "route_completion", "mean_speed", "km_driven"):
+        assert live[k] == pytest.approx(shipped[k], abs=1e-9), k

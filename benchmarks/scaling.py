@@ -134,6 +134,23 @@ def audit(n_devices: int) -> dict:
     txt = rollout_fn.lower(carry, 8).compile().as_text()
     out["rollout"] = collective_stats(txt)
 
+    # goal-directed rollout: nav tables replicate like all town geometry and
+    # goal routing is pure gathers (sim/planner.py) — A→B navigation must add
+    # ZERO collectives to the sharded fleet
+    from carla_imitation_learning_tpu.sim.planner import (
+        plan_to_goals, sample_goals,
+    )
+    from carla_imitation_learning_tpu.training.closed_loop import assign_goals
+
+    nav_town = make_town(blocks=2, n_buildings=4, n_lights=2,
+                         superblocks=True, turn_fans=True)
+    nav_town = plan_to_goals(nav_town, sample_goals(nav_town, 0, 2))
+    ginit, grollout = make_rollout(params, nav_town, rcfg, None, mesh=mesh)
+    gcarry = assign_goals(ginit(jax.random.PRNGKey(1), 2 * n_devices),
+                          jnp.arange(2 * n_devices, dtype=jnp.int32) % 2)
+    txt = grollout.lower(gcarry, 8).compile().as_text()
+    out["rollout_goal_directed"] = collective_stats(txt)
+
     # PPO update: env-stratified minibatches keep window/field gathers
     # shard-local, so like the BC step it must show exactly the O(params)
     # gradient all-reduce traffic and nothing batch-shaped (training/rl.py)
@@ -328,6 +345,8 @@ def main() -> None:
         assert ar_bytes <= 1.2 * a["param_bytes"], \
             f"all-reduce bytes {ar_bytes} exceed O(params) {a['param_bytes']}"
         assert a["rollout"] == {}, f"rollout contains collectives: {a['rollout']}"
+        assert a["rollout_goal_directed"] == {}, \
+            f"A→B navigation added collectives: {a['rollout_goal_directed']}"
         # stochastic-actor rollouts: only the constant 8-byte PRNG key fold
         rc = dict(a["rollout_continuous"])
         rc_ar = rc.pop("all-reduce", {"count": 0, "bytes": 0})

@@ -842,46 +842,80 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
 @experiment("dagger_online")
 def dagger_online(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
                   train_steps_per_round: int = 200, eval_steps: int = 100,
-                  **kw):
+                  n_goals: int = 0, **kw):
     """DAgger with the WHOLE imitate→aggregate→retrain loop compiled as one
     XLA program (training/online_dagger.py): β-mixed rollouts, HBM-resident
     aggregation buffer, masked-window sampled train steps — zero host
     round-trips inside the algorithm (the host-mediated ``dagger`` pays
     ~rounds×(epochs+2) dispatches; the reference's CARLA socket loop pays
     one per frame). ``beta`` (cfg, default 0.0) is Ross et al.'s expert-mix
-    schedule β_r = beta**r."""
+    schedule β_r = beta**r.
+
+    ``policy_family=cil`` runs the loop command-conditioned
+    (BranchedCILPolicy; buffer also records speeds + navigation commands);
+    with ``n_goals > 0`` every round is GOAL-DIRECTED via the route planner
+    — the on-policy A→B aggregation loop STILL compiles to one program, and
+    the final policy is scored on the routes."""
     from carla_imitation_learning_tpu.training.online_dagger import (
         make_online_dagger,
     )
 
+    pf = str(cfg.get("policy_family", "discrete"))
+    goal_ids = None
+    if n_goals > 0:
+        _force_turn_fans(cfg)
     town, params, rcfg = _sim_bits(cfg)
+    if n_goals > 0:
+        town, _, goal_ids = _plan_goals(cfg, town, n_goals, n_envs)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    model = PolicyCNN(dtype=_dtype(cfg))
+    fs = int(cfg.get("frame_skip", 4))
+    if pf == "cil":
+        model = BranchedCILPolicy(obs_size=fs,
+                                  n_actions=int(cfg.get("n_actions", 9)),
+                                  n_commands=int(cfg.get("n_commands", 6)),
+                                  dtype=_dtype(cfg))
+        example = model.example_input(1, rcfg.height, rcfg.width)
+    else:
+        model = PolicyCNN(obs_size=fs,
+                          n_actions=int(cfg.get("n_actions", 9)),
+                          dtype=_dtype(cfg))
+        example = jnp.zeros((1, rcfg.height, rcfg.width, fs))
     tx = make_optimizer(cfg, 1)
-    state = create_train_state(
-        model, rng, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+    state = create_train_state(model, rng, example, tx)
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
     run = make_online_dagger(
         model.apply, params, town, rcfg,
         n_envs=n_envs, n_steps=n_steps, rounds=rounds,
         train_steps=train_steps_per_round,
         batch=int(cfg.get("BATCH_SIZE", 64)),
-        frame_skip=int(cfg.get("frame_skip", 4)),
-        beta=float(cfg.get("beta", 0.0)), mesh=mesh)
+        frame_skip=fs,
+        beta=float(cfg.get("beta", 0.0)), mesh=mesh,
+        cil=(pf == "cil"), goal_ids=goal_ids,
+        speed_weight=float(cfg.get("speed_weight", 0.1)))
     rng, k_run, k_eval = jax.random.split(rng, 3)
     state, metrics = run(state, k_run)
 
     p = state.params
 
-    def policy_fn(obs):
-        return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
+    if pf == "cil":
+        policy_fn = model.as_policy_fn(p)
+    else:
+        def policy_fn(obs):
+            return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
 
     final = cl.evaluate_policy(params, town, rcfg, policy_fn, k_eval,
-                               n_envs=min(n_envs, 32), n_steps=eval_steps)
-    return {"loss_per_round": [float(x) for x in metrics["loss"]],
-            "agreement_per_round": [float(x) for x in metrics["agreement"]],
-            "valid_frac_per_round": [float(x) for x in metrics["valid_frac"]],
-            "final_eval": final}
+                               n_envs=min(n_envs, 32), n_steps=eval_steps,
+                               frame_skip=fs)
+    out = {"loss_per_round": [float(x) for x in metrics["loss"]],
+           "agreement_per_round": [float(x) for x in metrics["agreement"]],
+           "valid_frac_per_round": [float(x) for x in metrics["valid_frac"]],
+           "final_eval": final}
+    if n_goals > 0:
+        rng, kr = jax.random.split(rng)
+        out["routes"] = cl.evaluate_routes(params, town, rcfg, policy_fn, kr,
+                                           n_envs=n_envs, n_steps=n_steps,
+                                           frame_skip=fs, goal_ids=goal_ids)
+    return out
 
 
 @experiment("bc_cil")

@@ -52,7 +52,7 @@ from carla_imitation_learning_tpu.training.steps import TrainState
 
 
 def sample_windows(key, frames, labels, dones, r, k_per_env: int,
-                   frame_skip: int):
+                   frame_skip: int, extras: tuple = ()):
     """Draw ``B × k_per_env`` training samples from the aggregation buffer,
     stratified by env: each env stream contributes exactly ``k_per_env``
     windows per step.
@@ -62,6 +62,9 @@ def sample_windows(key, frames, labels, dones, r, k_per_env: int,
     weight (B·k,) float32) — weight is 0 where the window [t-fs+1, t] would
     start before the trajectory or cross a done (an auto-reset between its
     frames), exactly the windows DeviceDataset's starts mask forbids.
+    ``extras`` are additional (R, T, B) per-step grids (e.g. the CIL speeds
+    and commands) gathered at the SAME window-end (round, t) indices and
+    appended flat to the return tuple.
 
     Stratification is what makes the program SPMD-clean: every gather is
     batched over the env axis (vmap in_axes on B), so when the buffer is
@@ -98,7 +101,11 @@ def sample_windows(key, frames, labels, dones, r, k_per_env: int,
     # (B,k,...) → (B·k, ...): env-major, so a B-sharded buffer yields a
     # batch sharded the same way with zero resharding
     flat = lambda a: a.reshape((B * k_per_env,) + a.shape[2:])
-    return flat(obs), flat(y), flat(w)
+    ex = tuple(
+        flat(jax.vmap(lambda g, rr, tt: g[rr, tt],
+                      in_axes=(2, 0, 0))(g, r_i, t_i))
+        for g in extras)
+    return (flat(obs), flat(y), flat(w)) + ex
 
 
 def make_online_dagger(
@@ -114,6 +121,9 @@ def make_online_dagger(
     frame_skip: int = 4,
     beta: float = 0.0,
     mesh=None,
+    cil: bool = False,
+    goal_ids=None,
+    speed_weight: float = 0.1,
 ):
     """Build ``run(state: TrainState, rng) -> (state, metrics)`` — one jit.
 
@@ -131,6 +141,15 @@ def make_online_dagger(
     (stratified sampling keeps all gathers shard-local), so the single
     program runs SPMD end-to-end with exactly one collective per train step
     (the O(params) gradient all-reduce) and none in the rollout.
+
+    ``cil=True`` makes the whole loop command-conditioned: ``model_apply``
+    is BranchedCILPolicy-shaped ((obs, speed, command) → (logits,
+    pred_speed)), the buffer additionally records per-step speeds and
+    navigation commands, training is masked CE + ``speed_weight``·MSE on the
+    speed head (the cil_loss_fn recipe), and the driving policy consumes the
+    live command stream. With ``goal_ids`` (B,) on a nav-table town
+    (sim/planner.plan_to_goals) every round is GOAL-DIRECTED — the
+    imitate→aggregate→retrain A→B loop still compiles to ONE program.
     """
     import dataclasses as _dc
 
@@ -144,8 +163,17 @@ def make_online_dagger(
 
     H, W = rcfg.height, rcfg.width
 
-    def policy_actions(p, obs):
-        return jnp.argmax(model_apply({"params": p}, obs), axis=-1)
+    if cil:
+        from carla_imitation_learning_tpu.sim.world import navigation_command
+
+        command_batch = jax.vmap(lambda s: navigation_command(params, town, s))
+
+        def policy_actions(p, obs, speed, command):
+            logits, _ = model_apply({"params": p}, obs, speed, command)
+            return jnp.argmax(logits, axis=-1)
+    else:
+        def policy_actions(p, obs, speed, command):
+            return jnp.argmax(model_apply({"params": p}, obs), axis=-1)
 
     def rollout_round(p, states, framebuf, just_reset, key, beta_r):
         """β-mixed rollout: (frames, labels, dones) grids (T,B,...) + the
@@ -162,7 +190,10 @@ def make_online_dagger(
             expert = expert_batch(states)
             expert_action = continuous_to_discrete(
                 expert.steer, expert.throttle, expert.brake).astype(jnp.int32)
-            pol_action = policy_actions(p, obs)
+            speed = states.ego_v
+            command = (command_batch(states) if cil
+                       else jnp.zeros_like(expert_action))
+            pol_action = policy_actions(p, obs, speed, command)
             use_expert = jax.random.bernoulli(km, beta_r, (obs.shape[0],))
             action = jnp.where(use_expert, expert_action, pol_action)
 
@@ -171,25 +202,39 @@ def make_online_dagger(
                                           fresh)
             out = {"gray": gray_u8, "label": expert_action,
                    "done": info["done"],
-                   "agree": (action == expert_action)}
+                   "agree": (action == expert_action),
+                   "speed": speed, "command": command}
             return (new_states, framebuf, info["done"], key), out
 
         carry, traj = jax.lax.scan(
             one_step, (states, framebuf, just_reset, key), None, length=n_steps)
         return carry, traj
 
-    def train_on_buffer(state: TrainState, key, frames, labels, dones, r):
+    def train_on_buffer(state: TrainState, key, frames, labels, dones, r,
+                        speeds=None, commands=None):
         def body(carry, k):
             st = carry
 
             def loss_fn(p):
-                obs, y, w = sample_windows(k, frames, labels, dones, r,
-                                           k_per_env, frame_skip)
-                logits = model_apply({"params": p}, obs)
+                if cil:
+                    obs, y, w, sp, cm = sample_windows(
+                        k, frames, labels, dones, r, k_per_env, frame_skip,
+                        extras=(speeds, commands))
+                    logits, pred_speed = model_apply({"params": p}, obs, sp, cm)
+                else:
+                    obs, y, w = sample_windows(k, frames, labels, dones, r,
+                                               k_per_env, frame_skip)
+                    logits = model_apply({"params": p}, obs)
                 ce = -jax.nn.log_softmax(logits)[
                     jnp.arange(n_envs * k_per_env), y]
-                return (jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1.0),
-                        jnp.mean(w))
+                denom = jnp.maximum(jnp.sum(w), 1.0)
+                loss = jnp.sum(w * ce) / denom
+                if cil:
+                    # the cil_loss_fn recipe: the speed head predicts the
+                    # CURRENT speed input (masked like the CE)
+                    loss += speed_weight * (
+                        jnp.sum(w * (pred_speed - sp) ** 2) / denom)
+                return loss, jnp.mean(w)
 
             (loss, vfrac), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(st.params)
@@ -214,6 +259,10 @@ def make_online_dagger(
         k_init, k_loop = jax.random.split(rng)
         states = jax.vmap(lambda k: reset_env(params, town, k))(
             jax.random.split(k_init, n_envs))
+        if goal_ids is not None:
+            # goals persist across auto-resets inside step_env, so setting
+            # them once here keeps every round goal-directed
+            states = states.replace(goal=jnp.asarray(goal_ids, jnp.int32))
         states = jax.tree_util.tree_map(c_env, states)
         gray0 = jnp.clip(render_batch(states)["gray"] * 255.0 + 0.5,
                          0, 255).astype(jnp.uint8)
@@ -222,13 +271,15 @@ def make_online_dagger(
         frames = c_buf(jnp.zeros((rounds, n_steps, n_envs, H, W), jnp.uint8))
         labels = c_buf(jnp.zeros((rounds, n_steps, n_envs), jnp.int32))
         dones = c_buf(jnp.zeros((rounds, n_steps, n_envs), bool))
+        speeds = c_buf(jnp.zeros((rounds, n_steps, n_envs), jnp.float32))
+        commands = c_buf(jnp.zeros((rounds, n_steps, n_envs), jnp.int32))
         loss_r = jnp.zeros((rounds,))
         agree_r = jnp.zeros((rounds,))
         valid_r = jnp.zeros((rounds,))
 
         def round_body(r, carry):
-            (state, states, framebuf, just_reset, key,
-             frames, labels, dones, loss_r, agree_r, valid_r) = carry
+            (state, states, framebuf, just_reset, key, frames, labels, dones,
+             speeds, commands, loss_r, agree_r, valid_r) = carry
             key, k_roll, k_train = jax.random.split(key, 3)
             beta_r = jnp.power(jnp.float32(beta), r).astype(jnp.float32)
             (states, framebuf, just_reset, _), traj = rollout_round(
@@ -239,18 +290,25 @@ def make_online_dagger(
                 labels, traj["label"][None], (r, 0, 0))
             dones = jax.lax.dynamic_update_slice(
                 dones, traj["done"][None], (r, 0, 0))
+            speeds = jax.lax.dynamic_update_slice(
+                speeds, traj["speed"][None], (r, 0, 0))
+            commands = jax.lax.dynamic_update_slice(
+                commands, traj["command"][None], (r, 0, 0))
             state, loss, vfrac = train_on_buffer(
-                state, k_train, frames, labels, dones, r)
+                state, k_train, frames, labels, dones, r,
+                speeds=speeds, commands=commands)
             loss_r = loss_r.at[r].set(loss)
             agree_r = agree_r.at[r].set(jnp.mean(traj["agree"].astype(jnp.float32)))
             valid_r = valid_r.at[r].set(vfrac)
-            return (state, states, framebuf, just_reset, key,
-                    frames, labels, dones, loss_r, agree_r, valid_r)
+            return (state, states, framebuf, just_reset, key, frames, labels,
+                    dones, speeds, commands, loss_r, agree_r, valid_r)
 
         carry = (state, states, framebuf, jnp.zeros((n_envs,), bool), k_loop,
-                 frames, labels, dones, loss_r, agree_r, valid_r)
+                 frames, labels, dones, speeds, commands,
+                 loss_r, agree_r, valid_r)
         carry = jax.lax.fori_loop(0, rounds, round_body, carry)
-        state, loss_r, agree_r, valid_r = carry[0], carry[8], carry[9], carry[10]
+        state, loss_r, agree_r, valid_r = (carry[0], carry[10], carry[11],
+                                           carry[12])
         return state, {"loss": loss_r, "agreement": agree_r,
                        "valid_frac": valid_r}
 

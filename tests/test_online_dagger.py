@@ -128,3 +128,51 @@ def test_online_dagger_sharded_spmd():
     moved = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
+def test_sample_windows_extras_align_with_labels():
+    """extras grids gather at the SAME (round, t) indices as the labels —
+    encode (r, t) into both labels and an extras grid and check they agree."""
+    R, T, B = 2, 10, 3
+    frames, _, dones = _buffer()
+    code = (jnp.arange(R)[:, None, None] * 100
+            + jnp.arange(T)[None, :, None] + jnp.zeros((1, 1, B))).astype(jnp.int32)
+    obs, y, w, ex = sample_windows(jax.random.PRNGKey(3), frames, code, dones,
+                                   r=jnp.int32(1), k_per_env=20, frame_skip=4,
+                                   extras=(code.astype(jnp.float32),))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ex, np.int32))
+
+
+def test_online_dagger_cil_goal_directed():
+    """The one-jit DAgger composes with the route planner: a command-
+    conditioned BranchedCILPolicy trains on goal-directed rounds (buffer
+    carries speeds + commands) inside a single compiled program, and the
+    result evaluates on the A→B task."""
+    from carla_imitation_learning_tpu.models import BranchedCILPolicy
+    from carla_imitation_learning_tpu.sim.planner import (
+        plan_to_goals, sample_goals,
+    )
+    from carla_imitation_learning_tpu.training import closed_loop as cl
+
+    town = make_town(blocks=2, n_buildings=6, n_lights=2, seed=1,
+                     superblocks=True, turn_fans=True)
+    town = plan_to_goals(town, sample_goals(town, 0, 2))
+    model = BranchedCILPolicy(n_commands=6, dtype=jnp.float32)
+    tx = optax.adam(1e-3)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), model.example_input(1, 32, 32), tx)
+    goal_ids = jnp.arange(4, dtype=jnp.int32) % 2
+    run = make_online_dagger(model.apply, PARAMS, town, RCFG,
+                             n_envs=4, n_steps=16, rounds=2, train_steps=4,
+                             batch=16, beta=0.0, cil=True, goal_ids=goal_ids)
+    state2, m = run(state, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+    assert float(m["agreement"][0]) == 1.0  # round 0 = navigating expert
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+    res = cl.evaluate_routes(PARAMS, town, RCFG,
+                             model.as_policy_fn(state2.params),
+                             jax.random.PRNGKey(2), n_envs=4, n_steps=40,
+                             goal_ids=goal_ids)
+    assert "arrival_rate" in res

@@ -45,7 +45,7 @@ def main() -> None:
 
     from carla_imitation_learning_tpu.models import PolicyCNN
     from carla_imitation_learning_tpu.ops.raster_fast import (
-        pack_setup_fast, rasterize_luma_fast, tile_lists_fast,
+        fuse_prims, pack_setup_prims, rasterize_luma_fast, tile_lists_fast,
     )
     from carla_imitation_learning_tpu.render import geometry as geo
     from carla_imitation_learning_tpu.render.camera import (
@@ -154,8 +154,10 @@ def main() -> None:
                 g = rasterize_luma_fast(setup, H, W, lod_px=rcfg.lod_px)
                 acc = acc + jnp.sum(g)
             else:
-                tris = pack_setup_fast(setup)
-                _idx, count = tile_lists_fast(setup, H, T, width=W,
+                # mirror the kernel's real front-end: quad fusion + prim table
+                prims = fuse_prims(setup)
+                tris = pack_setup_prims(prims)
+                _idx, count = tile_lists_fast(prims, H, T, width=W,
                                               lod_px=max(rcfg.lod_px, 0.0))
                 acc = acc + jnp.sum(tris[0]) + jnp.sum(count).astype(jnp.float32)
             return s, acc

@@ -44,6 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flax import struct
+
 from carla_imitation_learning_tpu.ops.raster import LUMA_W, TILE_ROWS, band_rows
 from carla_imitation_learning_tpu.render.camera import TriangleSetup
 from carla_imitation_learning_tpu.render.jax_raster import SKY_HORIZON, SKY_TOP
@@ -162,6 +164,164 @@ def tile_lists_fast(setup: TriangleSetup, height: int, k: int, width: int,
     return idx, count
 
 
+# ---------------------------------------------------------------------------
+# Quad-primitive path: every scene emitter (render/geometry.py) produces
+# planar convex quads split as (v0,v1,v2)+(v0,v2,v3) at even/odd indices.
+# Fusing such a pair back into ONE 4-edge primitive halves the pass count
+# (and the scalar SMEM loads) for quad geometry, and because 1/z is screen
+# -AFFINE per plane (camera.py: 1/z = den/det), the fused pass needs no
+# perspective divide at all — depth is one more affine row and the single
+# per-pixel reciprocal moves to the band epilogue.
+#
+# Per-pass cost: 5 affine evals (4 edges + 1/z) + 3 mins vs the triangle
+# kernel's 4 affine evals + reciprocal + mul, per TWO triangles covered.
+# Scalar SMEM loads: 16 per quad vs 26 for the two triangle passes.
+# ---------------------------------------------------------------------------
+
+PRIM_PACK_WIDTH = 16  # 12 edge + 3 zinv + 1 luma rows
+
+
+class PrimSetup(struct.PyTreeNode):
+    """4-edge primitive table: fused quads + unfused triangles (duplicated
+    4th edge row). Field names/shapes line up with TriangleSetup where
+    tile_lists_fast reads them (edges[..., i], valid, bbox, zmin)."""
+
+    edges: jnp.ndarray  # (P, 4, 3) sign-normalized border rows
+    zinv: jnp.ndarray   # (P, 3) affine 1/z row (per plane)
+    luma: jnp.ndarray   # (P,) 12-bit-quantized luminance (stored as f32)
+    valid: jnp.ndarray  # (P,) bool
+    bbox: jnp.ndarray   # (P, 4)
+    zmin: jnp.ndarray   # (P,)
+
+
+def fuse_prims(setup: TriangleSetup) -> PrimSetup:
+    """TriangleSetup (with pair_ok from project_triangles) → PrimSetup.
+
+    Slot layout keeps the table size T: slot 2i holds the fused quad (pair
+    fusable) or triangle 2i; slot 2i+1 holds triangle 2i+1 or is invalidated.
+    The quad's border rows come straight from the two triangles' edge rows:
+    quad(v0,v1,v2,v3) border = {cross(v0,v1)=t0.E2, cross(v1,v2)=t0.E0,
+    cross(v2,v3)=t1.E0, cross(v3,v0)=t1.E1}."""
+    T = setup.edges.shape[0]
+    E = setup.edges.reshape(T // 2, 2, 3, 3)
+    ok = setup.pair_ok
+    quad_edges = jnp.stack(
+        [E[:, 0, 2], E[:, 0, 0], E[:, 1, 0], E[:, 1, 1]], axis=1)
+    tri0 = jnp.concatenate([E[:, 0], E[:, 0, :1]], axis=1)  # dup 4th row
+    tri1 = jnp.concatenate([E[:, 1], E[:, 1, :1]], axis=1)
+    even_edges = jnp.where(ok[:, None, None], quad_edges, tri0)
+
+    v0, v1 = setup.valid[0::2], setup.valid[1::2]
+    even_valid = jnp.where(ok, v0 & v1, v0)
+    odd_valid = v1 & ~ok
+
+    b0, b1 = setup.bbox[0::2], setup.bbox[1::2]
+    union = jnp.stack([jnp.minimum(b0[:, 0], b1[:, 0]),
+                       jnp.maximum(b0[:, 1], b1[:, 1]),
+                       jnp.minimum(b0[:, 2], b1[:, 2]),
+                       jnp.maximum(b0[:, 3], b1[:, 3])], axis=-1)
+    even_bbox = jnp.where(ok[:, None], union, b0)
+
+    z0, z1 = setup.zmin[0::2], setup.zmin[1::2]
+    even_zmin = jnp.where(ok, jnp.minimum(z0, z1), z0)
+
+    luma = setup.colors @ LUMA_W
+    lum_q = jnp.clip(jnp.round(luma * LUMA_MASK), 0, LUMA_MASK)
+
+    def interleave(a, b):
+        return jnp.stack([a, b], axis=1).reshape((T,) + a.shape[1:])
+
+    return PrimSetup(
+        edges=interleave(even_edges, tri1),
+        zinv=interleave(setup.zinv[0::2], setup.zinv[1::2]),
+        luma=interleave(lum_q[0::2], lum_q[1::2]),
+        valid=interleave(even_valid, odd_valid),
+        bbox=interleave(even_bbox, b1),
+        zmin=interleave(even_zmin, z1),
+    )
+
+
+def compact_prims(prims: PrimSetup, cap: int) -> PrimSetup:
+    """Valid-primitive compaction, nearest-first (see compact_setup)."""
+    order = jnp.argsort(jnp.where(prims.valid, prims.zmin, jnp.inf))[:cap]
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, order, axis=0), prims)
+
+
+def pack_setup_prims(prims: PrimSetup) -> jnp.ndarray:
+    """PrimSetup → (16, P) coefficient-major f32 SMEM table."""
+    P = prims.edges.shape[0]
+    flat = jnp.concatenate([
+        prims.edges.reshape(P, 12), prims.zinv, prims.luma[:, None]], axis=-1)
+    return jnp.where(prims.valid[:, None], flat, 0.0).T
+
+
+def _prim_far_key(far: float) -> int:
+    """Smallest packed key strictly NEARER than ``far`` (max luma at 1/far):
+    a pixel is a hit iff its running-max key exceeds this."""
+    bits = int(np.float32(1.0 / far).view(np.int32)) & KEY_MASK
+    return bits | LUMA_MASK
+
+
+def _prim_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
+                 height, sky_top_l, sky_hor_l, fog_density,
+                 list_band_factor=1, tile_rows=TILE_ROWS):
+    """4-edge primitive band kernel. Key = top-20 bits of 1/z | 12-bit luma;
+    visibility is a running MAX (larger 1/z = nearer). No divide in the pass
+    loop — the one reciprocal (fog/shade) runs per pixel in the epilogue."""
+    r = pl.program_id(0)
+    lr = r // list_band_factor
+    y0 = (r * tile_rows).astype(jnp.float32)
+
+    px = jax.lax.broadcasted_iota(
+        jnp.int32, (1, width), 1).astype(jnp.float32) + 0.5
+    py = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, 1), 0).astype(jnp.float32) + (y0 + 0.5)
+
+    inv_near = np.float32(1.0 / near)
+    far_key = np.int32(_prim_far_key(far))
+
+    def prim_pass(t, kmax):
+        e0 = tris_ref[0, t] * px + (tris_ref[1, t] * py + tris_ref[2, t])
+        e1 = tris_ref[3, t] * px + (tris_ref[4, t] * py + tris_ref[5, t])
+        e2 = tris_ref[6, t] * px + (tris_ref[7, t] * py + tris_ref[8, t])
+        e3 = tris_ref[9, t] * px + (tris_ref[10, t] * py + tris_ref[11, t])
+        zi = tris_ref[12, t] * px + (tris_ref[13, t] * py + tris_ref[14, t])
+        m = jnp.minimum(jnp.minimum(e0, e1), jnp.minimum(e2, e3))
+        # inside ⇔ all border rows > 0 (sign-normalized); z > near ⇔ zi < 1/near
+        ok = jnp.logical_and(m > 0.0, zi < inv_near)
+        bits = jax.lax.bitcast_convert_type(zi, jnp.int32)
+        lum_i = tris_ref[15, t].astype(jnp.int32)  # scalar (SMEM)
+        key = jnp.bitwise_or(jnp.bitwise_and(bits, KEY_MASK), lum_i)
+        return jnp.maximum(kmax, jnp.where(ok, key, 0))
+
+    u = FAST_UNROLL
+
+    def body(j, kmax):
+        vals = [prim_pass(idx_ref[lr, u * j + i], kmax0) for i in range(u)]
+        m = vals[0]
+        for v in vals[1:]:
+            m = jnp.maximum(m, v)
+        return jnp.maximum(kmax, m)
+
+    kmax0 = jnp.zeros((tile_rows, width), jnp.int32)
+    kmax = jax.lax.fori_loop(0, (count_ref[lr, 0] + u - 1) // u, body, kmax0)
+
+    hit = kmax > far_key
+    ziw = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(kmax, KEY_MASK), jnp.float32)
+    luma = jnp.bitwise_and(kmax, LUMA_MASK).astype(jnp.float32) * (1.0 / LUMA_MASK)
+    # distance shade 1/(1+0.004·z) = zi/(zi+0.004) — no depth reconstruction
+    shade = ziw * pl.reciprocal(ziw + 0.004, approx=True)
+    t_sky = (py - 0.5) * (1.0 / max(height - 1, 1))
+    sky = sky_top_l * (1.0 - t_sky) + sky_hor_l * t_sky
+    lit = luma * shade
+    if fog_density > 0.0:
+        depth = pl.reciprocal(jnp.maximum(ziw, 1e-9), approx=True)
+        f = jnp.exp(-fog_density * depth)
+        lit = lit * f + sky * (1.0 - f)
+    out_ref[:] = jnp.where(hit, lit, sky)
+
+
 def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
                  height, sky_top_l, sky_hor_l, fog_density,
                  list_band_factor=1, tile_rows=TILE_ROWS):
@@ -236,7 +396,8 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
 @functools.partial(jax.jit, static_argnames=("height", "width", "near", "far",
                                              "interpret", "max_tris_per_tile",
                                              "compact_cap", "fog_density",
-                                             "lod_px", "list_band_factor"))
+                                             "lod_px", "list_band_factor",
+                                             "quads"))
 def rasterize_luma_fast(
     setup: TriangleSetup,
     height: int,
@@ -249,6 +410,7 @@ def rasterize_luma_fast(
     fog_density: float = 0.0,
     lod_px: float = 0.0,
     list_band_factor: int = 1,
+    quads: bool | None = None,
 ):
     """→ gray (H, W) f32 in [0,1] — the policy observation channel only.
 
@@ -259,41 +421,55 @@ def rasterize_luma_fast(
     (see compact_setup) before any per-band work. ``fog_density`` > 0 fuses
     exponential fog into the epilogue AND shrinks ``far`` to the visibility
     limit (weather.visibility_far), so fog also culls triangle passes.
+    ``quads`` selects the fused quad-primitive kernel (see fuse_prims);
+    None = auto — on whenever the setup carries pair analysis (pair_ok).
     """
+    if quads is None:
+        quads = setup.pair_ok is not None and setup.zinv is not None
     if fog_density > 0.0:
         from carla_imitation_learning_tpu.render.weather import visibility_far
 
         far = visibility_far(fog_density, far)
-    if compact_cap is not None and compact_cap < setup.valid.shape[0]:
-        setup = compact_setup(setup, compact_cap)
-    tris = pack_setup_fast(setup)
-    n_tris = tris.shape[1]  # (13, T) coefficient-major table
-    k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
+
     rows = band_rows(height)
-    idx, count = tile_lists_fast(setup, height, k, width=width, far=far,
-                                 lod_px=lod_px,
-                                 rows_per_band=rows * list_band_factor)
-    if k % FAST_UNROLL:  # the unrolled loop may overshoot to the next multiple
-        pad = FAST_UNROLL - k % FAST_UNROLL
-        idx = jnp.pad(idx, ((0, 0), (0, pad)))
-        k += pad
     band = rows * list_band_factor
     assert height % band == 0, f"height {height} % {band} != 0"
     n_rows = height // rows
     n_list_rows = height // band
-
-    kernel = functools.partial(
-        _fast_kernel, width=width, near=near, far=far, height=height,
+    kern_kw = dict(
+        width=width, near=near, far=far, height=height,
         sky_top_l=float(np.asarray(SKY_TOP) @ np.asarray(LUMA_W)),
         sky_hor_l=float(np.asarray(SKY_HORIZON) @ np.asarray(LUMA_W)),
         fog_density=fog_density, list_band_factor=list_band_factor,
         tile_rows=rows)
 
+    if quads:
+        prims = fuse_prims(setup)
+        if compact_cap is not None and compact_cap < prims.valid.shape[0]:
+            prims = compact_prims(prims, compact_cap)
+        tbl = pack_setup_prims(prims)
+        lists_src, kern, pack_w = prims, _prim_kernel, PRIM_PACK_WIDTH
+    else:
+        if compact_cap is not None and compact_cap < setup.valid.shape[0]:
+            setup = compact_setup(setup, compact_cap)
+        tbl = pack_setup_fast(setup)
+        lists_src, kern, pack_w = setup, _fast_kernel, FAST_PACK_WIDTH
+
+    n_tris = tbl.shape[1]  # coefficient-major table
+    k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
+    idx, count = tile_lists_fast(lists_src, height, k, width=width, far=far,
+                                 lod_px=lod_px, rows_per_band=band)
+    if k % FAST_UNROLL:  # the unrolled loop may overshoot to the next multiple
+        pad = FAST_UNROLL - k % FAST_UNROLL
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        k += pad
+
+    kernel = functools.partial(kern, **kern_kw)
     out = pl.pallas_call(
         kernel,
         grid=(n_rows,),
         in_specs=[
-            pl.BlockSpec((FAST_PACK_WIDTH, n_tris), lambda r: (0, 0),
+            pl.BlockSpec((pack_w, n_tris), lambda r: (0, 0),
                          memory_space=pltpu.SMEM),
             # full-array SMEM blocks with a constant index map: Mosaic rejects
             # (1, k) row blocks (last-2-dims divisibility rule), and a constant
@@ -307,5 +483,5 @@ def rasterize_luma_fast(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
         interpret=interpret,
-    )(tris, idx, count)
+    )(tbl, idx, count)
     return out

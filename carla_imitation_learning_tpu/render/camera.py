@@ -73,6 +73,16 @@ class TriangleSetup(struct.PyTreeNode):
     # texturing (ops/texture.py); None when projected with textures=False.
     unum: jnp.ndarray | None = None  # (T, 3)
     vnum: jnp.ndarray | None = None  # (T, 3)
+    # Screen-affine inverse depth: z(p) = det/den(p) ⇒ 1/z(p) = den(p)/det is
+    # one affine row per PLANE, shared by every triangle in it. The fast quad
+    # kernel (ops/raster_fast.py) evaluates depth from this row directly —
+    # no per-pass perspective divide.
+    zinv: jnp.ndarray | None = None  # (T, 3)
+    # Even/odd triangle pairs (2i, 2i+1) that form a planar convex quad with
+    # the scene emitters' split convention (geometry._quad: (v0,v1,v2) +
+    # (v0,v2,v3)) and can be rasterized as ONE 4-edge primitive. None when
+    # T is odd or fusion analysis was skipped.
+    pair_ok: jnp.ndarray | None = None  # (T//2,) bool
 
 
 def project_triangles(
@@ -145,6 +155,29 @@ def project_triangles(
     ymax = jnp.where(behind, float(height), jnp.max(py, axis=1))
     bbox = jnp.stack([xmin, xmax, ymin, ymax], axis=-1)
 
+    # screen-affine 1/z row (per plane): den(p)/det with the sign-normalized
+    # edges, den = Σ_i e_i and |det| the matching normalized determinant
+    abs_det = jnp.abs(det)
+    zinv = jnp.sum(edges, axis=1) / jnp.where(abs_det > 1e-9, abs_det, 1.0)[:, None]
+
+    # quad-pair fusability (even/odd pairs; geometry emitters' convention):
+    # shared v0 + shared diagonal v2, coplanar, same flat color, every vertex
+    # in front of the eye (guarantees a convex screen polygon), consistent
+    # screen winding. Conservative: unfusable pairs rasterize as 2 triangles.
+    pair_ok = None
+    if tris.shape[0] % 2 == 0 and tris.shape[0] > 0:
+        t0, t1 = tris[0::2], tris[1::2]
+        share = (jnp.all(t0[:, 0] == t1[:, 0], axis=-1)
+                 & jnp.all(t0[:, 2] == t1[:, 1], axis=-1))
+        n0 = jnp.cross(t0[:, 1] - t0[:, 0], t0[:, 2] - t0[:, 0])
+        dist = (jnp.abs(jnp.einsum("tc,tc->t", n0, t1[:, 2] - t0[:, 0]))
+                / (jnp.linalg.norm(n0, axis=-1) + 1e-12))
+        same_col = jnp.all(colors[0::2] == colors[1::2], axis=-1)
+        front = jnp.all(z.reshape(-1, 2, 3) > 1e-3, axis=(1, 2))
+        same_orient = jnp.sign(det[0::2]) == jnp.sign(det[1::2])
+        pair_ok = (share & (dist <= 1e-3) & same_col & front & same_orient
+                   & valid[0::2] & valid[1::2])
+
     unum = vnum = None
     if textures:
         # Surface-UV rows for procedural texturing (ops/texture.py): the
@@ -161,4 +194,5 @@ def project_triangles(
         vnum = jnp.einsum("tv,tvc->tc", V, edges)
     return TriangleSetup(edges=edges, znum=znum, colors=colors,
                          classes=classes, valid=valid, bbox=bbox,
-                         zmin=jnp.min(z, axis=1), unum=unum, vnum=vnum)
+                         zmin=jnp.min(z, axis=1), unum=unum, vnum=vnum,
+                         zinv=zinv, pair_ok=pair_ok)

@@ -269,9 +269,11 @@ def light_head_triangles(lights_pos: jnp.ndarray, phases: jnp.ndarray):
     v3 = jnp.stack([x - r, y, jnp.full_like(x, 5.4)], -1)
     t0 = jnp.stack([v0, v1, v2], axis=1)
     t1 = jnp.stack([v0, v2, v3], axis=1)
-    tris = jnp.concatenate([t0, t1], axis=0)  # (2L,3,3)
+    # pair-adjacent (q0t0, q0t1, q1t0, ...): the fast rasterizer fuses
+    # even/odd coplanar triangle pairs into single quad primitives
+    tris = jnp.stack([t0, t1], axis=1).reshape(-1, 3, 3)  # (2L,3,3)
     col = jnp.asarray(_LIGHT_PHASE_COLORS)[phases]  # (L,3)
-    colors = jnp.concatenate([col, col], axis=0)
+    colors = jnp.repeat(col, 2, axis=0)
     return tris, colors
 
 
@@ -299,7 +301,8 @@ def _shadow_quads(pos: jnp.ndarray, yaw: jnp.ndarray,
     p = jnp.concatenate([corners, zc], axis=-1)  # (A,4,3)
     t0 = jnp.stack([p[:, 0], p[:, 1], p[:, 2]], axis=1)
     t1 = jnp.stack([p[:, 0], p[:, 2], p[:, 3]], axis=1)
-    return jnp.concatenate([t0, t1], axis=0)
+    # pair-adjacent for quad fusion (see light_head_triangles)
+    return jnp.stack([t0, t1], axis=1).reshape(-1, 3, 3)
 
 
 def assemble_scene(

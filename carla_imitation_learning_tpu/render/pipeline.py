@@ -56,6 +56,10 @@ class RenderConfig:
                                   # (window grids, asphalt/grass speckle —
                                   # ops/texture.py). Exact backends only; the
                                   # fast rollout kernel ignores it.
+    quads: bool = True        # fast path: fuse coplanar triangle pairs into
+                              # 4-edge quad primitives (raster_fast.fuse_prims
+                              # — ~0.56× the band passes). False = A/B escape
+                              # hatch back to the triangle kernel.
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -75,7 +79,8 @@ class RenderConfig:
                    facade_bands=int(r.get("facade_bands", 0)),
                    shadows=bool(r.get("shadows", False)),
                    markings=bool(r.get("markings", False)),
-                   texture_detail=bool(r.get("texture_detail", False)))
+                   texture_detail=bool(r.get("texture_detail", False)),
+                   quads=bool(r.get("quads", True)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
@@ -160,7 +165,8 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
                                near=rcfg.near, far=rcfg.far,
                                compact_cap=rcfg.active_cap,
                                fog_density=rcfg.fog_density,  # fused in-kernel
-                               lod_px=max(rcfg.lod_px, 0.0))
+                               lod_px=max(rcfg.lod_px, 0.0),
+                               quads=None if rcfg.quads else False)
             return {"gray": _sun(_rain(gray, state))}
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,

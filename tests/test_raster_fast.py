@@ -165,3 +165,83 @@ def test_list_band_factor_identical_output():
     g1 = rasterize_luma_fast(setup, H, W, interpret=True)
     g2 = rasterize_luma_fast(setup, H, W, interpret=True, list_band_factor=2)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+# --------------------------- quad-primitive path ---------------------------
+
+
+def test_quad_fusion_rate_and_pass_reduction():
+    """Every scene emitter produces planar quad pairs (geometry._quad /
+    _box_tris convention), so a large majority of valid pairs must fuse and
+    the per-band pass counts must drop materially vs the triangle kernel."""
+    from carla_imitation_learning_tpu.ops.raster_fast import fuse_prims
+
+    setup = make_setup(0)
+    assert setup.pair_ok is not None and setup.zinv is not None
+    ok = np.asarray(setup.pair_ok)
+    both_valid = np.asarray(setup.valid[0::2] & setup.valid[1::2])
+    assert ok[both_valid].mean() > 0.7, f"only {ok[both_valid].mean():.0%} fuse"
+
+    prims = fuse_prims(setup)
+    _, c_tri = tile_lists_fast(setup, H, setup.valid.shape[0], width=W)
+    _, c_quad = tile_lists_fast(prims, H, prims.valid.shape[0], width=W)
+    assert int(c_quad.sum()) < 0.7 * int(c_tri.sum()), (
+        f"quad lists {int(c_quad.sum())} vs tri {int(c_tri.sum())}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_quad_kernel_matches_triangle_kernel(seed):
+    """quads=True vs quads=False on the same setup: identical coverage and
+    luma; depth keys may round differently (affine 1/z vs approx-reciprocal
+    z), so only quantization-scale isolated diffs are allowed."""
+    setup = make_setup(seed)
+    g_tri = rasterize_luma_fast(setup, H, W, interpret=True, quads=False)
+    g_quad = rasterize_luma_fast(setup, H, W, interpret=True, quads=True)
+    d = np.abs(np.asarray(g_tri) - np.asarray(g_quad))
+    assert d.mean() < 1e-3, f"mean diff {d.mean()}"
+    assert (d > 2 / 255).mean() < 0.005, f"{(d > 2/255).mean():.3%} pixels off"
+
+
+def test_non_planar_pair_does_not_fuse():
+    """Bending a quad pair out of plane must kill its fusion (conservative
+    fallback to two triangle passes) and still render exactly."""
+    import jax.numpy as jnp
+
+    from carla_imitation_learning_tpu.render.camera import project_triangles
+
+    st = reset_env(PARAMS, TOWN, jax.random.PRNGKey(0))
+    phases = agent_lib.light_phases(
+        TOWN, st.t.astype(jnp.float32) * PARAMS.dt,
+        PARAMS.light_green, PARAMS.light_yellow, PARAMS.light_red)
+    ap, ay = agent_lib.agent_positions(TOWN, st.agents_route, st.agents_s)
+    tris, colors, classes = geo.assemble_scene(
+        STATIC, TOWN.lights_pos, phases, ap, ay, 256)
+    cam = camera_from_ego(st.ego_pos, st.ego_yaw)
+    base = project_triangles(tris, colors, classes, cam, W, H, 90.0, 0.5)
+    fusable = np.flatnonzero(np.asarray(base.pair_ok))
+    assert fusable.size > 0
+    p = int(fusable[0])
+    # lift triangle 2p+1's third vertex (v3) 0.5 m out of the quad plane
+    bent = tris.at[2 * p + 1, 2, 2].add(0.5)
+    setup = project_triangles(bent, colors, classes, cam, W, H, 90.0, 0.5)
+    assert not bool(setup.pair_ok[p])
+    g_tri = rasterize_luma_fast(setup, H, W, interpret=True, quads=False)
+    g_quad = rasterize_luma_fast(setup, H, W, interpret=True, quads=True)
+    d = np.abs(np.asarray(g_tri) - np.asarray(g_quad))
+    assert (d > 2 / 255).mean() < 0.005
+
+
+def test_quad_path_with_cap_fog_lod():
+    """The quad path must compose with compaction, fused fog, and LOD the
+    same way the triangle path does."""
+    setup = make_setup(1)
+    for kw in (dict(compact_cap=128), dict(fog_density=0.02),
+               dict(lod_px=1.0), dict(compact_cap=96, fog_density=0.01,
+                                      lod_px=1.0, list_band_factor=2)):
+        g_tri = rasterize_luma_fast(setup, H, W, interpret=True, quads=False,
+                                    **kw)
+        g_quad = rasterize_luma_fast(setup, H, W, interpret=True, quads=True,
+                                     **kw)
+        d = np.abs(np.asarray(g_tri) - np.asarray(g_quad))
+        assert d.mean() < 2e-3, f"{kw}: mean {d.mean()}"
+        assert (d > 2 / 255).mean() < 0.02, f"{kw}: {(d > 2/255).mean():.2%}"

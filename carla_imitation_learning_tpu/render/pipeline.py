@@ -56,10 +56,14 @@ class RenderConfig:
                                   # (window grids, asphalt/grass speckle —
                                   # ops/texture.py). Exact backends only; the
                                   # fast rollout kernel ignores it.
-    quads: bool = True        # fast path: fuse coplanar triangle pairs into
+    quads: bool = False       # fast path: fuse coplanar triangle pairs into
                               # 4-edge quad primitives (raster_fast.fuse_prims
-                              # — ~0.56× the band passes). False = A/B escape
-                              # hatch back to the triangle kernel.
+                              # — ~0.56× the band passes on paper, but MEASURED
+                              # on-chip it is a wash on standard scenes (1.008×)
+                              # and a 0.83× regression on rich ones (the wider
+                              # prim rows cost more VPU work per pass than the
+                              # saved passes; benchmarks/quad_ab.py →
+                              # reports/quad_ab.json). Kept as an opt-in A/B.
 
     @classmethod
     def from_cfg(cls, cfg, backend: str | None = None) -> "RenderConfig":
@@ -80,7 +84,7 @@ class RenderConfig:
                    shadows=bool(r.get("shadows", False)),
                    markings=bool(r.get("markings", False)),
                    texture_detail=bool(r.get("texture_detail", False)),
-                   quads=bool(r.get("quads", True)))
+                   quads=bool(r.get("quads", False)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,

@@ -131,14 +131,17 @@ def _fit(cfg, name, model, example, loss_fn, loaders, mesh=None):
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     spe = max(1, len(loaders["train_dataloader"]))
     tx = make_optimizer(cfg, steps_per_epoch=spe)
-    state = create_train_state(model, rng, example, tx)
+    state = create_train_state(model, rng, example, tx,
+                               ema_decay=float(cfg.get("EMA_DECAY", 0.0)))
     resume = cfg.get("resume_checkpoint")
     if resume:
         from carla_imitation_learning_tpu.utils.checkpoint import restore_pytree
 
-        restored = restore_pytree(resume, {"params": state.params,
-                                           "opt_state": state.opt_state,
-                                           "step": state.step})
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        if state.ema_params is not None:
+            template["ema_params"] = state.ema_params
+        restored = restore_pytree(resume, template)
         state = state.replace(**restored)
     if mesh is not None:
         from carla_imitation_learning_tpu.parallel.mesh import shard_train_state

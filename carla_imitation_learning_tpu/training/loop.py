@@ -229,8 +229,14 @@ class Trainer:
                 self.logger.add_scalars_flat(
                     {k: v for k, v in epoch_row.items() if k != "epoch"}, step=epoch)
             if self.ckpt is not None:
-                self.ckpt.save(epoch, {"params": state.params, "opt_state": state.opt_state,
-                                       "step": state.step}, epoch_row)
+                payload = {"params": state.params, "opt_state": state.opt_state,
+                           "step": state.step}
+                if state.ema_params is not None:
+                    # best-k selection already ranks on the EMA val metric
+                    # (eval steps run on eval_params); ship the shadow too so
+                    # restore_params can serve the weights that were scored
+                    payload["ema_params"] = state.ema_params
+                self.ckpt.save(epoch, payload, epoch_row)
             self._callback("on_epoch_end", state=state, epoch=epoch, metrics=epoch_row,
                            loaders=loaders)
 

@@ -23,21 +23,45 @@ from flax import struct
 
 
 class TrainState(struct.PyTreeNode):
-    """Minimal train state (params + opt state + step), jit-donatable."""
+    """Minimal train state (params + opt state + step), jit-donatable.
+
+    ``ema_params`` (optional) is a Polyak/EMA shadow of ``params`` updated
+    inside the same jit region as the optimizer step — zero extra dispatches,
+    one extra params-sized buffer. When present, eval/test/checkpoint-best
+    run on the EMA weights (the production-IL convention; the raw params keep
+    training). ``ema_decay`` is static so the update compiles to a single
+    fused axpy per leaf."""
 
     step: jnp.ndarray
     params: Any
     opt_state: Any
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                new_ema, new_params)
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
+
+
+def eval_params(state: "TrainState"):
+    """The weights evaluation should run on: EMA shadow when tracked, else
+    the live params. Static choice — resolved at trace time."""
+    ema = getattr(state, "ema_params", None)
+    return ema if ema is not None else state.params
 
 
 def make_lr_schedule(cfg, steps_per_epoch: int) -> optax.Schedule:
@@ -64,19 +88,25 @@ def make_optimizer(cfg, steps_per_epoch: int = 1) -> optax.GradientTransformatio
     return tx
 
 
-def create_train_state(model, rng, example_input, tx) -> TrainState:
+def create_train_state(model, rng, example_input, tx,
+                       ema_decay: float = 0.0) -> TrainState:
     """Initialize params via a smoke forward on the example input — the
-    reference runs the same shape-sanity forward before fit (train.py:119-120)."""
+    reference runs the same shape-sanity forward before fit (train.py:119-120).
+    ``ema_decay`` > 0 seeds an EMA shadow of the params (cfg EMA_DECAY)."""
     if isinstance(example_input, tuple):
         variables = model.init(rng, *example_input)
     else:
         variables = model.init(rng, example_input)
+    params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        opt_state=tx.init(variables["params"]),
+        params=params,
+        opt_state=tx.init(params),
         apply_fn=model.apply,
         tx=tx,
+        ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                    if ema_decay > 0.0 else None),
+        ema_decay=float(ema_decay),
     )
 
 
@@ -96,7 +126,7 @@ def make_train_step(loss_fn, donate: bool = True):
 
 def make_eval_step(loss_fn):
     def step(state: TrainState, batch):
-        _, metrics = loss_fn(state.params, state.apply_fn, batch, None)
+        _, metrics = loss_fn(eval_params(state), state.apply_fn, batch, None)
         return metrics
 
     return jax.jit(step)
@@ -140,7 +170,8 @@ def make_fused_eval(loss_fn, pure_batch: Callable):
 
     def run(state: TrainState, order):
         def body(_, idx):
-            _, metrics = loss_fn(state.params, state.apply_fn, pure_batch(idx), None)
+            _, metrics = loss_fn(eval_params(state), state.apply_fn,
+                                 pure_batch(idx), None)
             return 0, metrics
 
         _, metrics = jax.lax.scan(body, 0, order)

@@ -136,7 +136,13 @@ def restore_params(path: str | Path, params_template: Any) -> Any:
     import orbax.checkpoint as ocp
 
     raw = ocp.StandardCheckpointer().restore(Path(path).resolve())
-    src = raw.get("params", raw) if isinstance(raw, dict) else raw
+    if isinstance(raw, dict) and "ema_params" in raw:
+        # EMA-tracked checkpoint: the best-k val metric that selected this
+        # file was scored on the EMA shadow (loop.py), so that IS the
+        # deployable set — serve it, not the raw training params.
+        src = raw["ema_params"]
+    else:
+        src = raw.get("params", raw) if isinstance(raw, dict) else raw
     if isinstance(src, dict) and isinstance(params_template, dict) and \
             set(src) != set(params_template) and "params" in src:
         src = src["params"]  # {"params": {"params": ...}} templates

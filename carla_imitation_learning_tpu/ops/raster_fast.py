@@ -322,6 +322,81 @@ def _prim_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
     out_ref[:] = jnp.where(hit, lit, sky)
 
 
+# Primitives per vectorized pass group (sublane axis of the (P, rows·W)
+# broadcast ops). 8 = the f32 sublane tile height. Env override for A/B only.
+VEC_P = int(_os.environ.get("TPUIL_FAST_VEC_P", 8))
+
+
+def gather_band_tables(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(13, T) coefficient table + (R, k) band lists → (R, k, 16) band-resident
+    coefficient tables (lane-padded 13 → 16 so DMA rows are 64-byte).
+
+    This is the vectorized kernel's whole front-end: the gather happens ONCE
+    per frame in XLA (bandwidth-bound, ~R·k·52 bytes), and the kernel then
+    reads coefficients as natural sublane-major (P, 1) column slices — zero
+    scalar loads, zero dynamic indexing inside the pass loop."""
+    return jnp.pad(jnp.take(tbl.T, idx, axis=0), ((0, 0), (0, 0), (0, 3)))
+
+
+def _vec_kernel(btbl_ref, count_ref, out_ref, *, width, near, far,
+                height, sky_top_l, sky_hor_l, fog_density,
+                list_band_factor=1, tile_rows=TILE_ROWS, vec_p=VEC_P):
+    """Vectorized band pass: P primitives per loop body as (P, rows·W) VPU
+    broadcasts — sublanes = primitives, lanes = flattened band pixels.
+
+    The scalar kernel's inner loop issues 13 SMEM scalar loads per triangle
+    and is scalar-issue-bound (PERFORMANCE.md round-3 log); here every
+    coefficient arrives as a (P, 1) VMEM column slice and every arithmetic op
+    covers P triangles at once, so the loop body is pure VPU work and runs
+    ceil(count/P) iterations instead of count. Bit-exact vs _fast_kernel:
+    identical f32 operands combined in the identical order per pixel (the
+    rank-1 a·px / b·py+c split evaluates the same products), same approx
+    reciprocal, same packed-key min."""
+    r = pl.program_id(0)
+    lr = r // list_band_factor  # list row: bands may share a coarser list
+    y0 = (r * tile_rows).astype(jnp.float32)
+    n = tile_rows * width
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    px = (lane % width).astype(jnp.float32) + 0.5
+    py = (lane // width).astype(jnp.float32) + (y0 + 0.5)
+
+    far_key = _pack_key_const(far)
+
+    def group_pass(g, kmin):
+        c = btbl_ref[0, pl.ds(g * vec_p, vec_p), :]  # (P, 16) f32
+        e0 = c[:, 0:1] * px + (c[:, 1:2] * py + c[:, 2:3])
+        e1 = c[:, 3:4] * px + (c[:, 4:5] * py + c[:, 5:6])
+        e2 = c[:, 6:7] * px + (c[:, 7:8] * py + c[:, 8:9])
+        znp_ = c[:, 9:10] * px + (c[:, 10:11] * py + c[:, 11:12])
+        inside = jnp.minimum(jnp.minimum(e0, e1), e2) > 0.0
+        den = e0 + e1 + e2
+        z = znp_ * pl.reciprocal(den, approx=True)
+        ok = jnp.logical_and(inside, z > near)
+        bits = jax.lax.bitcast_convert_type(z, jnp.int32)
+        lum_i = c[:, 12:13].astype(jnp.int32)  # (P, 1) int broadcast
+        key = jnp.bitwise_or(jnp.bitwise_and(bits, KEY_MASK), lum_i)
+        cand = jnp.where(ok, key, MISS_KEY)  # (P, N)
+        return jnp.minimum(kmin, jnp.min(cand, axis=0, keepdims=True))
+
+    kmin0 = jnp.full((1, n), MISS_KEY, jnp.int32)
+    n_groups = (count_ref[lr, 0] + vec_p - 1) // vec_p
+    kmin = jax.lax.fori_loop(0, n_groups, group_pass, kmin0)
+
+    hit = kmin < far_key
+    depth = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(kmin, KEY_MASK), jnp.float32)
+    luma = jnp.bitwise_and(kmin, LUMA_MASK).astype(jnp.float32) * (1.0 / LUMA_MASK)
+    shade = pl.reciprocal(1.0 + 0.004 * depth, approx=True)
+    t_sky = (py - 0.5) * (1.0 / max(height - 1, 1))
+    sky = sky_top_l * (1.0 - t_sky) + sky_hor_l * t_sky
+    lit = luma * shade
+    if fog_density > 0.0:
+        f = jnp.exp(-fog_density * depth)
+        lit = lit * f + sky * (1.0 - f)
+    out_ref[:] = jnp.where(hit, lit, sky).reshape(tile_rows, width)
+
+
 def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
                  height, sky_top_l, sky_hor_l, fog_density,
                  list_band_factor=1, tile_rows=TILE_ROWS):
@@ -397,7 +472,7 @@ def _fast_kernel(tris_ref, idx_ref, count_ref, out_ref, *, width, near, far,
                                              "interpret", "max_tris_per_tile",
                                              "compact_cap", "fog_density",
                                              "lod_px", "list_band_factor",
-                                             "quads"))
+                                             "quads", "vec"))
 def rasterize_luma_fast(
     setup: TriangleSetup,
     height: int,
@@ -411,6 +486,7 @@ def rasterize_luma_fast(
     lod_px: float = 0.0,
     list_band_factor: int = 1,
     quads: bool | None = None,
+    vec: bool = False,
 ):
     """→ gray (H, W) f32 in [0,1] — the policy observation channel only.
 
@@ -459,6 +535,32 @@ def rasterize_luma_fast(
     k = n_tris if max_tris_per_tile is None else min(max_tris_per_tile, n_tris)
     idx, count = tile_lists_fast(lists_src, height, k, width=width, far=far,
                                  lod_px=lod_px, rows_per_band=band)
+    if vec and not quads:
+        # vectorized band pass: gather per-band coefficient tables up front
+        # (gather_band_tables) and run the (P, rows·W) broadcast kernel —
+        # no SMEM table, no idx indirection inside the kernel.
+        step = max(VEC_P, 8)  # sublane-aligned group slices
+        if k % step:
+            pad = step - k % step
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
+            k += pad
+        btbl = gather_band_tables(tbl, idx)
+        vkern = functools.partial(_vec_kernel, **kern_kw, vec_p=step)
+        return pl.pallas_call(
+            vkern,
+            grid=(n_rows,),
+            in_specs=[
+                pl.BlockSpec((1, k, 16),
+                             lambda r: (r // list_band_factor, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_list_rows, 1), lambda r: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((rows, width), lambda r: (r, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((height, width), jnp.float32),
+            interpret=interpret,
+        )(btbl, count)
     if k % FAST_UNROLL:  # the unrolled loop may overshoot to the next multiple
         pad = FAST_UNROLL - k % FAST_UNROLL
         idx = jnp.pad(idx, ((0, 0), (0, pad)))

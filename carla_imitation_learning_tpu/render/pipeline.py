@@ -56,6 +56,12 @@ class RenderConfig:
                                   # (window grids, asphalt/grass speckle —
                                   # ops/texture.py). Exact backends only; the
                                   # fast rollout kernel ignores it.
+    vec: bool = False         # fast path: vectorized band passes — P prims
+                              # per loop body as (P, rows·W) VPU broadcasts
+                              # from band-resident coefficient tables instead
+                              # of per-triangle SMEM scalar loads
+                              # (raster_fast._vec_kernel; bit-exact vs the
+                              # triangle kernel). Ignored when quads=True.
     quads: bool = False       # fast path: fuse coplanar triangle pairs into
                               # 4-edge quad primitives (raster_fast.fuse_prims
                               # — ~0.56× the band passes on paper, but MEASURED
@@ -84,7 +90,8 @@ class RenderConfig:
                    shadows=bool(r.get("shadows", False)),
                    markings=bool(r.get("markings", False)),
                    texture_detail=bool(r.get("texture_detail", False)),
-                   quads=bool(r.get("quads", False)))
+                   quads=bool(r.get("quads", False)),
+                   vec=bool(r.get("vec", False)))
 
 
 def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
@@ -170,7 +177,8 @@ def make_renderer(params: SimParams, town: TownMap, rcfg: RenderConfig,
                                compact_cap=rcfg.active_cap,
                                fog_density=rcfg.fog_density,  # fused in-kernel
                                lod_px=max(rcfg.lod_px, 0.0),
-                               quads=None if rcfg.quads else False)
+                               quads=None if rcfg.quads else False,
+                               vec=rcfg.vec)
             return {"gray": _sun(_rain(gray, state))}
         if luma_raster is not None:  # grayscale fast path (policy rollouts)
             gray, sem, depth = luma_raster(setup, rcfg.height, rcfg.width,

@@ -47,6 +47,9 @@ def main() -> None:
                     help="PPO rollout horizon per iteration")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shield", action="store_true",
+                    help="add a bc_shield tier: the BC policy behind the "
+                         "emergency-brake safety layer (same eval seed)")
     ap.add_argument("--balanced", action="store_true",
                     help="inverse-frequency action balancing during training")
     ap.add_argument("--noise", action="store_true",
@@ -87,10 +90,11 @@ def main() -> None:
             return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
         return policy_fn
 
-    def ev(policy_fn, key):
+    def ev(policy_fn, key, shield=None):
         return cl.evaluate_policy(params, town, rcfg, policy_fn,
                                   jax.random.PRNGKey(key),
-                                  n_envs=args.envs, n_steps=args.steps)
+                                  n_envs=args.envs, n_steps=args.steps,
+                                  shield=shield)
 
     keep = ("driving_score", "route_completion", "success_rate",
             "collisions_per_km", "red_violations_per_km", "mean_speed",
@@ -156,6 +160,22 @@ def main() -> None:
     result["bc"] = trim(ev(policy_from(state.params), 102))
     print(f"bc: {result['bc']}", flush=True)
     save()
+
+    if args.shield:
+        # deployment A/B: the SAME BC policy behind the emergency-brake
+        # layer (training/shield.py), same eval seed — isolates the shield's
+        # effect on collisions/km vs driving score
+        from carla_imitation_learning_tpu.training.shield import ShieldConfig
+
+        m = cl.evaluate_policy(params, town, rcfg, policy_from(state.params),
+                               jax.random.PRNGKey(102), n_envs=args.envs,
+                               n_steps=args.steps, shield=ShieldConfig())
+        result["bc_shield"] = {k: (None if m[k] is None else
+                                   round(float(m[k]), 4))
+                               for k in keep + ("shield_interventions_per_km",
+                                                "shield_active_frac")}
+        print(f"bc+shield: {result['bc_shield']}", flush=True)
+        save()
 
     # --- DAgger refinement -------------------------------------------------
     stores = [store]

@@ -642,14 +642,21 @@ def closed_loop_eval(cfg, checkpoint: str | None = None,
 
     ``artifact=`` evaluates a DEPLOYED servable (serving/export.py StableHLO
     directory, possibly int8) instead of a checkpoint — the exported program
-    composes under jit, so the exact artifact you ship drives the rollout."""
+    composes under jit, so the exact artifact you ship drives the rollout.
+
+    ``-o safety_shield=true`` arms the emergency-brake layer
+    (training/shield.py) over the POLICY rollout (the expert ceiling stays
+    unshielded); the metrics gain shield_interventions_per_km."""
     town, params, rcfg = _sim_bits(cfg)
     policy_fn, rng, space = _eval_policy_fn(cfg, checkpoint, artifact,
                                             rcfg.height, rcfg.width)
     mesh, _ = _mesh_bits(cfg, batch_size=n_envs)
+    from carla_imitation_learning_tpu.training.shield import shield_from_cfg
+
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                  n_envs=n_envs, n_steps=n_steps, mesh=mesh,
-                                 control_space=space)
+                                 control_space=space,
+                                 shield=shield_from_cfg(cfg))
     expert = cl.evaluate_policy(params, town, rcfg, None, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
     return {"policy": metrics, "expert": expert}

@@ -127,6 +127,7 @@ def make_rollout(
     policy_rng: jnp.ndarray | None = None,
     policy_carry_init: Callable | None = None,
     control_space: str = "discrete",
+    shield=None,
 ):
     """Build (init_fn, rollout_fn).
 
@@ -163,6 +164,13 @@ def make_rollout(
     distinct init draws a distinct stream. Extras-taking policies that
     ignore the key are unaffected.
 
+    ``shield`` (training/shield.py ShieldConfig) arms the emergency-brake
+    safety layer on the EXECUTED control: a forward LIDAR fan cuts throttle
+    and applies full brake when time-to-collision drops under the envelope.
+    Supervision signals stay clean (same contract as ``noise``);
+    ``traj["shield"]`` logs the per-step intervention mask. None (default)
+    compiles the feature out.
+
     ``policy_carry_init`` (``n_envs -> pytree``) enables RECURRENT policies
     (models/rnn_policy.py): the carry gains a 4th element (the policy's
     hidden state), ``policy_fn`` is called as ``(obs, pcarry) ->
@@ -195,6 +203,12 @@ def make_rollout(
     from carla_imitation_learning_tpu.sim.world import navigation_command
 
     command_batch = jax.vmap(lambda s: navigation_command(params, town, s))
+
+    shield_apply = None
+    if shield is not None:
+        from carla_imitation_learning_tpu.training.shield import make_shield
+
+        shield_apply = make_shield(town, shield)
 
     lidar_batch = None
     if lidar_beams > 0:
@@ -335,6 +349,12 @@ def make_rollout(
         expert_action = continuous_to_discrete(
             expert.steer, expert.throttle, expert.brake).astype(jnp.int32)
 
+        shield_on = None
+        if shield_apply is not None:
+            # emergency-brake layer on the EXECUTED control only; the
+            # recorded action labels above stay the policy's own choice
+            control, shield_on = shield_apply(states, control)
+
         clean_steer = None
         if noise is not None:
             # exploration noise on the EXECUTED steer only; labels stay clean
@@ -379,6 +399,8 @@ def make_rollout(
             out["policy_extra"] = policy_extra
         if clean_steer is not None:
             out["clean_steer"] = clean_steer
+        if shield_on is not None:
+            out["shield"] = shield_on
         new_carry = (new_states, framebuf, info["done"])
         if _recurrent:
             new_carry = new_carry + (pcarry,)
@@ -416,7 +438,7 @@ def evaluate_policy(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 200,
     frame_skip: int = 4, mesh=None, policy_carry_init: Callable | None = None,
-    control_space: str = "discrete",
+    control_space: str = "discrete", shield=None,
 ) -> dict:
     """Driving metrics for a policy (or the expert when policy_fn is None).
 
@@ -444,7 +466,8 @@ def evaluate_policy(
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
                                        mesh=mesh,
                                        policy_carry_init=policy_carry_init,
-                                       control_space=control_space)
+                                       control_space=control_space,
+                                       shield=shield)
     carry = init_fn(rng, n_envs)
     _, traj = rollout_fn(carry, n_steps)
     steps = n_envs * n_steps
@@ -484,7 +507,7 @@ def evaluate_policy(
     dsteer = np.abs(np.diff(steer_cmd, axis=0))
     valid = ~done[:-1]                                     # reset boundaries
     steer_rate = float((dsteer * valid).sum() / max(valid.sum(), 1))
-    return {
+    out = {
         "mean_speed": float(speed.mean()),
         "steer_rate": steer_rate,
         "collisions_per_1k_steps": float(coll.sum()) / steps * 1000,
@@ -506,6 +529,11 @@ def evaluate_policy(
         "route_completion_arc": float(arc_completion.mean()),
         "driving_score_arc": float((arc_completion * penalty).mean()),
     }
+    if "shield" in traj:
+        interventions = float(np.asarray(traj["shield"], bool).sum())
+        out["shield_interventions_per_km"] = per_km(interventions)
+        out["shield_active_frac"] = interventions / steps
+    return out
 
 
 def assign_goals(carry, goal_ids):

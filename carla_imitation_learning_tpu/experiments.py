@@ -198,9 +198,7 @@ def behavior_cloning(cfg, cameras=("camera", "semantic"), **kw):
         cfg_c["camera"] = camera
         _maybe_synthesize(cfg_c, camera)
         loaders = pipe.sequential_train_val_test_iterator(cfg_c, sharding=sharding)
-        model = PolicyCNN(obs_size=int(cfg["obs_size"]),
-                          n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg),
-                          s2d_stem=bool(cfg.get("s2d_stem", False)))
+        model = _discrete_policy_model(cfg, int(cfg["obs_size"]))
         example = model.example_input(1, int(cfg.get("image_height", 256)),
                                       int(cfg.get("image_width", 256)))
         loss = bc_loss_fn
@@ -555,6 +553,31 @@ def _control_space(cfg) -> str:
             else "discrete")
 
 
+def _discrete_policy_model(cfg, obs_size: int):
+    """The discrete-family policy architecture. Cfg ``policy_arch`` picks
+    ``cnn`` (default — the reference ConvNet1 shape, nets.py:6-39) or
+    ``vit`` (models/vit.py — the MXU-native transformer alternative;
+    ``vit_patch``/``vit_dim``/``vit_depth``/``vit_heads`` tune it). One
+    builder shared by training (bc) and _policy_bits so a ``policy_arch``
+    mismatch between fit and eval cannot happen silently — the checkpoint
+    restore would fail loudly on the different pytree."""
+    arch = str(cfg.get("policy_arch", "cnn"))
+    if arch == "vit":
+        from carla_imitation_learning_tpu.models import ViTPolicy
+
+        return ViTPolicy(obs_size=obs_size,
+                         n_actions=int(cfg.get("n_actions", 9)),
+                         patch=int(cfg.get("vit_patch", 16)),
+                         dim=int(cfg.get("vit_dim", 192)),
+                         depth=int(cfg.get("vit_depth", 4)),
+                         heads=int(cfg.get("vit_heads", 3)),
+                         dtype=_dtype(cfg))
+    if arch != "cnn":
+        raise ValueError(f"unknown policy_arch {arch!r} (want 'cnn' or 'vit')")
+    return PolicyCNN(obs_size=obs_size, n_actions=int(cfg.get("n_actions", 9)),
+                     dtype=_dtype(cfg), s2d_stem=bool(cfg.get("s2d_stem", False)))
+
+
 def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     """Policy model + (optionally checkpoint-restored) params → policy_fn.
     Shared by every closed-loop eval/export entry point so the restore
@@ -581,9 +604,7 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
                                   n_commands=int(cfg.get("n_commands", 6)),
                                   dtype=_dtype(cfg))
     else:
-        model = PolicyCNN(obs_size=fs, n_actions=int(cfg.get("n_actions", 9)),
-                          dtype=_dtype(cfg),
-                          s2d_stem=bool(cfg.get("s2d_stem", False)))
+        model = _discrete_policy_model(cfg, fs)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     if family == "cil":
         mparams = model.init(rng, *model.example_input(1, height, width))["params"]

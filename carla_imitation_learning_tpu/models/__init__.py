@@ -14,6 +14,7 @@ from carla_imitation_learning_tpu.models.aux import AuxNet  # noqa: F401
 from carla_imitation_learning_tpu.models.cil import BranchedCILPolicy  # noqa: F401
 from carla_imitation_learning_tpu.models.world_model import LatentWorldModel  # noqa: F401
 from carla_imitation_learning_tpu.models.rnn_policy import RecurrentPolicy  # noqa: F401
+from carla_imitation_learning_tpu.models.vit import ViTPolicy  # noqa: F401
 
 MODEL_REGISTRY = {
     "policy_cnn": PolicyCNN,
@@ -24,4 +25,5 @@ MODEL_REGISTRY = {
     "latent_world_model": LatentWorldModel,
     "recurrent_policy": RecurrentPolicy,
     "continuous_policy_cnn": ContinuousPolicyCNN,
+    "vit_policy": ViTPolicy,
 }

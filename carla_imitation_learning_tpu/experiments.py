@@ -308,8 +308,7 @@ def test_eval(cfg, checkpoint: str | None = None, **kw):
     cfg_c["camera"] = kw.get("camera", "camera")
     _maybe_synthesize(cfg_c, cfg_c["camera"])
     loaders = pipe.sequential_train_val_test_iterator(cfg_c)
-    model = PolicyCNN(obs_size=int(cfg["obs_size"]),
-                      n_actions=int(cfg["n_actions"]), dtype=_dtype(cfg))
+    model = _discrete_policy_model(cfg, int(cfg["obs_size"]))
     rng = jax.random.PRNGKey(0)
     tx = make_optimizer(cfg, 1)
     state = create_train_state(
@@ -450,7 +449,7 @@ def bc_streaming(cfg, n_envs: int = 32, n_steps: int = 200, epochs: int = 2,
 
     batch = int(cfg.get("BATCH_SIZE", 64))
     fs = int(cfg.get("frame_skip", 4))
-    model = PolicyCNN(dtype=_dtype(cfg))
+    model = _discrete_policy_model(cfg, fs)
     # build the reader FIRST: the LR schedule's milestones are in EPOCHS
     # (reference MultiStepLR semantics), so the optimizer needs the real
     # batches-per-epoch, not a placeholder
@@ -790,8 +789,7 @@ def dagger(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
                                   dtype=_dtype(cfg))
         loss_fn = cil_loss_fn(float(cfg.get("speed_weight", 0.1)))
     else:
-        model = PolicyCNN(obs_size=fs, n_actions=int(cfg.get("n_actions", 9)),
-                          dtype=_dtype(cfg))
+        model = _discrete_policy_model(cfg, fs)
         loss_fn = bc_loss_fn
     tx = make_optimizer(cfg, 1)
     example = (model.example_input(1, rcfg.height, rcfg.width) if pf == "cil"
@@ -907,9 +905,7 @@ def dagger_online(cfg, rounds: int = 3, n_envs: int = 16, n_steps: int = 200,
                                   dtype=_dtype(cfg))
         example = model.example_input(1, rcfg.height, rcfg.width)
     else:
-        model = PolicyCNN(obs_size=fs,
-                          n_actions=int(cfg.get("n_actions", 9)),
-                          dtype=_dtype(cfg))
+        model = _discrete_policy_model(cfg, fs)
         example = jnp.zeros((1, rcfg.height, rcfg.width, fs))
     tx = make_optimizer(cfg, 1)
     state = create_train_state(model, rng, example, tx)

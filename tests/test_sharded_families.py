@@ -28,6 +28,12 @@ def _family(name):
     y = jnp.arange(B, dtype=jnp.int32) % 9
     if name == "bc":
         return PolicyCNN(dtype=jnp.float32), x[:1], bc_loss_fn, (x, y)
+    if name == "vit":
+        from carla_imitation_learning_tpu.models import ViTPolicy
+
+        m = ViTPolicy(patch=8, dim=32, depth=2, heads=2, pos_grid=4,
+                      dtype=jnp.float32)
+        return m, x[:1], bc_loss_fn, (x, y)
     if name == "vae":
         m = ConvVAE(channels=1, height=HW, width=HW, z_size=8, dtype=jnp.float32)
         xi = x[..., :1]
@@ -48,7 +54,7 @@ def _family(name):
     raise ValueError(name)
 
 
-@pytest.mark.parametrize("family", ["bc", "vae", "aux", "dual", "cil"])
+@pytest.mark.parametrize("family", ["bc", "vit", "vae", "aux", "dual", "cil"])
 def test_sharded_step_matches_unsharded(family, eight_devices):
     model, example, loss_fn, batch = _family(family)
     rng = jax.random.PRNGKey(1)

@@ -201,9 +201,19 @@ def gather_windows(frames, idx, frame_skip: int, dtype_name: str = "float32"):
 
     NHWC is the TPU-native conv layout; the reference's channel-first stacking
     (imitation_dataset.py:115-122) is a torch convention, not a data semantic.
+
+    A trailing camera axis — frames (N,H,W,K) — yields (B, H, W, frame_skip·K)
+    with channel index t·K + c (time-major, camera-minor): EXACTLY the layout
+    the surround-view rollout framebuf maintains (closed_loop.update_framebuf
+    shifts by K and appends the K current views), so offline surround training
+    and the closed loop see identical observations by construction.
     """
     dtype = jnp.dtype(dtype_name)
-    windows = frames[idx[:, None] + jnp.arange(frame_skip)[None, :]]  # (B, fs, H, W)
+    windows = frames[idx[:, None] + jnp.arange(frame_skip)[None, :]]  # (B, fs, H, W[, K])
+    if windows.ndim == 5:
+        x = jnp.transpose(windows, (0, 2, 3, 1, 4))  # (B, H, W, fs, K)
+        x = x.reshape(x.shape[:3] + (frame_skip * windows.shape[-1],))
+        return _normalize(x, dtype)
     return _normalize(jnp.transpose(windows, (0, 2, 3, 1)), dtype)
 
 
@@ -255,6 +265,7 @@ class DeviceDataset:
         sample_mask: np.ndarray | None = None,
         balanced: bool = False,
         continuous_labels: np.ndarray | None = None,
+        extra_frames: "list[np.ndarray] | None" = None,
     ):
         self.store = store
         self.batch_size = batch_size
@@ -320,7 +331,21 @@ class DeviceDataset:
         # sample index → frame start index (identity when every start is
         # valid; a tiny device gather otherwise, fused into the batch gather)
         self._valid_starts = None if self._all_valid else device_put(valid)
-        self.frames = device_put(store.frames)
+        # Surround view: extra per-camera streams, frame-aligned with the
+        # store (same ids, same starts bitmap — they come from ONE
+        # collect_multicamera trajectory). Stacked as a trailing camera axis;
+        # gather_windows then emits the time-major/camera-minor channel
+        # layout the rollout framebuf maintains.
+        if extra_frames:
+            for i, ef in enumerate(extra_frames):
+                if ef.shape != store.frames.shape:
+                    raise ValueError(
+                        f"extra_frames[{i}] has shape {ef.shape}; must match "
+                        f"the base store's {store.frames.shape}")
+            self.frames = device_put(
+                np.stack([store.frames, *extra_frames], axis=-1))
+        else:
+            self.frames = device_put(store.frames)
         self.actions = device_put(store.actions.astype(np.int32))
         self.traffic = device_put(store.traffic.astype(np.int32))
         self.sensors = device_put(store.sensors.astype(np.float32))

@@ -577,6 +577,17 @@ def _discrete_policy_model(cfg, obs_size: int):
                      dtype=_dtype(cfg), s2d_stem=bool(cfg.get("s2d_stem", False)))
 
 
+def _surround_cams(cfg) -> tuple:
+    """The observation rig: cfg ``surround_cameras`` (a camera-preset name
+    list whose FIRST entry is the driving view) or the single forward
+    camera. More than one camera = surround view — the policy's obs channels
+    become frame_skip × n_cameras (closed_loop.make_rollout)."""
+    cams = cfg.get("surround_cameras", None)
+    if not cams:
+        return ("camera",)
+    return tuple(str(c) for c in cams)
+
+
 def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     """Policy model + (optionally checkpoint-restored) params → policy_fn.
     Shared by every closed-loop eval/export entry point so the restore
@@ -591,7 +602,12 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     multi-input servable (serving/export.export_cil_policy).
     Returns (policy_fn, rng, model, params)."""
     fs = int(cfg.get("frame_skip", 4))
+    n_views = len(_surround_cams(cfg))
     family = str(cfg.get("policy_family", "discrete"))
+    if family != "discrete" and n_views > 1:
+        raise ValueError(
+            "surround_cameras is only wired for the discrete family "
+            f"(policy_family={family!r})")
     if family == "continuous":
         from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
 
@@ -603,12 +619,13 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
                                   n_commands=int(cfg.get("n_commands", 6)),
                                   dtype=_dtype(cfg))
     else:
-        model = _discrete_policy_model(cfg, fs)
+        model = _discrete_policy_model(cfg, fs * n_views)
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     if family == "cil":
         mparams = model.init(rng, *model.example_input(1, height, width))["params"]
     else:
-        mparams = model.init(rng, jnp.zeros((1, height, width, fs)))["params"]
+        mparams = model.init(
+            rng, jnp.zeros((1, height, width, fs * n_views)))["params"]
     if checkpoint:
         # tolerant of both payload shapes: params-only exports AND the
         # full {params, opt_state, step} checkpoints _fit's best_path names
@@ -676,7 +693,8 @@ def closed_loop_eval(cfg, checkpoint: str | None = None,
     metrics = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                  n_envs=n_envs, n_steps=n_steps, mesh=mesh,
                                  control_space=space,
-                                 shield=shield_from_cfg(cfg))
+                                 shield=shield_from_cfg(cfg),
+                                 cameras=_surround_cams(cfg))
     expert = cl.evaluate_policy(params, town, rcfg, None, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
     return {"policy": metrics, "expert": expert}
@@ -735,7 +753,8 @@ def scenario_eval(cfg, checkpoint: str | None = None,
         mesh, _ = _mesh_bits(scfg, batch_size=n_envs)
         pm = cl.evaluate_policy(params, town, rcfg, policy_fn, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh,
-                                control_space=space)
+                                control_space=space,
+                                cameras=_surround_cams(scfg))
         em = cl.evaluate_policy(params, town, rcfg, None, rng,
                                 n_envs=n_envs, n_steps=n_steps, mesh=mesh)
         out[name] = {"policy": pm, "expert": em}
@@ -1053,6 +1072,64 @@ def bc_continuous(cfg, n_envs: int = 32, n_steps: int = 300,
         "steer_std": float(labels[:, 0].std()),
         "accel_mean": float(labels[:, 1].mean()),
     }
+    return result
+
+
+@experiment("bc_surround")
+def bc_surround(cfg, n_envs: int = 8, n_steps: int = 200,
+                eval_envs: int = 64, eval_steps: int = 200, **kw):
+    """Surround-view behavior cloning (beyond-reference tier): the policy
+    observes the full multi-camera rig live, not just the forward view.
+    The reference only ever COLLECTS its side/rear cameras (vae_dataset.py
+    FL/FR/SL/SR/RR) — no policy there consumes them.
+
+    One expert trajectory renders from every rig view inside one jitted scan
+    (closed_loop.collect_multicamera); the K camera streams stack as a
+    trailing axis in DeviceDataset(extra_frames=...), whose windows
+    interleave time-major/camera-minor — the EXACT channel layout the
+    surround rollout framebuf maintains (closed_loop.update_framebuf) — so
+    offline training and the closed loop see identical observations by
+    construction. The trained policy then drives the closed loop with the
+    same rig (``make_rollout(cameras=...)``); obs channels = frame_skip·K.
+
+    ``surround_cameras`` picks the rig (default forward + FL + FR);
+    ``policy_arch=vit`` works here too (the obs is just a wider NHWC stack).
+    """
+    cams = _surround_cams(cfg)
+    if len(cams) < 2:
+        cams = ("camera", "FL", "FR")
+    town, params, rcfg = _sim_bits(cfg)
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    frames, state_log, starts = cl.collect_multicamera(
+        params, town, rcfg, rng, cameras=cams, n_envs=n_envs, n_steps=n_steps)
+    fs = int(cfg.get("frame_skip", 4))
+    base = pipe.FrameStore.from_arrays(frames[cams[0]], state_log,
+                                       starts=starts)
+    n = len(base)
+    bounds = {"train": (0, int(0.8 * n)), "val": (int(0.8 * n), int(0.9 * n)),
+              "test": (int(0.9 * n), n)}
+    mesh, sharding = _mesh_bits(cfg)
+    loaders = {f"{k}_dataloader": pipe.DeviceDataset(
+        base.slice(a, b), int(cfg.get("BATCH_SIZE", 64)), frame_skip=fs,
+        shuffle=(k == "train"), drop_last=(k == "train"),
+        sharding=(sharding if k == "train" else None),
+        extra_frames=[frames[c][a:b] for c in cams[1:]])
+        for k, (a, b) in bounds.items()}
+    model = _discrete_policy_model(cfg, fs * len(cams))
+    example = jnp.zeros((1, rcfg.height, rcfg.width, fs * len(cams)))
+    result = _fit(cfg, "bc_surround", model, example, bc_loss_fn, loaders,
+                  mesh=mesh)
+
+    p = result["state"].params
+
+    def policy_fn(obs):
+        return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
+
+    rng, ek = jax.random.split(rng)
+    result["eval"] = cl.evaluate_policy(
+        params, town, rcfg, policy_fn, ek, n_envs=eval_envs,
+        n_steps=eval_steps, frame_skip=fs, cameras=cams)
+    result["cameras"] = list(cams)
     return result
 
 

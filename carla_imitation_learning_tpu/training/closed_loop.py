@@ -48,12 +48,21 @@ def update_framebuf(framebuf: jnp.ndarray, gray: jnp.ndarray,
     single-stream by construction, imitation_dataset.py:115-131).
 
     framebuf (B, H, W, fs) — NHWC so it feeds the policy with NO per-step
-    transpose; gray (B, H, W), just_reset (B,) bool."""
-    frame_skip = framebuf.shape[-1]
+    transpose; gray (B, H, W), just_reset (B,) bool.
+
+    Surround view: gray (B, H, W, K) holds the K camera views of the CURRENT
+    step and framebuf is (B, H, W, fs·K) — the shift drops the oldest K
+    channels and appends the new K, keeping channel index t·K + c
+    (time-major, camera-minor), the same layout data.pipeline.gather_windows
+    emits for stacked offline stores."""
+    if gray.ndim == 3:
+        gray = gray[..., None]
+    k = gray.shape[-1]
+    frame_skip = framebuf.shape[-1] // k
     return jnp.where(
         just_reset[:, None, None, None],
-        jnp.repeat(gray[..., None], frame_skip, axis=-1),
-        jnp.concatenate([framebuf[..., 1:], gray[..., None]], axis=-1))
+        jnp.tile(gray, (1, 1, 1, frame_skip)),
+        jnp.concatenate([framebuf[..., k:], gray], axis=-1))
 
 
 def control_from_discrete(action: jnp.ndarray) -> VehicleControl:
@@ -128,11 +137,20 @@ def make_rollout(
     policy_carry_init: Callable | None = None,
     control_space: str = "discrete",
     shield=None,
+    cameras: "tuple[str, ...]" = ("camera",),
 ):
     """Build (init_fn, rollout_fn).
 
     policy_fn(obs_nhwc (B,H,W,fs)) -> (B,) int32 discrete actions; None means
     drive with the autopilot expert.
+
+    ``cameras`` is the observation rig (render.camera.CAMERA_PRESETS names;
+    the first entry is the DRIVING view recorded as ``traj["gray"]``). More
+    than one camera turns on surround view: every view renders per step, the
+    framebuf holds frame_skip·K channels (time-major, camera-minor — the
+    exact layout DeviceDataset(extra_frames=...) trains on), and the policy's
+    obs_size must be frame_skip·K. One camera (default) compiles to the
+    historical single-view program.
 
     ``control_space="continuous"`` switches the policy contract to
     (B, 2) float controls — column 0 steer ∈ [-1, 1], column 1 signed
@@ -190,8 +208,11 @@ def make_rollout(
         # observation (+2% env-steps/s base scene, measured). lod_px=0.0
         # disables LOD even here; any positive value is used as-is.
         rcfg = _dc.replace(rcfg, lod_px=2.0)
-    render = make_renderer(params, town, rcfg)
-    render_batch = jax.vmap(render)
+    cameras = tuple(cameras) or ("camera",)
+    render_batch = jax.vmap(make_renderer(params, town, rcfg,
+                                          camera=cameras[0]))
+    extra_render = [jax.vmap(make_renderer(params, town, rcfg, camera=c))
+                    for c in cameras[1:]]
     from carla_imitation_learning_tpu.sim.world import pick_fresh_packed
 
     spawn_pool = rollout_spawn_pool(params, town)
@@ -251,6 +272,13 @@ def make_rollout(
     def _quantize(gray: jnp.ndarray) -> jnp.ndarray:
         return jnp.clip(gray * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
+    def _views(states) -> jnp.ndarray:
+        """(B, H, W, K) uint8 — all rig views of the current step; K=1 for
+        the historical single-camera program (extra renders compile out)."""
+        v = [_quantize(render_batch(states)["gray"])]
+        v += [_quantize(r(states)["gray"]) for r in extra_render]
+        return jnp.stack(v, axis=-1)
+
     @functools.partial(jax.jit, static_argnames=("n_envs",))
     def _init(rng, n_envs: int):
         states = jax.vmap(lambda k: reset_env(params, town, k))(
@@ -259,8 +287,7 @@ def make_rollout(
         # 4× less HBM traffic on the per-step (B,H,W,fs) window shift, and the
         # policy sees EXACTLY the quantization the offline training frames
         # carry (collect_dataset stores uint8 — train/rollout consistency)
-        gray0 = _quantize(render_batch(states)["gray"])
-        framebuf = jnp.repeat(gray0[..., None], frame_skip, axis=-1)
+        framebuf = jnp.tile(_views(states), (1, 1, 1, frame_skip))
         base = (states, framebuf, jnp.zeros((n_envs,), bool))
         if _recurrent:
             return base + (policy_carry_init(n_envs),)
@@ -293,8 +320,9 @@ def make_rollout(
                 pcarry, pcarry0)
         else:
             states, framebuf, just_reset = carry
-        gray_u8 = _quantize(render_batch(states)["gray"])  # (B,H,W) uint8
-        framebuf = update_framebuf(framebuf, gray_u8, just_reset)
+        views = _views(states)                 # (B,H,W,K) uint8
+        gray_u8 = views[..., 0]                # the driving view (traj/collect)
+        framebuf = update_framebuf(framebuf, views, just_reset)
         # NHWC float obs in [0,1]; the /255 fuses into the policy's first conv
         obs = framebuf.astype(jnp.float32) * (1.0 / 255.0)
 
@@ -439,6 +467,7 @@ def evaluate_policy(
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 200,
     frame_skip: int = 4, mesh=None, policy_carry_init: Callable | None = None,
     control_space: str = "discrete", shield=None,
+    cameras: "tuple[str, ...]" = ("camera",),
 ) -> dict:
     """Driving metrics for a policy (or the expert when policy_fn is None).
 
@@ -467,7 +496,7 @@ def evaluate_policy(
                                        mesh=mesh,
                                        policy_carry_init=policy_carry_init,
                                        control_space=control_space,
-                                       shield=shield)
+                                       shield=shield, cameras=cameras)
     carry = init_fn(rng, n_envs)
     _, traj = rollout_fn(carry, n_steps)
     steps = n_envs * n_steps

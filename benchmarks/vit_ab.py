@@ -55,7 +55,7 @@ def _fixture(model, batch: int, hw: int):
     return state, step, batches
 
 
-def _step_flops(model, state, batch: int, hw: int) -> float:
+def _step_flops(state, batch: int, hw: int) -> float:
     """XLA's own FLOP count for one compiled (non-donated) train step."""
     from carla_imitation_learning_tpu.training import bc_loss_fn, make_train_step
 
@@ -88,7 +88,7 @@ def bench_arch(name: str, model, batch: int, hw: int,
         state, t_big = chain(state, 40)
         deltas.append((t_big - t_small) / 32)
     per = float(np.median(deltas))
-    flops = _step_flops(model, state, batch, hw)
+    flops = _step_flops(state, batch, hw)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(state.params))
     out = {
@@ -122,7 +122,9 @@ def main():
                                args.peak_tflops)
     result["vit"] = bench_arch("vit (192d/4L p16)", ViTPolicy(),
                                args.batch, args.hw, args.peak_tflops)
-    Path(args.out).write_text(json.dumps(result, indent=1))
+    out_path = Path(args.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(result, indent=1))
     print(json.dumps(result))
 
 

@@ -581,11 +581,24 @@ def _surround_cams(cfg) -> tuple:
     """The observation rig: cfg ``surround_cameras`` (a camera-preset name
     list whose FIRST entry is the driving view) or the single forward
     camera. More than one camera = surround view — the policy's obs channels
-    become frame_skip × n_cameras (closed_loop.make_rollout)."""
+    become frame_skip × n_cameras (closed_loop.make_rollout).
+
+    Names are validated against render.camera.CAMERA_PRESETS: make_renderer
+    silently falls back to the forward pose for unknown names, so a typo'd
+    rig ('fl' for 'FL') would train a "surround" policy on K identical
+    forward views with no error."""
     cams = cfg.get("surround_cameras", None)
     if not cams:
         return ("camera",)
-    return tuple(str(c) for c in cams)
+    from carla_imitation_learning_tpu.render.camera import CAMERA_PRESETS
+
+    cams = tuple(str(c) for c in cams)
+    unknown = [c for c in cams if c not in CAMERA_PRESETS]
+    if unknown:
+        raise ValueError(
+            f"unknown camera preset(s) {unknown} in surround_cameras — "
+            f"valid presets: {sorted(CAMERA_PRESETS)}")
+    return cams
 
 
 def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
@@ -604,17 +617,15 @@ def _policy_bits(cfg, checkpoint: str | None, height: int, width: int):
     fs = int(cfg.get("frame_skip", 4))
     n_views = len(_surround_cams(cfg))
     family = str(cfg.get("policy_family", "discrete"))
-    if family != "discrete" and n_views > 1:
-        raise ValueError(
-            "surround_cameras is only wired for the discrete family "
-            f"(policy_family={family!r})")
+    # every family consumes the surround rig the same way: obs channels are
+    # frame_skip × n_views, time-major/camera-minor (update_framebuf layout)
     if family == "continuous":
         from carla_imitation_learning_tpu.models import ContinuousPolicyCNN
 
-        model = ContinuousPolicyCNN(obs_size=fs, dtype=_dtype(cfg),
+        model = ContinuousPolicyCNN(obs_size=fs * n_views, dtype=_dtype(cfg),
                                     s2d_stem=bool(cfg.get("s2d_stem", False)))
     elif family == "cil":
-        model = BranchedCILPolicy(obs_size=fs,
+        model = BranchedCILPolicy(obs_size=fs * n_views,
                                   n_actions=int(cfg.get("n_actions", 9)),
                                   n_commands=int(cfg.get("n_commands", 6)),
                                   dtype=_dtype(cfg))
@@ -980,23 +991,30 @@ def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, n_goals: int = 0, **kw):
     town, params, rcfg = _sim_bits(cfg)
     if n_goals > 0:
         town, _, goal_ids = _plan_goals(cfg, town, n_goals, n_envs)
+    cams = _surround_cams(cfg)
+    fs = int(cfg.get("frame_skip", 4))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    store, _, _ = cl.collect_dataset(params, town, rcfg, rng, n_envs, n_steps,
-                                     noise=_noise_bits(cfg),
-                                     goal_ids=goal_ids)
+    store, _, traj = cl.collect_dataset(params, town, rcfg, rng, n_envs,
+                                        n_steps, noise=_noise_bits(cfg),
+                                        goal_ids=goal_ids, cameras=cams)
+    # BASELINE config #2's "multi-camera input": the side views ride as
+    # extra camera-minor channels (same layout the surround rollout framebuf
+    # maintains), sliced in lockstep with the base store
+    extra = cl.extra_view_streams(traj) if len(cams) > 1 else []
     n = len(store)
-    splits = {"train": store.slice(0, int(0.8 * n)),
-              "val": store.slice(int(0.8 * n), int(0.9 * n)),
-              "test": store.slice(int(0.9 * n), n)}
+    bounds = {"train": (0, int(0.8 * n)), "val": (int(0.8 * n), int(0.9 * n)),
+              "test": (int(0.9 * n), n)}
     mesh, sharding = _mesh_bits(cfg)
     loaders = {f"{k}_dataloader": pipe.DeviceDataset(
-        v, int(cfg.get("BATCH_SIZE", 64)), frame_skip=int(cfg.get("frame_skip", 4)),
+        store.slice(a, b), int(cfg.get("BATCH_SIZE", 64)), frame_skip=fs,
         shuffle=(k == "train"), cil=True, drop_last=(k == "train"),
         sharding=(sharding if k == "train" else None),
+        extra_frames=[ef[a:b] for ef in extra] or None,
         balanced=(bool(cfg.get("balanced_sampling", False)) and k == "train"))
-        for k, v in splits.items()}
+        for k, (a, b) in bounds.items()}
     n_commands = int(cfg.get("n_commands", 6))
-    model = BranchedCILPolicy(n_commands=n_commands, dtype=_dtype(cfg))
+    model = BranchedCILPolicy(obs_size=fs * len(cams), n_commands=n_commands,
+                              dtype=_dtype(cfg))
     frames, speed, command = model.example_input(1, rcfg.height, rcfg.width)
     loss = cil_loss_fn(float(cfg.get("speed_weight", 0.1)))
     result = _fit(cfg, "bc_cil", model, (frames, speed, command), loss, loaders,
@@ -1033,10 +1051,13 @@ def bc_continuous(cfg, n_envs: int = 32, n_steps: int = 300,
     from carla_imitation_learning_tpu.training import continuous_bc_loss_fn
 
     town, params, rcfg = _sim_bits(cfg)
+    cams = _surround_cams(cfg)
+    fs = int(cfg.get("frame_skip", 4))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    store, state_log, _ = cl.collect_dataset(
+    store, state_log, traj = cl.collect_dataset(
         params, town, rcfg, rng, n_envs, n_steps,
-        frame_skip=int(cfg.get("frame_skip", 4)), noise=_noise_bits(cfg))
+        frame_skip=fs, noise=_noise_bits(cfg), cameras=cams)
+    extra = cl.extra_view_streams(traj) if len(cams) > 1 else []
     labels = np.stack(
         [np.asarray(state_log.steer, np.float32),
          np.asarray(state_log.throttle, np.float32)
@@ -1047,12 +1068,13 @@ def bc_continuous(cfg, n_envs: int = 32, n_steps: int = 300,
     mesh, sharding = _mesh_bits(cfg)
     loaders = {f"{k}_dataloader": pipe.DeviceDataset(
         store.slice(a, b), int(cfg.get("BATCH_SIZE", 64)),
-        frame_skip=int(cfg.get("frame_skip", 4)),
+        frame_skip=fs,
         shuffle=(k == "train"), drop_last=(k == "train"),
         sharding=(sharding if k == "train" else None),
+        extra_frames=[ef[a:b] for ef in extra] or None,
         continuous_labels=labels[a:b])
         for k, (a, b) in bounds.items()}
-    model = ContinuousPolicyCNN(dtype=_dtype(cfg))
+    model = ContinuousPolicyCNN(obs_size=fs * len(cams), dtype=_dtype(cfg))
     loss = continuous_bc_loss_fn(float(cfg.get("steer_weight", 1.0)),
                                  float(cfg.get("accel_weight", 0.5)))
     result = _fit(cfg, "bc_continuous", model,
@@ -1067,7 +1089,7 @@ def bc_continuous(cfg, n_envs: int = 32, n_steps: int = 300,
     rng, ek = jax.random.split(rng)
     result["eval"] = cl.evaluate_policy(
         params, town, rcfg, policy_fn, ek, n_envs=eval_envs,
-        n_steps=eval_steps, control_space="continuous")
+        n_steps=eval_steps, control_space="continuous", cameras=cams)
     result["label_stats"] = {
         "steer_std": float(labels[:, 0].std()),
         "accel_mean": float(labels[:, 1].mean()),
@@ -1657,7 +1679,9 @@ def export_policy_exp(cfg, checkpoint: str | None = None,
     # the model build + checkpoint restore live in _policy_bits (one contract
     # for eval AND export, incl. frame_skip/n_actions/s2d_stem)
     _, _, model, params = _policy_bits(cfg, checkpoint, height, width)
-    frame_skip = int(cfg.get("frame_skip", 4))
+    # surround checkpoints export with their full rig width: obs channels =
+    # frame_skip × n_views, matching the model _policy_bits built
+    frame_skip = int(cfg.get("frame_skip", 4)) * len(_surround_cams(cfg))
 
     pf = str(cfg.get("policy_family", "discrete"))
     family = "cil" if pf == "cil" else _control_space(cfg)
@@ -1730,6 +1754,11 @@ def rl_finetune(cfg, checkpoint: str | None = None, n_envs: int = 256,
     from carla_imitation_learning_tpu.utils.checkpoint import save_pytree
 
     town, params, rcfg = _sim_bits(cfg)
+    if len(_surround_cams(cfg)) > 1:
+        raise ValueError(
+            "rl_finetune runs single-view PPO rollouts — surround_cameras "
+            "checkpoints can't warm-start it; re-train the rig policy with "
+            "bc/dagger surfaces or drop surround_cameras")
     frame_skip = int(cfg.get("frame_skip", 4))
     n_actions = int(cfg.get("n_actions", 9))
     # policy_family=continuous: Gaussian actor over (steer, accel) with a
@@ -1980,5 +2009,6 @@ def route_eval(cfg, checkpoint: str | None = None, artifact: str | None = None,
                                            prng, n_envs=n_envs,
                                            n_steps=n_steps, mesh=mesh,
                                            control_space=space,
-                                           goal_ids=goal_ids)
+                                           goal_ids=goal_ids,
+                                           cameras=_surround_cams(cfg))
     return out

@@ -94,7 +94,21 @@ class ViTPolicy(nn.Module):
         for _ in range(self.depth):
             x = TransformerBlock(dim=self.dim, heads=self.heads,
                                  mlp_ratio=self.mlp_ratio, dtype=self.dtype)(x)
-        x = nn.LayerNorm(dtype=jnp.float32)(x.mean(axis=1))
+        # valid-fraction weighted pool: when H/W aren't multiples of patch,
+        # boundary tokens cover partly (or entirely) zero-padding — weight
+        # each token by its valid-pixel fraction so pad content can't dilute
+        # the pooled representation (e.g. 50×70 @ patch 8 has 7/63 pad-only
+        # tokens). Weights are static (trace-time ints), so this is one
+        # elementwise multiply, no masking in attention (pad tokens carry
+        # only pos-emb there — accepted).
+        if ph or pw:
+            wh = jnp.clip((H - jnp.arange(gh) * p) / p, 0.0, 1.0)
+            ww = jnp.clip((W - jnp.arange(gw) * p) / p, 0.0, 1.0)
+            w = (wh[:, None] * ww[None, :]).reshape(1, gh * gw, 1)
+            pooled = (x * w.astype(self.dtype)).sum(axis=1) / w.sum()
+        else:
+            pooled = x.mean(axis=1)
+        x = nn.LayerNorm(dtype=jnp.float32)(pooled)
         return nn.Dense(self.n_actions, dtype=jnp.float32,
                         param_dtype=jnp.float32)(x)
 

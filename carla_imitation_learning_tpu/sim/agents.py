@@ -55,11 +55,21 @@ def step_agents(
     junction_radius: float = 6.0,
     yield_at_junctions: bool = True,
     lane_changes: bool = True,
+    ego_pos: jnp.ndarray | None = None,
 ):
     """One fleet step → (routes, s, v). Speed control: accelerate to target,
     brake for red lights ahead, for the leading agent on the same route, and
     (first-come right-of-way) for agents already inside the junction this
     agent is about to enter.
+
+    ``ego_pos`` (2,), when given, makes agents treat the EGO vehicle as
+    traffic too: an agent brakes when the ego sits in its forward corridor
+    (CARLA's traffic manager avoids the hero vehicle — without this, traffic
+    rear-ends an ego stopped at a red light and the crash is logged against
+    the ego), and an ego inside a junction holds approaching agents exactly
+    like another agent would. The ego check uses the agent's BODY frame, so
+    it also covers an off-route (policy-driven) ego the route-arclength
+    leader-gap math cannot see.
 
     On multi-lane towns (``town.lanes > 1``) a leader-blocked agent changes
     to an adjacent same-direction lane when that lane has free headway both
@@ -91,6 +101,15 @@ def step_agents(
     blocked = same_route & is_other & (ds > 1e-3) & (ds < gap)
     leader_close = jnp.any(blocked, axis=1)
 
+    if ego_pos is not None:
+        # ego-as-leader: forward-corridor check in each agent's body frame
+        rel_ego = ego_pos - pos                                # (A, 2)
+        hvec = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)], axis=-1)
+        lvec = jnp.stack([-jnp.sin(yaw), jnp.cos(yaw)], axis=-1)
+        fwd = jnp.sum(rel_ego * hvec, axis=-1)
+        lat = jnp.sum(rel_ego * lvec, axis=-1)
+        leader_close |= (fwd > 0.0) & (fwd < gap) & (jnp.abs(lat) < 2.6)
+
     # intersection right-of-way (first-come): an agent APPROACHING its nearest
     # junction yields while any OTHER agent occupies that junction's disc —
     # the cross-route conflict rule lights don't cover (CARLA's unsignalised
@@ -104,6 +123,10 @@ def step_agents(
         # occupied[a] = any OTHER agent inside agent a's target junction
         same_junc = jidx[None, :] == jidx[:, None]             # (A, A)
         occupied = jnp.any(same_junc & is_other & in_junction[None, :], axis=1)
+        if ego_pos is not None:
+            # an ego inside the junction holds approaching agents too
+            d_ego = jnp.linalg.norm(ego_pos - town.junctions, axis=-1)  # (J,)
+            occupied |= d_ego[jidx] < junction_r
         must_yield = approaching & occupied
 
     target = jnp.where(must_stop | leader_close | must_yield, 0.0, target_speed)

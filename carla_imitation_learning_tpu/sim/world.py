@@ -55,6 +55,26 @@ class SimParams:
     # ``lane_change_window`` steps around the switch. 0 = off.
     lane_change_period: int = 0
     lane_change_window: int = 12
+    # Expert (autopilot) safety envelope. The reference's labels come from
+    # CARLA's autopilot, which keeps headway to the lead vehicle and yields
+    # at unsignalised junctions (the data contract at reference
+    # imitation_dataset.py:96-110 was produced by such a driver) — without
+    # these the expert tailgates into crashes and every imitation tier
+    # inherits that ceiling.
+    # ``headway_gap`` (m): brake when a vehicle sits closer than this in the
+    # forward lane corridor; the watched gap grows by ``headway_ttc`` seconds
+    # of current speed (time-headway). 0 disables.
+    headway_gap: float = 7.0
+    headway_ttc: float = 1.2
+    headway_corridor: float = 2.6  # lateral half-width of the watched corridor
+    # ``yield_gap`` (m): depth of the approach zone in which the expert
+    # yields to vehicles already inside the junction ahead (first-come
+    # right-of-way, same rule the scripted agents follow). 0 disables.
+    yield_gap: float = 8.0
+    # ``turn_speed`` (m/s): cruise cap while the route ahead curves (the
+    # planner-aware slow-for-turn the pure-pursuit tracker needs to hold the
+    # lane through junction fans). 0 = no slowdown.
+    turn_speed: float = 0.0
     # Junction turn fans (towns built with turn_fans=True): every
     # ``turn_period`` steps the ego re-rolls which loop it follows among the
     # routes running through its current position (town.transfer_* tables) —
@@ -85,6 +105,11 @@ class SimParams:
             turn_period=int(s.get("turn_period", 0)),
             agent_turn_prob=float(s.get("agent_turn_prob", 0.0)),
             arrive_radius=float(s.get("arrive_radius", 4.0)),
+            headway_gap=float(s.get("headway_gap", 7.0)),
+            headway_ttc=float(s.get("headway_ttc", 1.2)),
+            headway_corridor=float(s.get("headway_corridor", 2.6)),
+            yield_gap=float(s.get("yield_gap", 8.0)),
+            turn_speed=float(s.get("turn_speed", 0.0)),
         )
 
 
@@ -351,7 +376,8 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
 
     agents_route, agents_s, agents_v = agent_lib.step_agents(
         town, state.agents_route, state.agents_s, state.agents_v, phases,
-        dt=params.dt, target_speed=params.agent_target_speed)
+        dt=params.dt, target_speed=params.agent_target_speed,
+        ego_pos=state.ego_pos)
     agents_pos, _ = agent_lib.agent_positions(town, agents_route, agents_s)
 
     peds_s, peds_phase = ped_lib.step_pedestrians(
@@ -424,6 +450,15 @@ def autopilot_control(params: SimParams, town: TownMap, state: WorldState
     Pedal values are restricted to the (throttle, brake) pairs the reference's
     discretizer understands — (1,0), (0.5,0), (0,1) — so logged expert actions
     discretize losslessly (imitation_dataset.py:330-333 table).
+
+    Longitudinal safety mirrors the CARLA autopilot that produced the
+    reference's training logs (imitation_dataset.py:96-110): stop for red
+    lights and crossing pedestrians, keep time-headway to any vehicle in the
+    forward lane corridor (``headway_gap`` + ``headway_ttc``·v — covers both
+    the same-route leader and cross-route traffic at junctions), yield to
+    vehicles already inside the junction being approached (first-come
+    right-of-way, the same rule sim/agents.py gives the scripted traffic),
+    and cap cruise speed through curves (``turn_speed``).
     """
     lookahead = jnp.maximum(4.0, 0.8 * state.ego_v)
     target_pos, _ = route_point(town, state.ego_route, state.ego_s + lookahead)
@@ -447,7 +482,48 @@ def autopilot_control(params: SimParams, town: TownMap, state: WorldState
         on_crossing = state.peds_crossing < town.crossings.shape[0]
         must_stop |= ped_lib.pedestrian_ahead(state.ego_pos, state.ego_yaw,
                                               peds_pos, mask=on_crossing)
-    err = params.target_speed - state.ego_v
+
+    if (params.headway_gap > 0.0 or params.yield_gap > 0.0) \
+            and state.agents_s.shape[0] > 0:
+        heading = jnp.stack([jnp.cos(state.ego_yaw), jnp.sin(state.ego_yaw)])
+        left = jnp.stack([-heading[1], heading[0]])
+        agents_pos, _ = agent_lib.agent_positions(
+            town, state.agents_route, state.agents_s)
+        if params.headway_gap > 0.0:
+            # lead-vehicle time-headway braking: any vehicle inside the
+            # forward corridor within gap + ttc·v meters (body frame, so it
+            # catches same-route leaders AND crossing traffic in front)
+            rel = agents_pos - state.ego_pos            # (A, 2)
+            fwd = rel @ heading
+            lat = rel @ left
+            watch = params.headway_gap + params.headway_ttc * state.ego_v
+            lead = (fwd > 0.0) & (fwd < watch) \
+                & (jnp.abs(lat) < params.headway_corridor)
+            must_stop |= jnp.any(lead)
+        if params.yield_gap > 0.0 and town.junctions.shape[0] > 0:
+            # first-come junction right-of-way (the cross-route conflict
+            # rule lights don't cover): while approaching the junction
+            # ahead, wait for any vehicle already inside its disc
+            d_all = jnp.linalg.norm(town.junctions - state.ego_pos, axis=-1)
+            jidx = jnp.argmin(d_all)
+            d_junc = d_all[jidx]
+            junction_r = jnp.maximum(6.0, town.road_half_width * 1.8)
+            ahead = ((town.junctions[jidx] - state.ego_pos) @ heading) > 0.0
+            approaching = (d_junc >= junction_r) \
+                & (d_junc < junction_r + params.yield_gap) & ahead
+            occupied = jnp.any(jnp.linalg.norm(
+                agents_pos - town.junctions[jidx], axis=-1) < junction_r)
+            must_stop |= approaching & occupied
+
+    cruise = params.target_speed
+    if params.turn_speed > 0.0:
+        # slow-for-turn: cap cruise while the route heading swings over the
+        # pursuit horizon (route curvature the controller already queries)
+        _, yaw_near = route_point(town, state.ego_route, state.ego_s + 3.0)
+        _, yaw_far = route_point(town, state.ego_route, state.ego_s + 13.0)
+        dyaw = jnp.mod(yaw_far - yaw_near + jnp.pi, 2 * jnp.pi) - jnp.pi
+        cruise = jnp.where(jnp.abs(dyaw) >= 0.15, params.turn_speed, cruise)
+    err = cruise - state.ego_v
     throttle = jnp.where(err > 1.0, 1.0, jnp.where(err > -0.5, 0.5, 0.0))
     brake = jnp.where(err <= -0.5, 1.0, 0.0)
     throttle = jnp.where(must_stop, 0.0, throttle)

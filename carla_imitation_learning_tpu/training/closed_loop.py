@@ -421,6 +421,10 @@ def make_rollout(
             "steer": control.steer, "throttle": control.throttle,
             "brake": control.brake,
         }
+        if len(cameras) > 1:
+            # full rig views (B,H,W,K) — surround collection consumes the
+            # side streams (extra_view_streams) for offline training
+            out["views"] = views
         if lidar_batch is not None:
             out["lidar"] = lidar_batch(states)
         if policy_extra is not None:
@@ -577,7 +581,7 @@ def evaluate_routes(
     params: SimParams, town: TownMap, rcfg: RenderConfig,
     policy_fn: Callable | None, rng, n_envs: int = 64, n_steps: int = 600,
     frame_skip: int = 4, mesh=None, control_space: str = "discrete",
-    goal_ids=None,
+    goal_ids=None, cameras: "tuple[str, ...]" = ("camera",),
 ) -> dict:
     """Destination-based (A→B) driving evaluation — the CARLA leaderboard's
     actual task shape: each env gets a GOAL (``goal_ids`` (B,), default
@@ -600,7 +604,8 @@ def evaluate_routes(
                          "(sim/planner.plan_to_goals)")
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn,
                                        frame_skip, mesh=mesh,
-                                       control_space=control_space)
+                                       control_space=control_space,
+                                       cameras=cameras)
     carry = init_fn(rng, n_envs)
     n_goals = int(town.nav_goals.shape[0])
     if goal_ids is None:
@@ -652,6 +657,19 @@ def evaluate_routes(
     }
 
 
+def extra_view_streams(traj) -> "list[np.ndarray]":
+    """Env-major (B·T, H, W) uint8 streams for rig views 1..K−1 of a
+    surround collection (``traj["views"]`` exists when make_rollout got >1
+    camera) — exactly the ``extra_frames`` list DeviceDataset stacks
+    camera-minor alongside the base store, matching the rollout framebuf's
+    time-major/camera-minor channel layout (update_framebuf)."""
+    views = traj["views"]  # (T, B, H, W, K)
+    k_total = views.shape[-1]
+    return [np.asarray(jnp.swapaxes(views[..., k], 0, 1)
+                       .reshape((-1,) + views.shape[2:4]))
+            for k in range(1, k_total)]
+
+
 def collect_dataset(
     params: SimParams, town: TownMap, rcfg: RenderConfig, rng,
     n_envs: int = 16, n_steps: int = 256, frame_skip: int = 4,
@@ -659,6 +677,7 @@ def collect_dataset(
     noise: NoiseConfig | None = None,
     control_space: str = "discrete",
     goal_ids=None,
+    cameras: "tuple[str, ...]" = ("camera",),
 ):
     """Rollouts → FrameStore (frames packed uint8 + expert labels + sensors).
 
@@ -687,7 +706,8 @@ def collect_dataset(
     from carla_imitation_learning_tpu.data.pipeline import FrameStore
 
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
-                                       noise=noise, control_space=control_space)
+                                       noise=noise, control_space=control_space,
+                                       cameras=cameras)
     carry = init_fn(rng, n_envs)
     if goal_ids is not None:
         carry = assign_goals(carry, goal_ids)
@@ -805,6 +825,7 @@ def dagger_iteration(
     policy_fn: Callable, rng, n_envs: int = 16, n_steps: int = 256,
     frame_skip: int = 4, noise: NoiseConfig | None = None,
     control_space: str = "discrete", goal_ids=None,
+    cameras: "tuple[str, ...]" = ("camera",),
 ):
     """One DAgger round: policy drives, expert labels → aggregation store.
     ``noise`` adds exploration impulses on top of the policy's steering —
@@ -816,4 +837,5 @@ def dagger_iteration(
     visits — on-policy A→B data."""
     return collect_dataset(params, town, rcfg, rng, n_envs, n_steps, frame_skip,
                            policy_fn=policy_fn, noise=noise,
-                           control_space=control_space, goal_ids=goal_ids)
+                           control_space=control_space, goal_ids=goal_ids,
+                           cameras=cameras)

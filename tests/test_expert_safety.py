@@ -1,0 +1,197 @@
+"""Expert (autopilot) safety envelope: lead-vehicle headway braking,
+first-come junction yield, slow-for-turn cruise cap, and the traffic agents'
+ego-awareness — the behaviors that make the label source a safe driver
+(CARLA's autopilot keeps headway / yields; the reference's training logs,
+imitation_dataset.py:96-110, were produced by such a driver)."""
+
+import jax
+import jax.numpy as jnp
+
+from carla_imitation_learning_tpu.sim import (
+    SimParams, autopilot_control, make_town, reset_env,
+)
+from carla_imitation_learning_tpu.sim.agents import (
+    GREEN, agent_positions, step_agents,
+)
+from carla_imitation_learning_tpu.sim.town import route_point
+
+# pin every traffic light green: cycle = green only, so mod(t+offset, cycle)
+# always lands in the green window and red_light_ahead never fires
+_GREEN = dict(light_green=1e6, light_yellow=0.0, light_red=0.0)
+
+
+def _cruising_state(town, params, agents_route, agents_s, ego_s=20.0,
+                    ego_route=0, ego_v=6.0):
+    """A hand-built world state: ego mid-edge on route 0 at speed, scripted
+    agents wherever the scenario needs them."""
+    state = reset_env(params, town, jax.random.PRNGKey(0))
+    pos, yaw = route_point(town, jnp.asarray(ego_route, jnp.int32),
+                           jnp.asarray(ego_s))
+    return state.replace(
+        ego_pos=pos, ego_yaw=yaw, ego_v=jnp.asarray(float(ego_v)),
+        ego_route=jnp.asarray(ego_route, jnp.int32), ego_s=jnp.asarray(ego_s),
+        agents_route=jnp.asarray(agents_route, jnp.int32),
+        agents_s=jnp.asarray(agents_s, jnp.float32),
+        agents_v=jnp.zeros((len(agents_s),)),
+    )
+
+
+def test_expert_brakes_for_lead_vehicle():
+    """A stopped vehicle 5 m ahead in-lane → full brake; the same scene with
+    the headway envelope disabled → the old tailgating throttle."""
+    town = make_town(blocks=3)
+    params = SimParams(n_agents=1, target_speed=8.0, **_GREEN)
+    state = _cruising_state(town, params, agents_route=[0], agents_s=[25.0])
+    # sanity: the agent really is ~5 m ahead of the ego
+    apos, _ = agent_positions(town, state.agents_route, state.agents_s)
+    gap = float(jnp.linalg.norm(apos[0] - state.ego_pos))
+    assert 4.0 < gap < 6.0
+
+    ctrl = autopilot_control(params, town, state)
+    assert float(ctrl.brake) == 1.0
+    assert float(ctrl.throttle) == 0.0
+
+    off = SimParams(n_agents=1, target_speed=8.0, headway_gap=0.0,
+                    yield_gap=0.0, **_GREEN)
+    ctrl_off = autopilot_control(off, town, state)
+    assert float(ctrl_off.brake) == 0.0
+    assert float(ctrl_off.throttle) > 0.0
+
+
+def test_headway_watch_grows_with_speed():
+    """Time-headway: a gap that is safe when crawling is braked for at
+    speed (watch distance = gap + ttc·v)."""
+    town = make_town(blocks=3)
+    params = SimParams(n_agents=1, target_speed=8.0, headway_gap=7.0,
+                       headway_ttc=1.2, **_GREEN)
+    # lead 10 m ahead: outside the 7 m static gap, inside 7 + 1.2·8 = 16.6
+    fast = _cruising_state(town, params, agents_route=[0], agents_s=[30.0],
+                           ego_v=8.0)
+    slow = fast.replace(ego_v=jnp.asarray(0.5))
+    assert float(autopilot_control(params, town, fast).brake) == 1.0
+    assert float(autopilot_control(params, town, slow).brake) == 0.0
+
+
+def test_expert_ignores_vehicle_behind_and_beside():
+    """The corridor is forward-only and lane-narrow: traffic behind the ego
+    or one road over must not trigger the headway brake."""
+    town = make_town(blocks=3)
+    params = SimParams(n_agents=2, target_speed=8.0, **_GREEN)
+    # one agent 10 m BEHIND on the same route, one on a different route far away
+    state = _cruising_state(town, params, agents_route=[0, 3],
+                            agents_s=[10.0, 10.0], ego_s=20.0, ego_v=2.0)
+    apos, _ = agent_positions(town, state.agents_route, state.agents_s)
+    heading = jnp.stack([jnp.cos(state.ego_yaw), jnp.sin(state.ego_yaw)])
+    assert float((apos[0] - state.ego_pos) @ heading) < 0  # really behind
+    ctrl = autopilot_control(params, town, state)
+    assert float(ctrl.brake) == 0.0
+    assert float(ctrl.throttle) > 0.0
+
+
+def test_expert_yields_at_occupied_junction():
+    """Approaching a junction whose disc holds another vehicle → stop until
+    it clears (first-come right-of-way, the rule the scripted agents follow)."""
+    town = make_town(blocks=3)
+    params = SimParams(n_agents=1, target_speed=8.0, headway_gap=0.0,
+                       yield_gap=8.0, **_GREEN)
+    junction_r = max(6.0, float(town.road_half_width) * 1.8)
+
+    # place the ego approaching its nearest junction from ~junction_r + 4 m;
+    # scan arclengths on route 0 for a point in that band
+    best = None
+    for s in [float(x) for x in range(2, int(float(town.route_total[0])), 2)]:
+        pos, yaw = route_point(town, jnp.asarray(0, jnp.int32), jnp.asarray(s))
+        d = jnp.linalg.norm(town.junctions - pos, axis=-1)
+        j = int(jnp.argmin(d))
+        dj = float(d[j])
+        heading = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+        ahead = float((town.junctions[j] - pos) @ heading) > 0.0
+        if junction_r + 2.0 < dj < junction_r + 6.0 and ahead:
+            best = (s, j)
+            break
+    assert best is not None, "no approach point found on route 0"
+    ego_s, j = best
+
+    # an agent parked INSIDE that junction's disc: find an arclength on some
+    # route whose position falls within junction_r of the junction center
+    inside = None
+    for r in range(int(town.routes.shape[0])):
+        total = float(town.route_total[r])
+        for s in [float(x) for x in range(0, int(total), 2)]:
+            pos, _ = route_point(town, jnp.asarray(r, jnp.int32), jnp.asarray(s))
+            if float(jnp.linalg.norm(pos - town.junctions[j])) < junction_r - 1.0:
+                inside = (r, s)
+                break
+        if inside:
+            break
+    assert inside is not None
+
+    state = _cruising_state(town, params, agents_route=[inside[0]],
+                            agents_s=[inside[1]], ego_s=ego_s, ego_v=5.0)
+    ctrl = autopilot_control(params, town, state)
+    assert float(ctrl.brake) == 1.0
+
+    # junction empty → no yield
+    empty = state.replace(agents_s=state.agents_s + 1e6)
+    ctrl2 = autopilot_control(params, town, empty)
+    assert float(ctrl2.brake) == 0.0
+
+
+def test_turn_speed_caps_cruise_through_curves():
+    """With turn_speed set, the expert lifts/brakes when the route heading
+    swings over the pursuit horizon; on a straight it cruises at target."""
+    town = make_town(blocks=3)
+    params = SimParams(n_agents=0, target_speed=8.0, turn_speed=4.0, **_GREEN)
+
+    # find a pre-corner arclength: heading swing between s+3 and s+13 ≥ 0.15
+    turn_s = straight_s = None
+    for s in [float(x) for x in range(0, int(float(town.route_total[0])), 1)]:
+        _, y1 = route_point(town, jnp.asarray(0, jnp.int32), jnp.asarray(s + 3.0))
+        _, y2 = route_point(town, jnp.asarray(0, jnp.int32), jnp.asarray(s + 13.0))
+        dyaw = abs(float(jnp.mod(y2 - y1 + jnp.pi, 2 * jnp.pi) - jnp.pi))
+        if dyaw >= 0.15 and turn_s is None:
+            turn_s = s
+        if dyaw < 0.02 and straight_s is None:
+            straight_s = s
+        if turn_s is not None and straight_s is not None:
+            break
+    assert turn_s is not None and straight_s is not None
+
+    at_turn = _cruising_state(town, params, agents_route=[], agents_s=[],
+                              ego_s=turn_s, ego_v=7.0)
+    ctrl = autopilot_control(params, town, at_turn)
+    assert float(ctrl.brake) == 1.0  # 7 m/s ≫ 4 m/s cap → brake
+
+    on_straight = _cruising_state(town, params, agents_route=[], agents_s=[],
+                                  ego_s=straight_s, ego_v=7.0)
+    ctrl2 = autopilot_control(params, town, on_straight)
+    assert float(ctrl2.brake) == 0.0
+    assert float(ctrl2.throttle) > 0.0
+
+
+def test_agents_brake_for_ego_in_corridor():
+    """ego_pos makes the scripted traffic treat the ego as a leader: an agent
+    whose forward corridor holds the ego slows; without ego_pos it cruises
+    (CARLA's traffic manager avoids the hero vehicle)."""
+    town = make_town(blocks=3)
+    phases = jnp.full((town.lights_pos.shape[0],), GREEN, jnp.int32)
+    routes = jnp.asarray([0], jnp.int32)
+    s = jnp.asarray([20.0])
+    v = jnp.asarray([6.0])
+    # ego parked 5 m ahead of the agent, in its lane
+    apos, ayaw = agent_positions(town, routes, s)
+    heading = jnp.stack([jnp.cos(ayaw[0]), jnp.sin(ayaw[0])])
+    ego_pos = apos[0] + 5.0 * heading
+
+    _, _, v_block = step_agents(town, routes, s, v, phases, dt=0.05,
+                                target_speed=7.0, ego_pos=ego_pos)
+    _, _, v_free = step_agents(town, routes, s, v, phases, dt=0.05,
+                               target_speed=7.0)
+    assert float(v_block[0]) < float(v[0])      # braking toward 0
+    assert float(v_free[0]) > float(v[0])       # accelerating to target
+
+    # ego BEHIND the agent → no effect
+    _, _, v_behind = step_agents(town, routes, s, v, phases, dt=0.05,
+                                 target_speed=7.0,
+                                 ego_pos=apos[0] - 5.0 * heading)
+    assert float(v_behind[0]) == float(v_free[0])

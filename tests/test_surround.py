@@ -101,12 +101,25 @@ def test_gather_windows_single_cam_unchanged():
     assert got.shape == (2, HW, HW, FS)
 
 
-def test_policy_bits_surround_guard():
+def test_policy_bits_surround_all_families():
+    """Every policy family consumes the surround rig: obs channels widen to
+    frame_skip × n_views (BASELINE config #2's multi-camera CIL included)."""
     from carla_imitation_learning_tpu.experiments import _policy_bits
 
-    cfg = {"surround_cameras": ["camera", "FL"], "policy_family": "cil"}
-    with pytest.raises(ValueError, match="surround"):
-        _policy_bits(cfg, None, 32, 32)
+    for family in ("discrete", "cil", "continuous"):
+        cfg = {"surround_cameras": ["camera", "FL"], "policy_family": family,
+               "frame_skip": 4}
+        _, _, model, _ = _policy_bits(cfg, None, 32, 32)
+        assert model.obs_size == 8, (family, model.obs_size)
+
+
+def test_surround_unknown_camera_preset_raises():
+    """Typo'd rig names must fail loudly — make_renderer would otherwise
+    silently fall back to K identical forward views."""
+    from carla_imitation_learning_tpu.experiments import _surround_cams
+
+    with pytest.raises(ValueError, match="fl"):
+        _surround_cams({"surround_cameras": ["camera", "fl", "FR"]})
 
 
 @pytest.mark.slow

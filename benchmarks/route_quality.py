@@ -1,4 +1,4 @@
-"""A→B route quality: expert vs untrained vs goal-trained CIL policy.
+"""A→B route quality: expert vs untrained vs goal-trained CIL vs DAgger-CIL.
 
 The CARLA leaderboard's actual task is destination-based: drive from A to B
 along a planned route. The reference never closes the loop at all (SURVEY.md
@@ -9,10 +9,25 @@ turns) → command-conditioned BranchedCILPolicy training → route_eval-style
 scoring (training/closed_loop.evaluate_routes): arrival rate, time to
 arrival, infractions per km, with the privileged expert as the ceiling.
 
-Expected ordering: untrained << CIL ≤ expert (the same controller labeling).
+Round-4 command-coverage fixes (r3 measured histogram was
+[35728, 12531, 66, 2875, 0, 0] — right turns 0.13%, lane changes zero):
+- the town is MULTILANE (2 lanes/direction) with scheduled lane changes
+  (SimParams.lane_change_period), so commands 4/5 exist in the world;
+- HALF the collection budget runs on the y-axis-mirrored town
+  (sim/town.mirror_town) — make_town's loops are all counterclockwise, and
+  reflection turns every left into a genuine right with consistent
+  pixels/labels/commands;
+- epoch sampling balances the JOINT (action, command) key
+  (DeviceDataset balance_key="action_command"), so no CIL branch starves;
+- a goal-directed DAgger round (policy drives to the goals, expert labels,
+  aggregate, retrain) sits between BC and the expert — the tier the repo
+  ships as `dagger -o policy_family=cil` but r3 never measured on A→B.
+
+Expected ordering: untrained << CIL ≤ DAgger-CIL ≤ expert.
 
 Usage: python benchmarks/route_quality.py [--envs 64] [--steps 2500]
          [--goals 8] [--collect-envs 64] [--collect-steps 800] [--epochs 8]
+         [--dagger-epochs 4] [--no-mirror]
 Writes reports/route_quality.json INCREMENTALLY and prints one JSON line.
 """
 
@@ -35,13 +50,20 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=2500, help="eval horizon")
     ap.add_argument("--goals", type=int, default=8)
     ap.add_argument("--collect-envs", type=int, default=64)
-    ap.add_argument("--collect-steps", type=int, default=800)
+    ap.add_argument("--collect-steps", type=int, default=800,
+                    help="TOTAL collection budget (split across the town "
+                         "and its mirror unless --no-mirror)")
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--dagger-epochs", type=int, default=4,
+                    help="extra epochs on the aggregated store after the "
+                         "DAgger round (0 skips the tier)")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--episode-len", type=int, default=2500,
                     help="per-attempt step budget (one-way loop detours + "
                          "red lights make generous budgets realistic)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-mirror", action="store_true")
+    ap.add_argument("--no-balance", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -59,6 +81,7 @@ def main() -> None:
     from carla_imitation_learning_tpu.sim.planner import (
         plan_to_goals, sample_goals,
     )
+    from carla_imitation_learning_tpu.sim.town import mirror_town
     from carla_imitation_learning_tpu.training import closed_loop as cl
     from carla_imitation_learning_tpu.training.losses import cil_loss_fn
     from carla_imitation_learning_tpu.training.steps import (
@@ -67,12 +90,15 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform != "cpu"
     # turn fans are the planner's graph; superblocks add straight-through +
-    # right-turn geometry so the command taxonomy is richer than {0,1}
+    # right-turn geometry; 2 lanes/direction + scheduled lane changes put
+    # commands 4/5 in the world
     town = make_town(blocks=3, n_buildings=24, n_lights=8,
+                     lanes_per_direction=2,
                      superblocks=True, turn_fans=True, seed=args.seed)
     goals = sample_goals(town, args.seed, args.goals)
     town = plan_to_goals(town, goals)
-    params = SimParams(n_agents=15, episode_len=args.episode_len)
+    params = SimParams(n_agents=15, episode_len=args.episode_len,
+                       lane_change_period=160)
     rcfg = RenderConfig(height=128, width=128,
                         backend="pallas" if on_tpu else "jax")
     rng = jax.random.PRNGKey(args.seed)
@@ -113,30 +139,46 @@ def main() -> None:
     print(f"untrained: {result['untrained']}", flush=True)
     save()
 
-    # --- goal-directed collection + CIL training ---------------------------
-    rng, kc = jax.random.split(rng)
+    # --- goal-directed collection (normal + mirrored halves) ---------------
     tc = time.perf_counter()
     goal_ids = np.arange(args.collect_envs, dtype=np.int32) % args.goals
-    store, _, _ = cl.collect_dataset(params, town, rcfg, kc,
-                                     args.collect_envs, args.collect_steps,
+    worlds = [town] if args.no_mirror else [town, mirror_town(town)]
+    per = args.collect_steps // len(worlds)
+    stores = []
+    for w in worlds:
+        rng, kc = jax.random.split(rng)
+        s, _, _ = cl.collect_dataset(params, w, rcfg, kc,
+                                     args.collect_envs, per,
                                      goal_ids=goal_ids)
+        stores.append(s)
+    store = pipe.FrameStore.concat(stores)
     result["collect_seconds"] = round(time.perf_counter() - tc, 1)
     result["dataset_frames"] = len(store)
-    result["command_histogram"] = np.bincount(
-        store.commands, minlength=n_commands).tolist()
+    hist = np.bincount(store.commands, minlength=n_commands)
+    result["command_histogram"] = hist.tolist()
+    result["command_min_frac"] = round(float(hist.min() / hist.sum()), 5)
+    print(f"command histogram: {hist.tolist()}", flush=True)
     save()
 
-    step = make_train_step(cil_loss_fn(), donate=False)
+    balance = {} if args.no_balance else dict(
+        balanced=True, balance_key="action_command")
+
+    def fit(store, state, epochs, seed):
+        step = make_train_step(cil_loss_fn(), donate=False)
+        ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=seed,
+                                cil=True, **balance)
+        last, key = {}, jax.random.PRNGKey(seed)
+        for _ in range(epochs):
+            for batch in ds:
+                key, sk = jax.random.split(key)
+                state, last = step(state, batch, sk)
+        if last:
+            jax.block_until_ready(last["loss"])
+        return state, last
+
     tt = time.perf_counter()
-    ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=args.seed,
-                            cil=True)
-    last = {}
-    for _ in range(args.epochs):
-        for batch in ds:
-            rng, sk = jax.random.split(rng)
-            state, last = step(state, batch, sk)
+    state, last = fit(store, state, args.epochs, args.seed + 7)
     if last:
-        jax.block_until_ready(last["loss"])
         result["cil_final_loss"] = round(float(last["loss"]), 4)
         result["cil_final_accuracy"] = round(float(last["accuracy"]), 4)
     result["train_seconds"] = round(time.perf_counter() - tt, 1)
@@ -144,16 +186,42 @@ def main() -> None:
 
     result["cil"] = trim(ev(policy_from(state.params), 102))
     print(f"cil: {result['cil']}", flush=True)
+    save()
+
+    # --- goal-directed DAgger round: policy drives to the goals, expert
+    # labels, aggregate, retrain — the on-policy state-distribution fix ----
+    if args.dagger_epochs > 0:
+        td = time.perf_counter()
+        dag_stores = [store]
+        for w in worlds:
+            rng, kd = jax.random.split(rng)
+            s, _, _ = cl.dagger_iteration(
+                params, w, rcfg, policy_from(state.params), kd,
+                n_envs=args.collect_envs, n_steps=per, goal_ids=goal_ids)
+            dag_stores.append(s)
+        agg = pipe.FrameStore.concat(dag_stores)
+        result["dagger_frames"] = len(agg)
+        state, last = fit(agg, state, args.dagger_epochs, args.seed + 13)
+        if last:
+            result["dagger_final_loss"] = round(float(last["loss"]), 4)
+        result["dagger_seconds"] = round(time.perf_counter() - td, 1)
+        result["dagger_cil"] = trim(ev(policy_from(state.params), 103))
+        print(f"dagger_cil: {result['dagger_cil']}", flush=True)
+        save()
+
     result["wall_seconds"] = round(time.perf_counter() - t0, 1)
     save()
+    best = result.get("dagger_cil", result["cil"])
     print(json.dumps({
         "metric": "route_arrival_rate_cil",
-        "value": result["cil"]["arrival_rate"],
+        "value": best["arrival_rate"],
         "unit": "arrivals/attempt (A->B)",
         "expert": result["expert"]["arrival_rate"],
         "untrained": result["untrained"]["arrival_rate"],
+        "bc_cil": result["cil"]["arrival_rate"],
+        "command_histogram": result["command_histogram"],
         "expert_steps_to_arrival": result["expert"]["mean_steps_to_arrival"],
-        "cil_steps_to_arrival": result["cil"]["mean_steps_to_arrival"],
+        "cil_steps_to_arrival": best["mean_steps_to_arrival"],
     }))
 
 

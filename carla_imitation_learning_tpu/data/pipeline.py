@@ -264,6 +264,7 @@ class DeviceDataset:
         cil: bool = False,
         sample_mask: np.ndarray | None = None,
         balanced: bool = False,
+        balance_key: str = "action",
         continuous_labels: np.ndarray | None = None,
         extra_frames: "list[np.ndarray] | None" = None,
     ):
@@ -312,12 +313,34 @@ class DeviceDataset:
         # Inverse-frequency class balancing (driving data is dominated by
         # the cruise action — CIL's known steering-imbalance problem): each
         # epoch draws n_samples windows WITH replacement, weighted 1/freq of
-        # the labeled action, so every action class contributes ~equally.
+        # the balance key, so every class contributes ~equally.
+        # ``balance_key`` picks the key: "action" (the reference-era
+        # steering-imbalance fix), "command" (CIL branch starvation — the
+        # goal-nav histogram is dominated by follow; measured r3:
+        # right-turn got 0.13% of frames), or "action_command" (joint:
+        # every (branch, action) cell the data contains draws ~equally).
         self._balance_p = None
         if balanced:
-            labels = np.asarray(store.actions, np.int64)[valid + self.label_offset]
-            counts = np.bincount(labels)
-            w = 1.0 / counts[labels]
+            labeled = valid + self.label_offset
+            actions_l = np.asarray(store.actions, np.int64)[labeled]
+            if balance_key != "action":
+                cmds = (np.asarray(store.commands, np.int64)[labeled]
+                        if store.commands is not None
+                        else np.zeros(len(labeled), np.int64))
+            if balance_key == "action":
+                keys = actions_l
+            elif balance_key == "command":
+                keys = cmds
+            elif balance_key == "action_command":
+                _, keys = np.unique(
+                    np.stack([actions_l, cmds], axis=1), axis=0,
+                    return_inverse=True)
+            else:
+                raise ValueError(
+                    f"balance_key={balance_key!r}: expected 'action', "
+                    "'command', or 'action_command'")
+            counts = np.bincount(keys)
+            w = 1.0 / counts[keys]
             self._balance_p = w / w.sum()
         # Device-resident packed arrays (replicated under a mesh; batches are
         # sharded by sharding the index vector).

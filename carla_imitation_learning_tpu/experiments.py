@@ -984,7 +984,15 @@ def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, n_goals: int = 0, **kw):
     (sim/planner.py): the expert drives to sampled destinations and the
     command channel records the planner's announced turns — the training
     distribution a CIL policy needs to navigate A→B itself (score it with
-    ``route_eval -o checkpoint=...``)."""
+    ``route_eval -o checkpoint=...``).
+
+    ``mirror_collection=true`` collects the second half of the budget on the
+    y-axis-reflected town (sim/town.mirror_town): make_town's loops are all
+    counterclockwise, so goal-directed data starves the right-turn branch
+    (measured r3: 66 of 51,200 frames); the mirrored world turns every left
+    into a genuine right with consistent pixels/labels/commands.
+    ``balance_key=command`` (or ``action_command``) rebalances epoch
+    sampling by CIL branch instead of action class."""
     goal_ids = None
     if n_goals > 0:
         _force_turn_fans(cfg)
@@ -994,24 +1002,58 @@ def bc_cil(cfg, n_envs: int = 32, n_steps: int = 300, n_goals: int = 0, **kw):
     cams = _surround_cams(cfg)
     fs = int(cfg.get("frame_skip", 4))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
-    store, _, traj = cl.collect_dataset(params, town, rcfg, rng, n_envs,
-                                        n_steps, noise=_noise_bits(cfg),
-                                        goal_ids=goal_ids, cameras=cams)
+    if bool(cfg.get("mirror_collection", False)):
+        from carla_imitation_learning_tpu.data.pipeline import FrameStore
+        from carla_imitation_learning_tpu.sim.town import mirror_town
+
+        rng, rm = jax.random.split(rng)
+        half = n_steps // 2
+        store_a, _, traj_a = cl.collect_dataset(
+            params, town, rcfg, rng, n_envs, half, noise=_noise_bits(cfg),
+            goal_ids=goal_ids, cameras=cams)
+        store_b, _, traj_b = cl.collect_dataset(
+            params, mirror_town(town), rcfg, rm, n_envs, half,
+            noise=_noise_bits(cfg), goal_ids=goal_ids, cameras=cams)
+        store = FrameStore.concat([store_a, store_b])
+        halves = [(store_a, cl.extra_view_streams(traj_a)
+                   if len(cams) > 1 else []),
+                  (store_b, cl.extra_view_streams(traj_b)
+                   if len(cams) > 1 else [])]
+    else:
+        store, _, traj = cl.collect_dataset(params, town, rcfg, rng, n_envs,
+                                            n_steps, noise=_noise_bits(cfg),
+                                            goal_ids=goal_ids, cameras=cams)
+        halves = [(store, cl.extra_view_streams(traj)
+                   if len(cams) > 1 else [])]
     # BASELINE config #2's "multi-camera input": the side views ride as
     # extra camera-minor channels (same layout the surround rollout framebuf
-    # maintains), sliced in lockstep with the base store
-    extra = cl.extra_view_streams(traj) if len(cams) > 1 else []
-    n = len(store)
-    bounds = {"train": (0, int(0.8 * n)), "val": (int(0.8 * n), int(0.9 * n)),
-              "test": (int(0.9 * n), n)}
+    # maintains), sliced in lockstep with the base store; each collection
+    # half is split 80/10/10 SEPARATELY so mirrored data lands in every
+    # split proportionally (a naive concat-then-split would give train the
+    # normal world and val/test the mirrored one)
+    from carla_imitation_learning_tpu.data.pipeline import FrameStore
+
+    def _split3(s, ex):
+        n = len(s)
+        b = {"train": (0, int(0.8 * n)), "val": (int(0.8 * n), int(0.9 * n)),
+             "test": (int(0.9 * n), n)}
+        return {k: (s.slice(a, z), [e[a:z] for e in ex])
+                for k, (a, z) in b.items()}
+
+    split_halves = [_split3(s, ex) for s, ex in halves]
+    splits = {k: (FrameStore.concat([sh[k][0] for sh in split_halves]),
+                  [np.concatenate([sh[k][1][i] for sh in split_halves])
+                   for i in range(len(cams) - 1)])
+              for k in ("train", "val", "test")}
     mesh, sharding = _mesh_bits(cfg)
     loaders = {f"{k}_dataloader": pipe.DeviceDataset(
-        store.slice(a, b), int(cfg.get("BATCH_SIZE", 64)), frame_skip=fs,
+        s, int(cfg.get("BATCH_SIZE", 64)), frame_skip=fs,
         shuffle=(k == "train"), cil=True, drop_last=(k == "train"),
         sharding=(sharding if k == "train" else None),
-        extra_frames=[ef[a:b] for ef in extra] or None,
-        balanced=(bool(cfg.get("balanced_sampling", False)) and k == "train"))
-        for k, (a, b) in bounds.items()}
+        extra_frames=ex or None,
+        balanced=(bool(cfg.get("balanced_sampling", False)) and k == "train"),
+        balance_key=str(cfg.get("balance_key", "action")))
+        for k, (s, ex) in splits.items()}
     n_commands = int(cfg.get("n_commands", 6))
     model = BranchedCILPolicy(obs_size=fs * len(cams), n_commands=n_commands,
                               dtype=_dtype(cfg))

@@ -432,3 +432,48 @@ def route_point(town: TownMap, route_idx, s):
     pos = p0 + frac * seg
     yaw = jnp.arctan2(seg[1], seg[0])
     return pos, yaw
+
+
+def mirror_town(town: TownMap) -> TownMap:
+    """The town reflected about the y-axis (x → −x) — every LEFT turn
+    becomes a genuine RIGHT turn.
+
+    ``make_town`` builds exclusively counterclockwise loops (left turns at
+    every grid node; the only native rights are L-loop concave corners), so
+    goal-directed collection starves the CIL right-turn branch (measured:
+    66 of 51,200 frames — reports/route_quality.json r3). Reflection is the
+    exact fix: a global isometry that flips turn handedness wholesale while
+    preserving every relationship the sim depends on — arclengths, lane
+    offsets, transfer-table coincidences (still position-preserving, same
+    (r, p, k) indices), junction discs, and baked nav tables (the Dijkstra
+    graph is pure topology + lengths, both invariant; only the goal POINTS
+    move, to their mirrored positions). Collection mixed half/half across
+    ``town`` and ``mirror_town(town)`` covers both turn directions with real
+    rendered frames — the CIL paper's hflip trick, done in-world so labels,
+    commands, and pixels stay mutually consistent by construction.
+
+    Equivalent of: CARLA ships paired mirrored maps (Town01/Town01_Opt etc.
+    differ in layout; the flip-augmentation lineage is imitation-learning
+    standard practice).
+    """
+
+    def _neg_x(a, col: int = 0):
+        if a is None:
+            return None
+        a = jnp.asarray(a)
+        return a.at[..., col].multiply(-1.0 if jnp.issubdtype(
+            a.dtype, jnp.floating) else -1)
+
+    segs = None
+    if town.road_segments is not None and town.road_segments.size:
+        segs = town.road_segments.at[:, 0].multiply(-1.0).at[:, 2].multiply(-1.0)
+    return town.replace(
+        routes=_neg_x(town.routes),
+        buildings=_neg_x(town.buildings),          # col 0 = cx
+        lights_pos=_neg_x(town.lights_pos),
+        road_segments=segs,
+        crossings=_neg_x(town.crossings),
+        junctions=_neg_x(town.junctions),
+        sidewalks=_neg_x(town.sidewalks),
+        nav_goals=_neg_x(town.nav_goals),
+    )

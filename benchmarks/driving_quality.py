@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--noise", action="store_true",
                     help="CIL-style steering-noise injection during expert "
                          "collection (recovery-state data; labels stay clean)")
+    ap.add_argument("--arch", choices=["cnn", "vit"], default="cnn",
+                    help="policy trunk for the trained tiers (vit = the "
+                         "transformer family, models/vit.py) — gives the "
+                         "ViT a driving-quality datapoint at the same "
+                         "budget/seed as the CNN rows")
     ap.add_argument("--out", default=None,
                     help="report path (default reports/driving_quality.json; "
                          "A/B runs should pick distinct files)")
@@ -83,7 +88,15 @@ def main() -> None:
     rcfg = RenderConfig(height=128, width=128,
                         backend="pallas" if on_tpu else "jax")
     rng = jax.random.PRNGKey(args.seed)
-    model = PolicyCNN(dtype=jnp.bfloat16)
+    if args.arch == "vit":
+        if args.rl:
+            raise SystemExit("--arch vit has no PPO warm-start path "
+                             "(ActorCriticCNN trunk) — drop --rl")
+        from carla_imitation_learning_tpu.models import ViTPolicy
+
+        model = ViTPolicy(dtype=jnp.bfloat16)
+    else:
+        model = PolicyCNN(dtype=jnp.bfloat16)
 
     def policy_from(p):
         def policy_fn(obs):

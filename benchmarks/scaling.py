@@ -211,6 +211,78 @@ def audit(n_devices: int) -> dict:
     out["ppo_continuous_update"] = collective_stats(txt)
     out["ppo_continuous_param_bytes"] = int(sum(
         x.size * 4 for x in jax.tree_util.tree_leaves(acc_params)))
+
+    # single-program online DAgger (training/online_dagger.py): the most
+    # scatter/gather-heavy program in the repo — rollout rounds write an
+    # HBM aggregation buffer sharded (R, T, B)->B and stratified window
+    # sampling gathers train batches from it. All of that must stay
+    # shard-local: the audited program may show only the per-train-step
+    # O(params) gradient all-reduce (+ the constant u32 key folds).
+    from carla_imitation_learning_tpu.models import PolicyCNN
+    from carla_imitation_learning_tpu.training.online_dagger import (
+        make_online_dagger,
+    )
+    from carla_imitation_learning_tpu.training.steps import create_train_state
+
+    pol = PolicyCNN(dtype=jnp.float32)
+    pstate = create_train_state(
+        pol, jax.random.PRNGKey(9), jnp.zeros((1, 32, 32, 4)),
+        optax.adam(1e-3))
+    from carla_imitation_learning_tpu.parallel.mesh import shard_train_state
+
+    pstate = shard_train_state(mesh, pstate)
+    run = make_online_dagger(pol.apply, params, town, rcfg,
+                             n_envs=2 * n_devices, n_steps=6, rounds=2,
+                             train_steps=2, batch=2 * n_devices, mesh=mesh)
+    txt = run.lower(pstate, jax.random.PRNGKey(10)).compile().as_text()
+    out["dagger_online"] = collective_stats(txt)
+    out["dagger_online_param_bytes"] = int(sum(
+        x.size * 4 for x in jax.tree_util.tree_leaves(pstate.params)))
+
+    # world-model training step: (B, T, H, W, C) sequence batches shard on
+    # B; the scan over T is time-local per shard, so the compiled step must
+    # show only the O(params) gradient all-reduce
+    from carla_imitation_learning_tpu.models import LatentWorldModel
+    from carla_imitation_learning_tpu.training.losses import (
+        world_model_loss_fn,
+    )
+    from carla_imitation_learning_tpu.training.steps import make_train_step
+
+    wm = LatentWorldModel(z_size=16, height=32, width=32,
+                          hidden_size=32, dtype=jnp.float32)
+    wseq = jnp.zeros((2 * n_devices, 4, 32, 32, 1), jnp.float32)
+    wact = jnp.zeros((2 * n_devices, 4), jnp.int32)
+    wstate = create_train_state(wm, jax.random.PRNGKey(11), (wseq, wact),
+                                optax.adam(1e-3))
+    wstate = shard_train_state(mesh, wstate)
+    wbatch = jax.device_put((wseq, wact), batch_sharding(mesh))
+    wstep = make_train_step(world_model_loss_fn(), donate=False)
+    wfn = wstep.__wrapped__ if hasattr(wstep, "__wrapped__") else wstep
+    txt = jax.jit(wfn).lower(wstate, wbatch, jax.random.PRNGKey(12)) \
+        .compile().as_text()
+    out["world_model_step"] = collective_stats(txt)
+    out["world_model_param_bytes"] = int(sum(
+        x.size * 4 for x in jax.tree_util.tree_leaves(wstate.params)))
+
+    # imagination (dream) policy update: the latent rollout is a scan of
+    # per-shard matmuls from z0 sharded on B — gradient all-reduce only
+    from carla_imitation_learning_tpu.training.imagination import (
+        LatentPolicy, RewardHead, make_imagination_update,
+    )
+
+    head = RewardHead()
+    h_params = head.init(jax.random.PRNGKey(13), jnp.zeros((1, 16)))["params"]
+    lpol = LatentPolicy(n_actions=9)
+    lp_params = lpol.init(jax.random.PRNGKey(14), jnp.zeros((1, 16)))["params"]
+    ltx = optax.adam(3e-4)
+    upd = make_imagination_update(wm, wstate.params, head, h_params, lpol,
+                                  ltx, horizon=4)
+    z0 = jax.device_put(jnp.zeros((2 * n_devices, 16), jnp.float32),
+                        batch_sharding(mesh))
+    ufn = upd.__wrapped__ if hasattr(upd, "__wrapped__") else upd
+    txt = jax.jit(ufn).lower(lp_params, ltx.init(lp_params), z0,
+                             jax.random.PRNGKey(15)).compile().as_text()
+    out["imagination_update"] = collective_stats(txt)
     return out
 
 

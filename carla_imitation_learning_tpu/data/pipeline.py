@@ -497,6 +497,52 @@ class PairedStreamDataset:
             yield x, xs, y
 
 
+class AuxSegDataset:
+    """Zip an aux DeviceDataset with per-pixel semantic ground truth.
+
+    Yields ``((frames, sensor), (traffic, action), seg_labels)`` for the
+    seg-headed AuxNet (BASELINE config #3): ``seg_frames`` is the (N, H, W)
+    uint8 class-id stream the same collection recorded
+    (closed_loop.semantic_stream), frame-aligned with the base store. The
+    seg label is the LAST OBSERVED frame of each window (start +
+    frame_skip − 1) — the decoder segments what the trunk just saw, while
+    the action label keeps its own offset contract."""
+
+    def __init__(self, base: DeviceDataset, seg_frames: np.ndarray):
+        if len(seg_frames) != len(base.store):
+            raise ValueError(
+                f"semantic stream has {len(seg_frames)} frames for a "
+                f"{len(base.store)}-frame base store")
+        if not base.aux:
+            raise ValueError("AuxSegDataset requires an aux=True base")
+        self.base = base
+        seg = np.asarray(seg_frames, np.int32)
+        if base._idx_sharding is not None:
+            # replicate over the base's mesh (same placement contract as the
+            # DeviceDataset arrays): gathering a single-device operand with
+            # MESH-SHARDED indices deadlocks the backend's collectives (one
+            # device never joins the rendezvous — measured as an XLA
+            # AllReduce 40 s termination abort on the 8-device CPU mesh)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.seg = jax.device_put(
+                seg, NamedSharding(base._idx_sharding.mesh, PartitionSpec()))
+        else:
+            self.seg = jnp.asarray(seg)
+        self.batch_size = base.batch_size
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __iter__(self) -> Iterator:
+        order = self.base.epoch_indices()
+        for b in range(len(self.base)):
+            idx = order[b * self.base.batch_size:(b + 1) * self.base.batch_size]
+            x, y = self.base.make_batch(idx)
+            sidx = self.base.start_indices(idx)
+            yield x, y, self.seg[sidx + self.base.frame_skip - 1]
+
+
 def rebase_stream(frames: np.ndarray, frames_file_idx: np.ndarray,
                   target_file_idx: np.ndarray | None) -> np.ndarray:
     """Select from a full-log frame array the frames whose raw-log ids match

@@ -215,7 +215,16 @@ def behavior_cloning(cfg, cameras=("camera", "semantic"), **kw):
 
 @experiment("bc_aux")
 def behavior_cloning_aux(cfg, cameras=("camera",), **kw):
-    """Reference train.py:131-165: AuxNet multi-task (recon+traffic+action)."""
+    """Reference train.py:131-165: AuxNet multi-task (recon+traffic+action).
+
+    ``-o aux_seg_weight=0.5`` switches to BASELINE config #3's multi-task BC
+    with the auxiliary SEMANTIC-SEGMENTATION decoder: data comes from sim
+    collection (the renderer's per-pixel class plane is the ground truth —
+    record_semantic), the AuxNet gains a per-pixel head, training reports
+    seg mIoU, and the result carries a closed-loop driving eval so seg
+    supervision can be A/B'd against plain BC (benchmarks/seg_ab.py)."""
+    if float(cfg.get("aux_seg_weight", 0.0)) > 0.0:
+        return _bc_aux_seg(cfg, **kw)
     mesh, sharding = _mesh_bits(cfg)
     results = {}
     for camera in cameras:
@@ -235,6 +244,57 @@ def behavior_cloning_aux(cfg, cameras=("camera",), **kw):
                                (model.example_input(1),), loss, loaders,
                                mesh=mesh)
     return results
+
+
+def _bc_aux_seg(cfg, n_envs: int = 16, n_steps: int = 300,
+                eval_envs: int = 32, eval_steps: int = 200, **kw):
+    """BASELINE config #3: multi-task BC with an auxiliary semantic-
+    segmentation decoder, supervised for free by the renderer's per-pixel
+    class plane (render/geometry.py SEM_*, 8 classes). Sim-collection path:
+    expert rollouts record (gray frames, sensors, labels, semantic ids) in
+    one scan; the AuxNet trains recon+traffic+action+seg and the result
+    carries seg mIoU plus a closed-loop driving eval of the action head."""
+    from carla_imitation_learning_tpu.training.losses import aux_seg_loss_fn
+
+    town, params, rcfg = _sim_bits(cfg)
+    if rcfg.height != rcfg.width:
+        raise ValueError("aux_seg needs a square camera (AuxNet decoders "
+                         f"upsample to image_hw); got {rcfg.height}x{rcfg.width}")
+    fs = int(cfg.get("frame_skip", 4))
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    rng, kc = jax.random.split(rng)
+    store, _, traj = cl.collect_dataset(params, town, rcfg, kc, n_envs,
+                                        n_steps, frame_skip=fs,
+                                        noise=_noise_bits(cfg),
+                                        record_semantic=True)
+    sem = cl.semantic_stream(traj)
+    n = len(store)
+    bounds = {"train": (0, int(0.8 * n)), "val": (int(0.8 * n), int(0.9 * n)),
+              "test": (int(0.9 * n), n)}
+    mesh, sharding = _mesh_bits(cfg)
+    loaders = {f"{k}_dataloader": pipe.AuxSegDataset(pipe.DeviceDataset(
+        store.slice(a, b), int(cfg.get("BATCH_SIZE", 64)), frame_skip=fs,
+        shuffle=(k == "train"), aux=True, drop_last=(k == "train"),
+        sharding=(sharding if k == "train" else None)), sem[a:b])
+        for k, (a, b) in bounds.items()}
+    seg_classes = int(cfg.get("seg_classes", 8))
+    model = AuxNet(obs_size=fs, image_hw=rcfg.height,
+                   seg_classes=seg_classes, dtype=_dtype(cfg))
+    loss = aux_seg_loss_fn(float(cfg.get("aux_recon_weight", 0.0)),
+                           float(cfg.get("aux_traffic_weight", 0.0)),
+                           float(cfg.get("aux_action_weight", 1.0)),
+                           float(cfg.get("aux_seg_weight", 0.5)))
+    result = _fit(cfg, "bc_aux_seg", model, (model.example_input(1),), loss,
+                  loaders, mesh=mesh)
+    state = result.pop("state")
+    p = state.ema_params if getattr(state, "ema_params", None) is not None \
+        else state.params
+    rng, ke = jax.random.split(rng)
+    result["eval"] = cl.evaluate_policy(
+        params, town, rcfg, model.as_policy_fn(p), ke,
+        n_envs=eval_envs, n_steps=eval_steps, frame_skip=fs)
+    result["seg_miou_test"] = result["test"].get("test_seg_miou")
+    return result
 
 
 @experiment("bc_raw_segment")

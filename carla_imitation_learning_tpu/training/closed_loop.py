@@ -138,6 +138,7 @@ def make_rollout(
     control_space: str = "discrete",
     shield=None,
     cameras: "tuple[str, ...]" = ("camera",),
+    record_semantic: bool = False,
 ):
     """Build (init_fn, rollout_fn).
 
@@ -213,6 +214,17 @@ def make_rollout(
                                           camera=cameras[0]))
     extra_render = [jax.vmap(make_renderer(params, town, rcfg, camera=c))
                     for c in cameras[1:]]
+    sem_render = None
+    if record_semantic:
+        # per-pixel semantic GROUND TRUTH of the driving view (class ids
+        # 0-7, render/geometry.py SEM_*) — the supervision stream for the
+        # segmentation aux head (BASELINE config #3). The fast rollout
+        # kernel emits luma only, so this builds a second renderer on the
+        # exact (non-fast) path; collection-only cost, compiles out
+        # entirely when off.
+        sem_rcfg = _dc.replace(rcfg, fast=False, rgb=False)
+        sem_render = jax.vmap(make_renderer(params, town, sem_rcfg,
+                                            camera=cameras[0]))
     from carla_imitation_learning_tpu.sim.world import pick_fresh_packed
 
     spawn_pool = rollout_spawn_pool(params, town)
@@ -425,6 +437,8 @@ def make_rollout(
             # full rig views (B,H,W,K) — surround collection consumes the
             # side streams (extra_view_streams) for offline training
             out["views"] = views
+        if sem_render is not None:
+            out["semantic"] = sem_render(states)["semantic"].astype(jnp.uint8)
         if lidar_batch is not None:
             out["lidar"] = lidar_batch(states)
         if policy_extra is not None:
@@ -657,6 +671,16 @@ def evaluate_routes(
     }
 
 
+def semantic_stream(traj) -> np.ndarray:
+    """Env-major (B·T, H, W) uint8 per-pixel semantic class ids of the
+    driving view (``traj["semantic"]`` exists when the rollout was built
+    with ``record_semantic=True``) — frame-aligned with the FrameStore the
+    same collection wrote, so a seg-head loader can gather labels with the
+    store's own window starts."""
+    sem = traj["semantic"]  # (T, B, H, W)
+    return np.asarray(jnp.swapaxes(sem, 0, 1).reshape((-1,) + sem.shape[2:]))
+
+
 def extra_view_streams(traj) -> "list[np.ndarray]":
     """Env-major (B·T, H, W) uint8 streams for rig views 1..K−1 of a
     surround collection (``traj["views"]`` exists when make_rollout got >1
@@ -678,6 +702,7 @@ def collect_dataset(
     control_space: str = "discrete",
     goal_ids=None,
     cameras: "tuple[str, ...]" = ("camera",),
+    record_semantic: bool = False,
 ):
     """Rollouts → FrameStore (frames packed uint8 + expert labels + sensors).
 
@@ -707,7 +732,8 @@ def collect_dataset(
 
     init_fn, rollout_fn = make_rollout(params, town, rcfg, policy_fn, frame_skip,
                                        noise=noise, control_space=control_space,
-                                       cameras=cameras)
+                                       cameras=cameras,
+                                       record_semantic=record_semantic)
     carry = init_fn(rng, n_envs)
     if goal_ids is not None:
         carry = assign_goals(carry, goal_ids)

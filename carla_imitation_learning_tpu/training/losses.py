@@ -123,6 +123,60 @@ def aux_loss_fn(recon_weight: float = 0.0, traffic_weight: float = 0.0,
     return loss_fn
 
 
+def mean_iou(seg_logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean intersection-over-union over the classes PRESENT in the batch
+    (union > 0) — the standard segmentation quality score. seg_logits
+    (B, H, W, C) float, labels (B, H, W) int."""
+    preds = jnp.argmax(seg_logits, axis=-1)
+    n_classes = seg_logits.shape[-1]
+    ious = []
+    present = []
+    for c in range(n_classes):
+        p = preds == c
+        y = labels == c
+        inter = jnp.sum(p & y)
+        union = jnp.sum(p | y)
+        ious.append(inter / jnp.maximum(union, 1))
+        present.append(union > 0)
+    ious = jnp.stack(ious)
+    present = jnp.stack(present)
+    return jnp.sum(jnp.where(present, ious, 0.0)) / jnp.maximum(
+        jnp.sum(present), 1)
+
+
+def aux_seg_loss_fn(recon_weight: float = 0.0, traffic_weight: float = 0.0,
+                    action_weight: float = 1.0, seg_weight: float = 0.5):
+    """Multi-task BC with the auxiliary semantic-segmentation decoder
+    (BASELINE config #3): the aux_loss_fn terms plus per-pixel CE of the
+    seg head against the renderer's semantic ground truth, and mIoU as a
+    tracked metric. Batch contract: ((frames, sensor), (traffic, action),
+    seg_labels (B, H, W) int32) — AuxSegDataset (data/pipeline.py)."""
+
+    def loss_fn(params, apply_fn, batch, rng=None):
+        (frames, sensor), y, seg_y = batch
+        recon, traffic_logits, action_logits, seg_logits = apply_fn(
+            {"params": params}, (frames, sensor))
+        recon_loss = jnp.mean((frames.astype(jnp.float32) - recon) ** 2)
+        traffic_loss = cross_entropy(traffic_logits, y[:, 0])
+        action_loss = cross_entropy(action_logits, y[:, 1])
+        n_cls = seg_logits.shape[-1]
+        seg_loss = cross_entropy(seg_logits.reshape(-1, n_cls),
+                                 seg_y.reshape(-1))
+        loss = (recon_weight * recon_loss + traffic_weight * traffic_loss
+                + action_weight * action_loss + seg_weight * seg_loss)
+        return loss, {
+            "loss": loss,
+            "image_recons_loss": recon_loss,
+            "traffic_loss": traffic_loss,
+            "autopilot_action_loss": action_loss,
+            "seg_loss": seg_loss,
+            "seg_miou": mean_iou(seg_logits, seg_y),
+            "accuracy": accuracy(action_logits, y[:, 1]),
+        }
+
+    return loss_fn
+
+
 def world_model_loss_fn(recon_weight: float = 1.0, latent_weight: float = 1.0,
                         pred_image_weight: float = 1.0, image_loss: str = "mse"):
     """Latent world-model loss (reference reports/figures architecture:

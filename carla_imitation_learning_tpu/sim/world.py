@@ -43,6 +43,17 @@ class SimParams:
     light_yellow: float = 2.0
     light_red: float = 6.0
     collision_radius: float = 2.2
+    # Collision geometry. "capsule" (default) models every vehicle as an
+    # oriented capsule — 2·(vehicle_half_len+vehicle_radius) long along its
+    # heading, 2·vehicle_radius wide — the shape CARLA's oriented bounding
+    # boxes approximate. "circle" is the legacy disc of ``collision_radius``:
+    # it flags any center within 4.4 m, so an oncoming pass in the adjacent
+    # lane (3.5 m lateral) counts as a crash — measured 76% of all expert
+    # collision events on the stock town were such passes. Disc numbers are
+    # NOT comparable with capsule numbers (r1-r3 reports are disc-based).
+    collision_model: str = "capsule"
+    vehicle_half_len: float = 1.3
+    vehicle_radius: float = 1.0
     # Goal navigation (sim/planner.py): an env with WorldState.goal >= 0
     # arrives — episode ends as a success — within this many meters of its
     # goal point.
@@ -110,6 +121,9 @@ class SimParams:
             headway_corridor=float(s.get("headway_corridor", 2.6)),
             yield_gap=float(s.get("yield_gap", 8.0)),
             turn_speed=float(s.get("turn_speed", 0.0)),
+            collision_model=str(s.get("collision_model", "capsule")),
+            vehicle_half_len=float(s.get("vehicle_half_len", 1.3)),
+            vehicle_radius=float(s.get("vehicle_radius", 1.0)),
         )
 
 
@@ -378,18 +392,29 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
         town, state.agents_route, state.agents_s, state.agents_v, phases,
         dt=params.dt, target_speed=params.agent_target_speed,
         ego_pos=state.ego_pos)
-    agents_pos, _ = agent_lib.agent_positions(town, agents_route, agents_s)
+    agents_pos, agents_yaw = agent_lib.agent_positions(town, agents_route,
+                                                       agents_s)
 
     peds_s, peds_phase = ped_lib.step_pedestrians(
         town, state.peds_crossing, state.peds_s, state.peds_phase,
         dt=params.dt, speed=params.ped_speed)
     peds_pos = ped_lib.ped_positions(town, state.peds_crossing, peds_s)
 
-    hit_vehicle = col.any_vehicle_collision(ego_pos, agents_pos, params.collision_radius)
-    hit_building = col.any_building_collision(ego_pos, town.buildings,
-                                              params.collision_radius)
-    hit_ped = jnp.any(col.circle_circle(
-        ego_pos, params.collision_radius, peds_pos, ped_lib.PED_RADIUS))
+    if params.collision_model == "capsule":
+        hl, vr = params.vehicle_half_len, params.vehicle_radius
+        hit_vehicle = col.capsule_vehicle_collision(
+            ego_pos, ego_yaw, agents_pos, agents_yaw, hl, vr)
+        hit_building = col.capsule_building_collision(
+            ego_pos, ego_yaw, hl, vr, town.buildings)
+        hit_ped = col.capsule_point_collision(
+            ego_pos, ego_yaw, hl, vr, peds_pos, ped_lib.PED_RADIUS)
+    else:
+        hit_vehicle = col.any_vehicle_collision(ego_pos, agents_pos,
+                                                params.collision_radius)
+        hit_building = col.any_building_collision(ego_pos, town.buildings,
+                                                  params.collision_radius)
+        hit_ped = jnp.any(col.circle_circle(
+            ego_pos, params.collision_radius, peds_pos, ped_lib.PED_RADIUS))
     off = col.offroad(ego_pos, town.road_segments, town.road_half_width)
     collided = hit_vehicle | hit_building | hit_ped
     t_new = state.t + 1

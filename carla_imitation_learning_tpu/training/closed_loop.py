@@ -429,7 +429,8 @@ def make_rollout(
             "sensor": sensors, "traffic": traffic, "command": command,
             "collision": info["collision"], "offroad": info["offroad"],
             "done": info["done"], "speed": info["speed"],
-            "red_light": info["red_light"], "arrived": info["arrived"],
+            "red_light": info["red_light"], "ran_red": info["ran_red"],
+            "arrived": info["arrived"],
             "steer": control.steer, "throttle": control.throttle,
             "brake": control.brake,
         }
@@ -525,8 +526,14 @@ def evaluate_policy(
     done = np.asarray(traj["done"], bool)
     km_env = speed.sum(axis=0) * params.dt / 1000.0  # (B,) km per env stream
     km = float(km_env.sum())
-    viol = red & (speed > 2.0)
-    ran_red = viol & ~np.vstack([np.zeros((1, n_envs), bool), viol[:-1]])
+    if "ran_red" in traj:
+        # true stop-line crossings on red (sim/world.py step_env) — the
+        # leaderboard's event, not the old exposure-edge proxy that charged
+        # a braking car the instant a light ahead turned
+        ran_red = np.asarray(traj["ran_red"], bool)
+    else:
+        viol = red & (speed > 2.0)
+        ran_red = viol & ~np.vstack([np.zeros((1, n_envs), bool), viol[:-1]])
 
     def per_km(count: float) -> float | None:
         if km > 0:

@@ -115,15 +115,19 @@ def reward_from_traj(traj: dict, cfg: PPOConfig) -> jnp.ndarray:
     """(T, B) dense reward from the rollout's own scored signals.
 
     A red-light VIOLATION is the same DISCRETE event the evaluator
-    penalizes: the RISING EDGE of red-exposure ∧ moving (evaluate_policy
-    counts run-the-light events, one multiplicative 0.70 factor each, not
-    per-step exposure) — so one crossing costs w_red once, keeping the
-    penalty calibration comparable to collisions/offroads, which terminate
-    the episode and are genuinely one-step flags."""
-    viol = traj["red_light"] & (traj["speed"] > 2.0)
-    prev = jnp.concatenate(
-        [jnp.zeros_like(viol[:1]), viol[:-1]], axis=0)
-    edge = viol & ~prev
+    penalizes: a true stop-line crossing on red (``traj["ran_red"]``,
+    sim/world.py) — one multiplicative 0.70 factor each in evaluate_policy —
+    so one crossing costs w_red once, keeping the penalty calibration
+    comparable to collisions/offroads, which terminate the episode and are
+    genuinely one-step flags. (Pre-ran_red trajectories fall back to the
+    old exposure-edge proxy.)"""
+    if "ran_red" in traj:
+        edge = traj["ran_red"]
+    else:
+        viol = traj["red_light"] & (traj["speed"] > 2.0)
+        prev = jnp.concatenate(
+            [jnp.zeros_like(viol[:1]), viol[:-1]], axis=0)
+        edge = viol & ~prev
     return (cfg.w_progress * traj["route_ds"]
             - cfg.w_collision * traj["collision"].astype(jnp.float32)
             - cfg.w_red * edge.astype(jnp.float32)

@@ -195,3 +195,65 @@ def test_agents_brake_for_ego_in_corridor():
                                  target_speed=7.0,
                                  ego_pos=apos[0] - 5.0 * heading)
     assert float(v_behind[0]) == float(v_free[0])
+
+
+def test_ran_red_is_a_crossing_event_not_exposure():
+    """info['ran_red'] fires only when the car drives THROUGH a non-green
+    light's stop line — an expert braking to a clean stop logs zero, a
+    full-throttle run-through logs the crossing."""
+    from carla_imitation_learning_tpu.sim.world import VehicleControl, step_env
+
+    town = make_town(blocks=3)
+    # every light pinned non-green
+    params = SimParams(n_agents=0, target_speed=8.0, light_green=0.0,
+                       light_yellow=0.0, light_red=1e6)
+    # spawn the ego ~12 m before its nearest in-corridor light, cruising
+    state = reset_env(params, town, jax.random.PRNGKey(3))
+    lp = town.lights_pos
+    best = None
+    for r in range(int(town.routes.shape[0])):
+        total = float(town.route_total[r])
+        for s in [float(x) for x in range(0, int(total), 2)]:
+            pos, yaw = route_point(town, jnp.asarray(r, jnp.int32),
+                                   jnp.asarray(s))
+            h = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+            lat = jnp.stack([-h[1], h[0]])
+            rel = lp - pos
+            ok = ((rel @ h) > 8.0) & ((rel @ h) < 14.0) \
+                & (jnp.abs(rel @ lat) < 3.0)
+            if bool(jnp.any(ok)):
+                best = (r, s)
+                break
+        if best:
+            break
+    assert best is not None, "no pre-light spawn found"
+    state = state.replace(
+        ego_route=jnp.asarray(best[0], jnp.int32),
+        ego_s=jnp.asarray(best[1]),
+        ego_pos=route_point(town, jnp.asarray(best[0], jnp.int32),
+                            jnp.asarray(best[1]))[0],
+        ego_yaw=route_point(town, jnp.asarray(best[0], jnp.int32),
+                            jnp.asarray(best[1]))[1],
+        ego_v=jnp.asarray(6.0))
+
+    # expert: brakes for the red, never crosses
+    s_exp = state
+    any_ran = False
+    for _ in range(60):
+        ctrl = autopilot_control(params, town, s_exp)
+        s_exp, info = step_env(params, town, s_exp, ctrl)
+        any_ran |= bool(info["ran_red"])
+    assert not any_ran
+    assert float(s_exp.ego_v) < 1.0  # stopped at the line
+
+    # run-through: full throttle must log the crossing exactly once
+    s_run = state
+    crossings = 0
+    full = VehicleControl(steer=jnp.asarray(0.0), throttle=jnp.asarray(1.0),
+                          brake=jnp.asarray(0.0))
+    for _ in range(60):
+        ctrl = autopilot_control(params, town, s_run)
+        forced = full.replace(steer=ctrl.steer)  # keep lane, ignore brakes
+        s_run, info = step_env(params, town, s_run, forced)
+        crossings += int(bool(info["ran_red"]))
+    assert crossings == 1, crossings

@@ -160,12 +160,24 @@ def _widen_back(town: TownMap, slot: np.ndarray) -> None:
             q = (q - 1) % P
 
 
-def plan_to_goals(town: TownMap, goals_xy, goal_tol: float = 2.0) -> TownMap:
+def plan_to_goals(town: TownMap, goals_xy,
+                  goal_tol: float | None = None) -> TownMap:
     """Bake shortest-path navigation tables for ``goals_xy`` (G, 2) into the
     town: returns ``town.replace(nav_slot=(G,R,P) int32, nav_dist=(G,R,P)
     f32, nav_goals=(G,2) f32)``. An env with ``WorldState.goal = g`` then
     navigates to ``goals_xy[g]`` deterministically; ``goal = −1`` keeps the
-    free-roam behavior bit-for-bit."""
+    free-roam behavior bit-for-bit.
+
+    ``goal_tol`` defaults to LANE-AWARE: 2.0 + lane_width·(lanes−1), so a
+    goal is reachable from ANY same-direction lane. With the bare 2.0 m
+    tolerance on a 2-lane town, every second-lane node had nav_dist=∞
+    (adjacent lane centers sit 3.5 m from the goal point) — measured 52% of
+    all nodes — and a scripted lane change mid-route killed the episode as
+    "unreachable" (999 of 1069 expert A→B attempts, r4 route_quality under
+    the old default). SimParams.arrive_radius (4.0) already accepts arrival
+    from the adjacent lane."""
+    if goal_tol is None:
+        goal_tol = 2.0 + float(town.lane_width) * (int(town.lanes) - 1)
     goals = np.atleast_2d(np.asarray(goals_xy, np.float32))
     slots, dists = [], []
     for g in goals:

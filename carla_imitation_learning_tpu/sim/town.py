@@ -42,6 +42,10 @@ class TownMap(struct.PyTreeNode):
     # Lanes per direction (static): route r is lane r % lanes of grid cell
     # r // lanes; lanes > 1 enables agent lane changes (sim/agents.py).
     lanes: int = struct.field(pytree_node=False, default=1)
+    # Lane-center spacing in meters (static): successive same-direction lane
+    # loops sit this far apart; goal planning must accept goals reachable
+    # from ANY lane (sim/planner.plan_to_goals auto goal_tol).
+    lane_width: float = struct.field(pytree_node=False, default=3.5)
     # Junction turn fans (make_town(turn_fans=True), else None): at sample
     # point p of route r, up to K OTHER routes whose polyline runs through the
     # same world point with the same heading (shared lane-line stretches —
@@ -368,6 +372,7 @@ def make_town(
         road_segments=jnp.asarray(road_segments, jnp.float32),
         # half-road = lanes-per-direction lane widths (one direction's lanes)
         road_half_width=jnp.float32(lanes * lane_width),
+        lane_width=float(lane_width),
         extent=jnp.float32(size / 2.0),
         crossings=jnp.asarray(crossings, jnp.float32),
         sidewalks=jnp.asarray(sidewalks, jnp.float32),

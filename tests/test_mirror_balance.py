@@ -123,3 +123,22 @@ def test_balance_key_rejects_unknown():
     with pytest.raises(ValueError, match="balance_key"):
         DeviceDataset(_store(40, np.zeros(40)), batch_size=8, frame_skip=2,
                       balanced=True, balance_key="speed")
+
+
+def test_plan_to_goals_lane_aware_tolerance():
+    """On a multilane town the auto goal_tol makes goals reachable from
+    EVERY lane — under the bare 2.0 m tolerance the whole second-lane
+    network had nav_dist=∞ (measured 52% of nodes)."""
+    from carla_imitation_learning_tpu.sim.planner import (
+        plan_to_goals, sample_goals,
+    )
+
+    town = make_town(blocks=2, lanes_per_direction=2, superblocks=True,
+                     turn_fans=True, seed=0)
+    goals = sample_goals(town, 0, 2)
+    strict = plan_to_goals(town, goals, goal_tol=2.0)
+    auto = plan_to_goals(town, goals)
+    inf_strict = float(np.isinf(np.asarray(strict.nav_dist)).mean())
+    inf_auto = float(np.isinf(np.asarray(auto.nav_dist)).mean())
+    assert inf_strict > 0.3          # the bug this guards against
+    assert inf_auto < 0.10, inf_auto

@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--eval-envs", type=int, default=64)
     ap.add_argument("--eval-steps", type=int, default=1500)
     ap.add_argument("--seg-weight", type=float, default=0.5)
+    ap.add_argument("--speed-dropout", type=float, default=0.3,
+                    help="train-time P(zero the sensor speed columns) — "
+                         "without it the speed-conditioned net learns the "
+                         "inertia shortcut and parks at spawn (measured)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -91,7 +95,32 @@ def main() -> None:
                        seg_classes=8 if with_seg else 0, dtype=jnp.bfloat16)
         base = pipe.DeviceDataset(store, args.batch, frame_skip=fs,
                                   shuffle=True, aux=True, seed=args.seed)
-        ds = pipe.AuxSegDataset(base, sem) if with_seg else base
+        if with_seg:
+            ds = pipe.AuxSegDataset(base, sem,
+                                    speed_dropout=args.speed_dropout,
+                                    seed=args.seed)
+        else:
+            # identical speed-dropout on the plain arm (fair A/B)
+            def _dropped(base=base, p=args.speed_dropout, seed=args.seed):
+                drop = np.random.default_rng(seed)
+                for (frames, sensor), y in base:
+                    if p > 0.0:
+                        keep = drop.random(sensor.shape[0]) >= p
+                        mask = jnp.asarray(np.concatenate(
+                            [np.ones((sensor.shape[0], 1)),
+                             np.repeat(keep[:, None], 2, axis=1)], axis=1),
+                            sensor.dtype)
+                        sensor = sensor * mask
+                    yield (frames, sensor), y
+
+            class _Plain:
+                def __iter__(self):
+                    return _dropped()
+
+                def __len__(self):
+                    return len(base)
+
+            ds = _Plain()
         loss = (aux_seg_loss_fn(0.0, 0.0, 1.0, args.seg_weight) if with_seg
                 else aux_loss_fn(0.0, 0.0, 1.0))
         step = make_train_step(loss, donate=False)

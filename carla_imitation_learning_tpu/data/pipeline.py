@@ -506,9 +506,17 @@ class AuxSegDataset:
     (closed_loop.semantic_stream), frame-aligned with the base store. The
     seg label is the LAST OBSERVED frame of each window (start +
     frame_skip − 1) — the decoder segments what the trunk just saw, while
-    the action label keeps its own offset contract."""
+    the action label keeps its own offset contract.
 
-    def __init__(self, base: DeviceDataset, seg_frames: np.ndarray):
+    ``speed_dropout``: train-time probability of zeroing the speed columns
+    (speed_long, speed) of each sample's sensor vector. Speed-conditioned
+    BC learns the INERTIA shortcut — the expert's stopped-at-light frames
+    teach speed≈0 → brake, so the deployed policy parks at spawn forever
+    (measured: mean_speed 0.0, agreement 0.03 on-chip). Dropout forces the
+    action head to read the pixels; the CIL-paper remedy."""
+
+    def __init__(self, base: DeviceDataset, seg_frames: np.ndarray,
+                 speed_dropout: float = 0.0, seed: int = 0):
         if len(seg_frames) != len(base.store):
             raise ValueError(
                 f"semantic stream has {len(seg_frames)} frames for a "
@@ -530,6 +538,8 @@ class AuxSegDataset:
         else:
             self.seg = jnp.asarray(seg)
         self.batch_size = base.batch_size
+        self.speed_dropout = float(speed_dropout)
+        self._drop_rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return len(self.base)
@@ -538,9 +548,18 @@ class AuxSegDataset:
         order = self.base.epoch_indices()
         for b in range(len(self.base)):
             idx = order[b * self.base.batch_size:(b + 1) * self.base.batch_size]
-            x, y = self.base.make_batch(idx)
+            (frames, sensor), y = self.base.make_batch(idx)
+            if self.speed_dropout > 0.0:
+                keep = (self._drop_rng.random(sensor.shape[0])
+                        >= self.speed_dropout)
+                mask = jnp.asarray(
+                    np.concatenate([np.ones((sensor.shape[0], 1)),
+                                    np.repeat(keep[:, None], 2, axis=1)],
+                                   axis=1), sensor.dtype)
+                sensor = sensor * mask
             sidx = self.base.start_indices(idx)
-            yield x, y, self.seg[sidx + self.base.frame_skip - 1]
+            yield ((frames, sensor), y,
+                   self.seg[sidx + self.base.frame_skip - 1])
 
 
 def rebase_stream(frames: np.ndarray, frames_file_idx: np.ndarray,

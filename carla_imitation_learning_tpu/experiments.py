@@ -275,7 +275,9 @@ def _bc_aux_seg(cfg, n_envs: int = 16, n_steps: int = 300,
     loaders = {f"{k}_dataloader": pipe.AuxSegDataset(pipe.DeviceDataset(
         store.slice(a, b), int(cfg.get("BATCH_SIZE", 64)), frame_skip=fs,
         shuffle=(k == "train"), aux=True, drop_last=(k == "train"),
-        sharding=(sharding if k == "train" else None)), sem[a:b])
+        sharding=(sharding if k == "train" else None)), sem[a:b],
+        speed_dropout=(float(cfg.get("aux_speed_dropout", 0.3))
+                       if k == "train" else 0.0))
         for k, (a, b) in bounds.items()}
     seg_classes = int(cfg.get("seg_classes", 8))
     model = AuxNet(obs_size=fs, image_hw=rcfg.height,

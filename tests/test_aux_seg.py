@@ -93,3 +93,31 @@ def test_cli_bc_aux_seg_end_to_end(tmp_path, capsys):
     assert result["history"][-1]["train_seg_miou"] > 0
     assert result["seg_miou_test"] is not None and result["seg_miou_test"] > 0
     assert "driving_score" in result["eval"]
+
+
+def test_speed_dropout_zeroes_speed_columns():
+    """speed_dropout=1.0 zeroes (speed_long, speed) in every sensor row,
+    keeps current_steer, and leaves frames/labels untouched — the inertia-
+    shortcut countermeasure (parked-policy bug, reports/seg_ab.json r4)."""
+    from carla_imitation_learning_tpu.data.pipeline import (
+        AuxSegDataset, DeviceDataset, FrameStore,
+    )
+
+    store = FrameStore(
+        frames=np.zeros((40, 16, 16), np.uint8),
+        actions=np.zeros(40, np.int32),
+        traffic=np.zeros(40, np.int32),
+        sensors=np.random.default_rng(0).uniform(
+            0.5, 8.0, (40, 3)).astype(np.float32),
+    )
+    sem = np.zeros((40, 16, 16), np.uint8)
+    base = DeviceDataset(store, batch_size=8, frame_skip=2, aux=True)
+    full = AuxSegDataset(base, sem, speed_dropout=1.0)
+    (frames, sensor), y, seg = next(iter(full))
+    assert float(jnp.abs(sensor[:, 1:]).max()) == 0.0
+    none = AuxSegDataset(base, sem, speed_dropout=0.0)
+    (_, sensor0), _, _ = next(iter(none))
+    # steer column identical, speed columns nonzero without dropout
+    np.testing.assert_allclose(np.asarray(sensor[:, 0]),
+                               np.asarray(sensor0[:, 0]))
+    assert float(jnp.abs(sensor0[:, 1:]).max()) > 0.0

@@ -8,12 +8,23 @@ CARLA-leaderboard-style metrics (evaluate_policy) → DAgger refinement — all
 on one chip, no host round-trips inside any rollout.
 
 Reported per policy tier: driving_score (route completion × multiplicative
-infraction penalty), route_completion, collisions_per_km, success_rate,
+infraction penalty), route_completion, collisions_per_km, clean_episode_rate,
 action agreement with the expert. Expected ordering:
     untrained  <<  BC  <=  DAgger  <=  expert (same controller that labels)
 
+MULTI-SEED PROTOCOL (round 5): ``--seeds N`` repeats the WHOLE pipeline —
+collection, training, and every eval fleet — under N distinct seeds inside
+one process (the compiled rollout/train programs are shape-identical across
+seeds, so seeds 2..N pay runtime only, no recompiles). The report carries
+``runs`` (every seed's full tier dicts) and ``summary`` (per tier:
+mean/min/max/spread of each metric). The reference seeds exactly once
+(torch.manual_seed, train.py:103); round-4's own data showed a single tier
+spanning 0.534–0.715 across reruns, so single-seed orderings at ~0.05 tier
+gaps are unresolvable — claim an ordering only when the gap beats the spread.
+
 Usage: python benchmarks/driving_quality.py [--envs 256] [--steps 300]
          [--collect-envs 64] [--collect-steps 500] [--epochs 8] [--dagger 2]
+         [--seeds 3]
 Writes reports/driving_quality.json and prints one JSON line.
 """
 
@@ -45,8 +56,14 @@ def main() -> None:
     ap.add_argument("--rl-envs", type=int, default=256)
     ap.add_argument("--rl-steps", type=int, default=128,
                     help="PPO rollout horizon per iteration")
+    ap.add_argument("--rl-w-red", type=float, default=None,
+                    help="override PPOConfig.w_red (red-light crossing "
+                         "penalty) — the round-5 compliance A/B knob")
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0, help="base seed")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="number of full pipeline repetitions (seed, seed+1, "
+                         "…); >1 adds the per-tier mean/min/max summary")
     ap.add_argument("--shield", action="store_true",
                     help="add a bc_shield tier: the BC policy behind the "
                          "emergency-brake safety layer (same eval seed)")
@@ -87,7 +104,6 @@ def main() -> None:
     params = SimParams(n_agents=15)
     rcfg = RenderConfig(height=128, width=128,
                         backend="pallas" if on_tpu else "jax")
-    rng = jax.random.PRNGKey(args.seed)
     if args.arch == "vit":
         if args.rl:
             raise SystemExit("--arch vit has no PPO warm-start path "
@@ -103,13 +119,7 @@ def main() -> None:
             return jnp.argmax(model.apply({"params": p}, obs), axis=-1)
         return policy_fn
 
-    def ev(policy_fn, key, shield=None):
-        return cl.evaluate_policy(params, town, rcfg, policy_fn,
-                                  jax.random.PRNGKey(key),
-                                  n_envs=args.envs, n_steps=args.steps,
-                                  shield=shield)
-
-    keep = ("driving_score", "route_completion", "success_rate",
+    keep = ("driving_score", "route_completion", "clean_episode_rate",
             "collisions_per_km", "red_violations_per_km", "mean_speed",
             "action_agreement", "km_driven", "steer_rate",
             "driving_score_arc", "route_completion_arc", "route_km")
@@ -120,144 +130,204 @@ def main() -> None:
                 for k in keep}
 
     t0 = time.perf_counter()
-    result: dict = {"config": vars(args), "platform": jax.devices()[0].platform}
+    result: dict = {"config": vars(args),
+                    "platform": jax.devices()[0].platform, "runs": {}}
     out = (Path(args.out) if args.out else
            Path(__file__).resolve().parents[1] / "reports" / "driving_quality.json")
     out.parent.mkdir(parents=True, exist_ok=True)
 
     def save():
         # incremental: a wedged tunnel mid-run must not lose finished tiers
-        out.write_text(json.dumps(result, indent=2))
+        out.write_text(json.dumps(result, indent=2) + "\n")
 
-    # --- expert + untrained baselines -------------------------------------
-    result["expert"] = trim(ev(None, 100))
-    print(f"expert: {result['expert']}", flush=True)
-    save()
+    def run_seed(seed: int) -> dict:
+        """The full pipeline under one seed: collection, training, and every
+        eval fleet draw fresh randomness from it (eval keys fold the seed so
+        eval-fleet variance is sampled too, not just training variance)."""
+        r: dict = {}
+        result["runs"][str(seed)] = r
+        rng = jax.random.PRNGKey(seed)
 
-    rng, ki = jax.random.split(rng)
-    tx = optax.adam(1e-3)
-    state = create_train_state(
-        model, ki, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
-    result["untrained"] = trim(ev(policy_from(state.params), 101))
-    print(f"untrained: {result['untrained']}", flush=True)
-    save()
+        def ev(policy_fn, tier_key, shield=None):
+            return cl.evaluate_policy(
+                params, town, rcfg, policy_fn,
+                jax.random.PRNGKey(1000 * seed + tier_key),
+                n_envs=args.envs, n_steps=args.steps, shield=shield)
 
-    # --- collect expert data + BC training --------------------------------
-    rng, kc = jax.random.split(rng)
-    tc = time.perf_counter()
-    noise = cl.NoiseConfig(seed=args.seed) if args.noise else None
-    store, _, _ = cl.collect_dataset(params, town, rcfg, kc,
-                                     args.collect_envs, args.collect_steps,
-                                     noise=noise)
-    result["collect_seconds"] = round(time.perf_counter() - tc, 1)
-    result["dataset_frames"] = len(store)
-
-    step = make_train_step(bc_loss_fn, donate=False)
-    tt = time.perf_counter()
-    last = {}
-    # ONE dataset per store: DeviceDataset uploads the full frame store to
-    # HBM at construction (~512 MB at default shapes over a slow tunnel);
-    # its internal rng reshuffles (or re-draws balanced) every epoch
-    ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=args.seed,
-                            balanced=args.balanced)
-    for ep in range(args.epochs):
-        for batch in ds:
-            rng, sk = jax.random.split(rng)
-            state, last = step(state, batch, sk)
-    if last:
-        jax.block_until_ready(last["loss"])
-        result["bc_final_loss"] = round(float(last["loss"]), 4)
-        result["bc_final_accuracy"] = round(float(last["accuracy"]), 4)
-    result["train_seconds"] = round(time.perf_counter() - tt, 1)
-    save()  # training metadata survives even if the BC eval wedges
-    result["bc"] = trim(ev(policy_from(state.params), 102))
-    print(f"bc: {result['bc']}", flush=True)
-    save()
-
-    if args.shield:
-        # deployment A/B: the SAME BC policy behind the emergency-brake
-        # layer (training/shield.py), same eval seed — isolates the shield's
-        # effect on collisions/km vs driving score
-        from carla_imitation_learning_tpu.training.shield import ShieldConfig
-
-        m = cl.evaluate_policy(params, town, rcfg, policy_from(state.params),
-                               jax.random.PRNGKey(102), n_envs=args.envs,
-                               n_steps=args.steps, shield=ShieldConfig())
-        result["bc_shield"] = {k: (None if m[k] is None else
-                                   round(float(m[k]), 4))
-                               for k in keep + ("shield_interventions_per_km",
-                                                "shield_active_frac")}
-        print(f"bc+shield: {result['bc_shield']}", flush=True)
+        # --- expert + untrained baselines ---------------------------------
+        r["expert"] = trim(ev(None, 100))
+        print(f"[seed {seed}] expert: {r['expert']}", flush=True)
         save()
 
-    # --- DAgger refinement -------------------------------------------------
-    stores = [store]
-    for rnd in range(args.dagger):
-        print(f"dagger round {rnd}: collecting...", flush=True)
-        rng, kd = jax.random.split(rng)
-        # same (envs, steps) as the expert collect so ROUND 2+ hits the
-        # persistent compile cache (round 1's policy-driven rollout is a
-        # different program from the expert collect and still compiles)
-        dstore, _, _ = cl.dagger_iteration(
-            params, town, rcfg, policy_from(state.params), kd,
-            args.collect_envs, args.collect_steps)
-        stores.append(dstore)
-        agg = pipe.FrameStore.concat(stores)
-        ds = pipe.DeviceDataset(agg, args.batch, shuffle=True,
-                                seed=1000 + rnd, balanced=args.balanced)
-        for ep in range(max(2, args.epochs // 2)):
+        rng, ki = jax.random.split(rng)
+        tx = optax.adam(1e-3)
+        state = create_train_state(
+            model, ki, jnp.zeros((1, rcfg.height, rcfg.width, 4)), tx)
+        r["untrained"] = trim(ev(policy_from(state.params), 101))
+        print(f"[seed {seed}] untrained: {r['untrained']}", flush=True)
+        save()
+
+        # --- collect expert data + BC training ----------------------------
+        rng, kc = jax.random.split(rng)
+        tc = time.perf_counter()
+        noise = cl.NoiseConfig(seed=seed) if args.noise else None
+        store, _, _ = cl.collect_dataset(params, town, rcfg, kc,
+                                         args.collect_envs, args.collect_steps,
+                                         noise=noise)
+        r["collect_seconds"] = round(time.perf_counter() - tc, 1)
+        r["dataset_frames"] = len(store)
+
+        step = make_train_step(bc_loss_fn, donate=False)
+        tt = time.perf_counter()
+        last = {}
+        # ONE dataset per store: DeviceDataset uploads the full frame store
+        # to HBM at construction; its internal rng reshuffles every epoch
+        ds = pipe.DeviceDataset(store, args.batch, shuffle=True, seed=seed,
+                                balanced=args.balanced)
+        for ep in range(args.epochs):
             for batch in ds:
                 rng, sk = jax.random.split(rng)
                 state, last = step(state, batch, sk)
-    if args.dagger:
-        jax.block_until_ready(last["loss"])
-        result["dagger_frames"] = sum(len(s) for s in stores)
-        result["dagger"] = trim(ev(policy_from(state.params), 103))
-        print(f"dagger: {result['dagger']}", flush=True)
+        if last:
+            jax.block_until_ready(last["loss"])
+            r["bc_final_loss"] = round(float(last["loss"]), 4)
+            r["bc_final_accuracy"] = round(float(last["accuracy"]), 4)
+        r["train_seconds"] = round(time.perf_counter() - tt, 1)
+        save()  # training metadata survives even if the BC eval wedges
+        r["bc"] = trim(ev(policy_from(state.params), 102))
+        print(f"[seed {seed}] bc: {r['bc']}", flush=True)
         save()
 
-    # --- PPO fine-tuning on the driving objective ---------------------------
-    if args.rl:
-        from carla_imitation_learning_tpu.training.rl import (
-            ActorCriticCNN, PPOConfig, actor_policy_params_from, ppo_train,
-            warm_start_from_policy,
-        )
+        if args.shield:
+            # deployment A/B: the SAME BC policy behind the emergency-brake
+            # layer (training/shield.py), same eval seed — isolates the
+            # shield's effect on collisions/km vs driving score
+            from carla_imitation_learning_tpu.training.shield import ShieldConfig
 
-        # warm-start from the final imitation params (BC or BC+DAgger)
-        ac = ActorCriticCNN(dtype=jnp.bfloat16)
-        rng, ka = jax.random.split(rng)
-        ac_params = ac.init(ka, ac.example_input(
-            1, rcfg.height, rcfg.width))["params"]
-        ac_params = warm_start_from_policy(ac_params, state.params)
-        pcfg = PPOConfig()
-        ptx = optax.chain(optax.clip_by_global_norm(pcfg.max_grad_norm),
-                          optax.adam(pcfg.learning_rate))
-        tr = time.perf_counter()
-        rng, kp = jax.random.split(rng)
-        ac_params, _, hist = ppo_train(
-            params, town, rcfg, ac, ac_params, ptx, ptx.init(ac_params), kp,
-            n_envs=args.rl_envs, rollout_steps=args.rl_steps,
-            iterations=args.rl, cfg=pcfg)
-        result["rl_seconds"] = round(time.perf_counter() - tr, 1)
-        result["rl_history"] = hist[:3] + hist[-3:] if len(hist) > 6 else hist
-        result["rl_env_steps_per_sec"] = round(float(np.median(
-            [h["env_steps_per_sec"] for h in hist[1:]])), 1) if len(hist) > 1 \
-            else None
+            m = ev(policy_from(state.params), 102, shield=ShieldConfig())
+            r["bc_shield"] = {k: (None if m[k] is None else
+                                  round(float(m[k]), 4))
+                              for k in keep + ("shield_interventions_per_km",
+                                               "shield_active_frac")}
+            print(f"[seed {seed}] bc+shield: {r['bc_shield']}", flush=True)
+            save()
+
+        # --- DAgger refinement ---------------------------------------------
+        stores = [store]
+        for rnd in range(args.dagger):
+            print(f"[seed {seed}] dagger round {rnd}: collecting...", flush=True)
+            rng, kd = jax.random.split(rng)
+            # same (envs, steps) as the expert collect so ROUND 2+ hits the
+            # persistent compile cache (round 1's policy-driven rollout is a
+            # different program from the expert collect and still compiles)
+            dstore, _, _ = cl.dagger_iteration(
+                params, town, rcfg, policy_from(state.params), kd,
+                args.collect_envs, args.collect_steps)
+            stores.append(dstore)
+            agg = pipe.FrameStore.concat(stores)
+            ds = pipe.DeviceDataset(agg, args.batch, shuffle=True,
+                                    seed=1000 + 17 * seed + rnd,
+                                    balanced=args.balanced)
+            for ep in range(max(2, args.epochs // 2)):
+                for batch in ds:
+                    rng, sk = jax.random.split(rng)
+                    state, last = step(state, batch, sk)
+        if args.dagger:
+            jax.block_until_ready(last["loss"])
+            r["dagger_frames"] = sum(len(s) for s in stores)
+            r["dagger"] = trim(ev(policy_from(state.params), 103))
+            print(f"[seed {seed}] dagger: {r['dagger']}", flush=True)
+            save()
+
+        # --- PPO fine-tuning on the driving objective ----------------------
+        if args.rl:
+            from carla_imitation_learning_tpu.training.rl import (
+                ActorCriticCNN, PPOConfig, actor_policy_params_from,
+                ppo_train, warm_start_from_policy,
+            )
+
+            # warm-start from the final imitation params (BC or BC+DAgger)
+            ac = ActorCriticCNN(dtype=jnp.bfloat16)
+            rng, ka = jax.random.split(rng)
+            ac_params = ac.init(ka, ac.example_input(
+                1, rcfg.height, rcfg.width))["params"]
+            ac_params = warm_start_from_policy(ac_params, state.params)
+            pcfg = (PPOConfig(w_red=args.rl_w_red)
+                    if args.rl_w_red is not None else PPOConfig())
+            ptx = optax.chain(optax.clip_by_global_norm(pcfg.max_grad_norm),
+                              optax.adam(pcfg.learning_rate))
+            tr = time.perf_counter()
+            rng, kp = jax.random.split(rng)
+            ac_params, _, hist = ppo_train(
+                params, town, rcfg, ac, ac_params, ptx, ptx.init(ac_params),
+                kp, n_envs=args.rl_envs, rollout_steps=args.rl_steps,
+                iterations=args.rl, cfg=pcfg)
+            r["rl_seconds"] = round(time.perf_counter() - tr, 1)
+            r["rl_history"] = hist[:3] + hist[-3:] if len(hist) > 6 else hist
+            r["rl_env_steps_per_sec"] = round(float(np.median(
+                [h["env_steps_per_sec"] for h in hist[1:]])), 1) \
+                if len(hist) > 1 else None
+            save()
+            r["rl"] = trim(ev(policy_from(
+                actor_policy_params_from(ac_params)), 104))
+            print(f"[seed {seed}] rl (ppo, warm-start): {r['rl']}", flush=True)
+            save()
+        return r
+
+    seeds = [args.seed + i for i in range(max(1, args.seeds))]
+    for seed in seeds:
+        ts = time.perf_counter()
+        run_seed(seed)
+        result["runs"][str(seed)]["seed_seconds"] = round(
+            time.perf_counter() - ts, 1)
         save()
-        result["rl"] = trim(ev(policy_from(
-            actor_policy_params_from(ac_params)), 104))
-        print(f"rl (ppo, warm-start): {result['rl']}", flush=True)
 
+    # --- aggregate: per tier, mean/min/max over seeds ------------------------
+    tiers = [t for t in ("expert", "untrained", "bc", "bc_shield", "dagger",
+                         "rl")
+             if all(t in result["runs"][str(s)] for s in seeds)
+             and any(t in result["runs"][str(s)] for s in seeds)]
+    summary: dict = {}
+    for t in tiers:
+        summary[t] = {}
+        for k in keep:
+            vals = [result["runs"][str(s)][t].get(k) for s in seeds]
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                continue
+            summary[t][k] = {
+                "mean": round(float(np.mean(vals)), 4),
+                "min": round(float(np.min(vals)), 4),
+                "max": round(float(np.max(vals)), 4),
+                "values": vals,
+            }
+    result["summary"] = summary
+    # compat: top-level tier dicts mirror seed-0 (single-seed runs keep the
+    # historical shape; multi-seed consumers should read ``summary``)
+    for t in tiers:
+        result[t] = result["runs"][str(seeds[0])][t]
     result["wall_seconds"] = round(time.perf_counter() - t0, 1)
     save()
+
+    def line(t):
+        s = summary.get(t, {}).get("driving_score")
+        if s is None:
+            return None
+        return s["mean"] if args.seeds > 1 else s["values"][0]
+
     print(json.dumps({
         "metric": "closed_loop_driving_score_bc",
-        "value": result["bc"]["driving_score"],
-        "unit": "leaderboard score (0-1)",
-        "expert": result["expert"]["driving_score"],
-        "untrained": result["untrained"]["driving_score"],
-        "dagger": result.get("dagger", {}).get("driving_score"),
-        "rl": result.get("rl", {}).get("driving_score"),
+        "value": line("bc"),
+        "unit": "leaderboard score (0-1)" + (
+            f" (mean of {args.seeds} seeds)" if args.seeds > 1 else ""),
+        "seeds": args.seeds,
+        "expert": line("expert"),
+        "untrained": line("untrained"),
+        "dagger": line("dagger"),
+        "rl": line("rl"),
+        "spread": {t: [summary[t]["driving_score"]["min"],
+                       summary[t]["driving_score"]["max"]]
+                   for t in tiers if "driving_score" in summary.get(t, {})},
     }))
 
 

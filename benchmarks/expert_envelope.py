@@ -58,7 +58,7 @@ def main() -> None:
         "headway_yield_turnspeed": dict(turn_speed=args.turn_speed),
     }
     keep = ("driving_score", "route_completion", "collisions_per_km",
-            "red_violations_per_km", "mean_speed", "success_rate",
+            "red_violations_per_km", "mean_speed", "clean_episode_rate",
             "km_driven")
 
     out = (Path(args.out) if args.out else

@@ -95,6 +95,17 @@ def _dtype(cfg):
         else jnp.float32
 
 
+def _flag(cfg, key: str, default: bool = False) -> bool:
+    """Bool config flag that understands CLI overrides: ``-o key=false`` /
+    ``no``/``off``/``0`` parse as False (``_parse_value`` only literal-evals
+    Python spellings, so lowercase yaml-style booleans arrive as strings —
+    ``bool("false")`` would be True)."""
+    v = cfg.get(key, default)
+    if isinstance(v, str):
+        return v.strip().lower() not in ("0", "false", "no", "off", "")
+    return bool(v)
+
+
 def _trainer_bits(cfg, name: str):
     log_dir = Path(cfg["log_dir"])
     logger = MetricLogger(log_dir, name)
@@ -1407,7 +1418,15 @@ def dream_policy(cfg, n_envs: int = 16, n_steps: int = 200, seq_len: int = 8,
     action space: the world model conditions on the expert's raw
     (steer, accel) rows, the imagination policy is a tanh controller with
     pure pathwise gradients (no Gumbel relaxation needed), and the real-sim
-    eval executes the floats."""
+    eval executes the floats.
+
+    Round-5 anti-exploitation defaults (the bare round-4 objective was
+    gamed at fleet scale — reports/dream_policy.json: imagined return +68%
+    while the real car parked): ``reward_ensemble=5`` heads with
+    ``imag_disagree=1.0`` pessimism, a latent-BC warm start
+    (``imag_warm_start=true``) and KL anchor (``imag_bc_anchor=0.3``).
+    Set ``-o reward_ensemble=1 -o imag_disagree=0 -o imag_bc_anchor=0
+    -o imag_warm_start=false`` to reproduce the round-4 failure mode."""
     from carla_imitation_learning_tpu.models.world_model import LatentWorldModel
     from carla_imitation_learning_tpu.training import imagination as imag
     from carla_imitation_learning_tpu.training.losses import world_model_loss_fn
@@ -1444,16 +1463,40 @@ def dream_policy(cfg, n_envs: int = 16, n_steps: int = 200, seq_len: int = 8,
 
     frames = jnp.asarray(store.frames, jnp.float32)[..., None] * (1.0 / 255.0)
     zs = imag.encode_frames(model, wm_params, frames)
-    rng, kr, kp, ke = jax.random.split(rng, 4)
+    rng, kr, kb, kp, ke = jax.random.split(rng, 5)
+    ensemble = int(cfg.get("reward_ensemble", 5))
     head, rh_params, rh_hist = imag.train_reward_head(
-        zs, rewards, kr, steps=reward_steps)
+        zs, rewards, kr, steps=reward_steps, ensemble=ensemble)
+
+    # latent-BC policy on the expert's recorded actions: warm start +
+    # KL anchor for the imagination phase (training/imagination.py)
+    anchor_coef = float(cfg.get("imag_bc_anchor", 0.3))
+    warm_start = _flag(cfg, "imag_warm_start", True)
+    bc_params, bc_hist = None, None
+    if anchor_coef > 0.0 or warm_start:
+        if family == "continuous":
+            lbc_policy = imag.ContinuousLatentPolicy()
+            targets = jnp.asarray(store.controls, jnp.float32)
+        else:
+            lbc_policy = imag.LatentPolicy(n_actions=model.n_actions)
+            targets = jnp.asarray(store.actions, jnp.int32)
+        bc_params, bc_hist = imag.train_latent_bc(
+            lbc_policy, zs, targets, kb,
+            steps=int(cfg.get("latent_bc_steps", 400)),
+            continuous=(family == "continuous"))
     policy, p_params, hist = imag.imagination_train(
         model, wm_params, head, rh_params, zs, kp, updates=imag_updates,
-        batch=imag_batch, horizon=horizon,
+        batch=imag_batch, horizon=int(cfg.get("imag_horizon", horizon)),
         gamma=float(cfg.get("imag_gamma", 0.98)),
         lr=float(cfg.get("imag_lr", 3e-4)),
         entropy_coef=float(cfg.get("imag_entropy", 3e-3)),
-        explore_std=float(cfg.get("imag_explore_std", 0.1)))
+        explore_std=float(cfg.get("imag_explore_std", 0.1)),
+        ensemble=ensemble,
+        disagree_coef=float(cfg.get("imag_disagree", 1.0)),
+        anchor_params=(bc_params if anchor_coef > 0.0 else None),
+        anchor_coef=anchor_coef,
+        init_params=(bc_params if warm_start else None),
+        uncertainty_stop=float(cfg.get("imag_uncertainty_stop", 0.0)))
 
     pf = imag.latent_policy_fn(model, wm_params, policy, p_params)
     eval_m = cl.evaluate_policy(params, town, rcfg, pf, ke,
@@ -1461,7 +1504,7 @@ def dream_policy(cfg, n_envs: int = 16, n_steps: int = 200, seq_len: int = 8,
                                 control_space=family)
     expert_m = cl.evaluate_policy(params, town, rcfg, None, ke,
                                   n_envs=eval_envs, n_steps=eval_steps)
-    return {
+    out = {
         "wm_val_loss": wm_fit["history"][-1].get("val_loss"),
         "reward_head_mse": rh_hist,
         "imagination": hist,
@@ -1469,7 +1512,24 @@ def dream_policy(cfg, n_envs: int = 16, n_steps: int = 200, seq_len: int = 8,
         "imagined_return_last": hist[-1]["imagined_return"],
         "eval": eval_m,
         "expert": expert_m,
+        "mitigations": {
+            "reward_ensemble": ensemble,
+            "imag_disagree": float(cfg.get("imag_disagree", 1.0)),
+            "imag_bc_anchor": anchor_coef,
+            "imag_warm_start": warm_start,
+            "imag_uncertainty_stop": float(
+                cfg.get("imag_uncertainty_stop", 0.0)),
+        },
     }
+    if bc_hist is not None:
+        out["latent_bc_loss"] = bc_hist
+        # the latent-BC policy's OWN real-sim score: the floor imagination
+        # must beat for the dream tier to be worth anything
+        lbc_pf = imag.latent_policy_fn(model, wm_params, lbc_policy, bc_params)
+        out["latent_bc_eval"] = cl.evaluate_policy(
+            params, town, rcfg, lbc_pf, ke, n_envs=eval_envs,
+            n_steps=eval_steps, control_space=family)
+    return out
 
 
 @experiment("world_model_sweep")

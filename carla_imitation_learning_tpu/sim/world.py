@@ -227,6 +227,20 @@ def _apply_ego_lane_change(params: SimParams, town: TownMap,
         d = jnp.min(jnp.linalg.norm(prev.ego_pos - town.junctions, axis=-1))
         junction_r = jnp.maximum(6.0, town.road_half_width * 1.8)
         clear = d > junction_r + 2.0
+    if prev.agents_s.shape[0] > 0:
+        # occupancy gate (round 5): never swap into a lane slot with traffic
+        # nearby — the agents' own overtakes require free headway both ways
+        # (step_agents target_free) but the scheduled ego change didn't, so
+        # every lane_change_period the ego could side-swipe adjacent-lane
+        # traffic (a dominant expert crash mode on the multilane A→B towns).
+        # Same fractional-position trick the agents use: same-cell lanes are
+        # concentric loops, so |Δfrac|·total is the along-lane gap in meters.
+        total_t = town.route_total[target_route]
+        frac = prev.ego_s / town.route_total[prev.ego_route]
+        af = prev.agents_s / town.route_total[prev.agents_route]
+        df = jnp.abs(jnp.mod(af - frac + 0.5, 1.0) - 0.5)
+        near = (prev.agents_route == target_route) & (df * total_t < 10.0)
+        clear &= ~jnp.any(near)
     do = (phase == params.lane_change_period // 2) \
         & (target_route != prev.ego_route) & clear
     frac = mid.ego_s / town.route_total[prev.ego_route]
@@ -553,9 +567,21 @@ def autopilot_control(params: SimParams, town: TownMap, state: WorldState
             ahead = ((town.junctions[jidx] - state.ego_pos) @ heading) > 0.0
             approaching = (d_junc >= junction_r) \
                 & (d_junc < junction_r + params.yield_gap) & ahead
-            occupied = jnp.any(jnp.linalg.norm(
-                agents_pos - town.junctions[jidx], axis=-1) < junction_r)
-            must_stop |= approaching & occupied
+            d_agents = jnp.linalg.norm(
+                agents_pos - town.junctions[jidx], axis=-1)
+            occupied = jnp.any(d_agents < junction_r)
+            # entry-conflict tie-break (round 5): two vehicles entering an
+            # EMPTY junction simultaneously both pass the occupancy test and
+            # meet inside — the dominant expert crash mode on the junction-
+            # dense A→B towns (61 crashes / 114 attempts, r4
+            # reports/route_quality.json). While approaching, also yield to
+            # any agent approaching the same junction that is strictly
+            # closer to it; agents don't reciprocate (they yield only on
+            # occupancy, sim/agents.py), so no mutual-yield deadlock.
+            rival = jnp.any((d_agents >= junction_r)
+                            & (d_agents < junction_r + params.yield_gap)
+                            & (d_agents < d_junc - 0.5))
+            must_stop |= approaching & (occupied | rival)
 
     cruise = params.target_speed
     if params.turn_speed > 0.0:

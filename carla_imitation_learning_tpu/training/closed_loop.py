@@ -575,7 +575,11 @@ def evaluate_policy(
         "collisions_per_km": per_km(float(coll.sum())),
         "offroad_per_km": per_km(float(off.sum())),
         "red_violations_per_km": per_km(float(ran_red.sum())),
-        "success_rate": float((~(coll.any(0) | off.any(0))).mean()),
+        # fraction of env streams with zero collision/offroad events — NOT a
+        # task-success measure: a parked policy is trivially "clean" (its
+        # driving_score is ~0 instead). Renamed from the round-1..4 reports'
+        # misleading ``success_rate``.
+        "clean_episode_rate": float((~(coll.any(0) | off.any(0))).mean()),
         "mean_episode_steps": steps / (int(done.sum()) + n_envs),
         "route_completion": float(completion.mean()),
         "driving_score": float((completion * penalty).mean()),

@@ -100,12 +100,74 @@ def encode_frames(wm: LatentWorldModel, wm_params, frames, batch: int = 512):
 
 
 def train_reward_head(zs, rewards, rng, *, steps: int = 300,
-                      batch: int = 256, lr: float = 1e-3, hidden: int = 64):
+                      batch: int = 256, lr: float = 1e-3, hidden: int = 64,
+                      ensemble: int = 1):
     """Fit RewardHead on (latent, recorded reward) pairs. Returns
-    (head, params, history of mse)."""
+    (head, params, history of mse).
+
+    ``ensemble > 1`` trains E independent heads (distinct inits, distinct
+    bootstrap minibatches per step) in ONE vmapped program; the returned
+    params carry a leading ensemble axis. The members' DISAGREEMENT on an
+    imagined latent is the epistemic-uncertainty signal the imagination
+    update penalizes — the round-4 fleet run proved a single head is
+    exploitable (the latent policy drove z off the data manifold to a
+    region the head scored high while the real car parked;
+    reports/dream_policy.json entropy 2.19→0.21, real score 3e-5)."""
     head = RewardHead(hidden=hidden)
     rng, ki = jax.random.split(rng)
-    params = head.init(ki, zs[:1])["params"]
+    if ensemble > 1:
+        params = jax.vmap(lambda k: head.init(k, zs[:1])["params"])(
+            jax.random.split(ki, ensemble))
+    else:
+        params = head.init(ki, zs[:1])["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)  # leaf-wise: stacked params stack the state
+    n = zs.shape[0]
+
+    def loss_one(p, idx):
+        pred = head.apply({"params": p}, zs[idx])
+        return jnp.mean((pred - rewards[idx]) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        if ensemble > 1:
+            mse, grads = jax.vmap(jax.value_and_grad(loss_one))(params, idx)
+            mse = jnp.mean(mse)
+        else:
+            mse, grads = jax.value_and_grad(loss_one)(params, idx)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, mse
+
+    history = []
+    idx_shape = ((ensemble, min(batch, n)) if ensemble > 1
+                 else (min(batch, n),))
+    for s in range(steps):
+        rng, ks = jax.random.split(rng)
+        idx = jax.random.randint(ks, idx_shape, 0, n)
+        params, opt_state, mse = step(params, opt_state, idx)
+        if s % max(1, steps // 10) == 0 or s == steps - 1:
+            history.append(float(mse))
+    return head, params, history
+
+
+def train_latent_bc(policy, zs, targets, rng, *, steps: int = 300,
+                    batch: int = 256, lr: float = 1e-3,
+                    continuous: bool = False):
+    """Fit a latent policy on (z, expert action) pairs — behavior cloning in
+    LATENT space. Two round-5 roles (both anti-exploitation):
+
+    - warm start: ``imagination_train(init_params=...)`` begins imagination
+      from a policy that already drives like the expert, so the optimizer
+      refines driving instead of discovering reward-head exploits from a
+      random init;
+    - anchor: ``anchor_params=...`` keeps the imagined policy within a KL
+      ball of this BC policy for the whole run (Dreamer-style behavior
+      prior), bounding how far off the data manifold imagination can push.
+
+    ``targets``: (N,) int action ids (discrete) or (N, 2) float controls
+    (continuous). Returns (params, history of loss)."""
+    rng, ki = jax.random.split(rng)
+    params = policy.init(ki, zs[:1])["params"]
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     n = zs.shape[0]
@@ -113,28 +175,34 @@ def train_reward_head(zs, rewards, rng, *, steps: int = 300,
     @jax.jit
     def step(params, opt_state, idx):
         def loss_fn(p):
-            pred = head.apply({"params": p}, zs[idx])
-            return jnp.mean((pred - rewards[idx]) ** 2)
+            out = policy.apply({"params": p}, zs[idx])
+            if continuous:
+                return jnp.mean((out - targets[idx]) ** 2)
+            logp = jax.nn.log_softmax(out, axis=-1)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, targets[idx][:, None], axis=-1))
 
-        mse, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, mse
+        return optax.apply_updates(params, updates), opt_state, loss
 
     history = []
     for s in range(steps):
         rng, ks = jax.random.split(rng)
         idx = jax.random.randint(ks, (min(batch, n),), 0, n)
-        params, opt_state, mse = step(params, opt_state, idx)
+        params, opt_state, loss = step(params, opt_state, idx)
         if s % max(1, steps // 10) == 0 or s == steps - 1:
-            history.append(float(mse))
-    return head, params, history
+            history.append(float(loss))
+    return params, history
 
 
 def make_imagination_update(
     wm: LatentWorldModel, wm_params, head: RewardHead, rh_params,
     policy, tx, *, horizon: int = 15, gamma: float = 0.98,
     temperature: float = 1.0, entropy_coef: float = 3e-3,
-    explore_std: float = 0.1,
+    explore_std: float = 0.1, ensemble: int = 1,
+    disagree_coef: float = 0.0, anchor_params=None, anchor_coef: float = 0.0,
+    uncertainty_stop: float = 0.0,
 ) -> Callable:
     """Jitted policy update: imagined discounted return, maximized by
     backprop through the (frozen) reward head and latent dynamics.
@@ -145,19 +213,55 @@ def make_imagination_update(
     get straight-through Gumbel-softmax samples (hard one-hot forward,
     relaxed gradient); continuous models get the tanh policy's controls with
     additive Gaussian exploration noise (``explore_std``) — pure pathwise
-    gradients, entropy term zero."""
+    gradients, entropy term zero.
+
+    Anti-exploitation terms (round 5 — the fleet-scale round-4 run showed
+    the bare objective is gameable: the policy drove the latent off the data
+    manifold to where a single reward head hallucinated return while the
+    real car parked, reports/dream_policy.json):
+
+    - ``ensemble > 1`` + ``disagree_coef``: rh_params carries E stacked
+      heads; the per-step reward becomes mean − disagree_coef·std over
+      members. Off-manifold latents are exactly where independently-trained
+      heads disagree, so the exploit region is penalized in proportion to
+      how little the data supports it (classic epistemic-uncertainty
+      pessimism, MOPO-style).
+    - ``uncertainty_stop > 0``: imagination TERMINATES (per batch row) once
+      member std exceeds the threshold — rewards after the first
+      high-uncertainty step stop accumulating, bounding horizon-compounding
+      model error.
+    - ``anchor_params`` + ``anchor_coef``: per-step KL(π_θ(·|z) ‖ π_BC(·|z))
+      penalty toward a frozen latent-BC policy (same module as ``policy``;
+      continuous models use squared control distance) — a behavior prior
+      that keeps imagination near demonstrated behavior.
+    """
     continuous = wm.action_space == "continuous"
+
+    def step_reward(z):
+        """→ (reward (B,), member std (B,) — zeros for a single head)."""
+        if ensemble > 1:
+            rs = jax.vmap(lambda p: head.apply({"params": p}, z))(rh_params)
+            std = jnp.std(rs, axis=0)
+            return jnp.mean(rs, axis=0) - disagree_coef * std, std
+        r = head.apply({"params": rh_params}, z)
+        return r, jnp.zeros_like(r)
 
     def imagined_loss(p_params, z0, rng):
         carry = wm.apply({"params": wm_params}, z0.shape[0], method=_wm_carry)
+        alive0 = jnp.ones((z0.shape[0],), jnp.float32)
 
         def step(state, key):
-            carry, z = state
+            carry, z, alive = state
             out = policy.apply({"params": p_params}, z)
+            anchor = jnp.zeros(())
             if continuous:
                 noise = explore_std * jax.random.normal(key, out.shape)
                 a = jnp.clip(out + noise, -1.0, 1.0)
                 entropy = jnp.zeros(())
+                if anchor_params is not None:
+                    ref = jax.lax.stop_gradient(
+                        policy.apply({"params": anchor_params}, z))
+                    anchor = jnp.mean(jnp.sum((out - ref) ** 2, axis=-1))
             else:
                 logits = out
                 logp = jax.nn.log_softmax(logits, axis=-1)
@@ -166,18 +270,35 @@ def make_imagination_update(
                 hard = jax.nn.one_hot(jnp.argmax(y, axis=-1), logits.shape[-1])
                 a = hard + y - jax.lax.stop_gradient(y)
                 entropy = -jnp.sum(jnp.exp(logp) * logp, axis=-1).mean()
-            r = head.apply({"params": rh_params}, z)
+                if anchor_params is not None:
+                    ref_logp = jax.nn.log_softmax(jax.lax.stop_gradient(
+                        policy.apply({"params": anchor_params}, z)), axis=-1)
+                    anchor = jnp.mean(jnp.sum(
+                        jnp.exp(logp) * (logp - ref_logp), axis=-1))
+            r, std = step_reward(z)
+            if uncertainty_stop > 0.0:
+                # rows stay terminated once std spikes (monotone alive mask);
+                # the CURRENT step still pays — termination cuts the tail
+                alive_next = alive * (std < uncertainty_stop).astype(
+                    jnp.float32)
+            else:
+                alive_next = alive
             carry, z_next = wm.apply({"params": wm_params}, carry, z, a,
                                      method=_wm_step)
-            return (carry, z_next), (r, entropy)
+            return (carry, z_next, alive_next), (r * alive, entropy, anchor,
+                                                 jnp.mean(std), jnp.mean(alive))
 
         keys = jax.random.split(rng, horizon)
-        (_, _), (rs, ents) = jax.lax.scan(step, (carry, z0), keys)
+        _, (rs, ents, anchors, stds, alives) = jax.lax.scan(
+            step, (carry, z0, alive0), keys)
         disc = gamma ** jnp.arange(horizon, dtype=jnp.float32)
         ret = jnp.mean(jnp.sum(rs * disc[:, None], axis=0))
         entropy = jnp.mean(ents)
-        loss = -(ret + entropy_coef * entropy)
-        return loss, {"imagined_return": ret, "entropy": entropy}
+        anchor = jnp.mean(anchors)
+        loss = -(ret + entropy_coef * entropy) + anchor_coef * anchor
+        return loss, {"imagined_return": ret, "entropy": entropy,
+                      "anchor_kl": anchor, "reward_std": jnp.mean(stds),
+                      "alive_frac": jnp.mean(alives)}
 
     @jax.jit
     def update(p_params, opt_state, z0, rng):
@@ -216,23 +337,35 @@ def imagination_train(
     zs_start, rng, *, updates: int = 300, batch: int = 128,
     horizon: int = 15, gamma: float = 0.98, lr: float = 3e-4,
     entropy_coef: float = 3e-3, hidden: int = 64, explore_std: float = 0.1,
+    ensemble: int = 1, disagree_coef: float = 0.0,
+    anchor_params=None, anchor_coef: float = 0.0,
+    init_params=None, uncertainty_stop: float = 0.0,
 ):
     """Train a latent policy purely in imagination, starting each rollout
     from real-frame latents (``zs_start``). The policy family follows the
     world model's action conditioning (LatentPolicy for discrete,
     ContinuousLatentPolicy for continuous). Returns
-    (policy, policy_params, history of periodic metric dicts)."""
+    (policy, policy_params, history of periodic metric dicts).
+
+    ``ensemble``/``disagree_coef``/``anchor_params``/``anchor_coef``/
+    ``uncertainty_stop`` are the anti-exploitation terms (see
+    make_imagination_update); ``init_params`` warm-starts the policy (e.g.
+    from train_latent_bc) instead of a random init."""
     if wm.action_space == "continuous":
         policy = ContinuousLatentPolicy(hidden=hidden)
     else:
         policy = LatentPolicy(n_actions=wm.n_actions, hidden=hidden)
     rng, ki = jax.random.split(rng)
-    p_params = policy.init(ki, zs_start[:1])["params"]
+    p_params = (init_params if init_params is not None
+                else policy.init(ki, zs_start[:1])["params"])
     tx = optax.adam(lr)
     opt_state = tx.init(p_params)
     update = make_imagination_update(
         wm, wm_params, head, rh_params, policy, tx, horizon=horizon,
-        gamma=gamma, entropy_coef=entropy_coef, explore_std=explore_std)
+        gamma=gamma, entropy_coef=entropy_coef, explore_std=explore_std,
+        ensemble=ensemble, disagree_coef=disagree_coef,
+        anchor_params=anchor_params, anchor_coef=anchor_coef,
+        uncertainty_stop=uncertainty_stop)
     n = zs_start.shape[0]
     history = []
     for s in range(updates):

@@ -109,7 +109,7 @@ def test_parked_policy_scores_zero():
     m = evaluate_policy(PARAMS, TOWN, RCFG, parked, jax.random.PRNGKey(2),
                         n_envs=2, n_steps=25)
     assert m["km_driven"] < 0.01
-    assert m["success_rate"] == 1.0         # no infractions while parked...
+    assert m["clean_episode_rate"] == 1.0   # no infractions while parked...
     assert m["driving_score"] < 0.1         # ...but no credit either
     assert m["collisions_per_km"] == 0.0    # zero count over ~zero km stays 0
 

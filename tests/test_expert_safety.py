@@ -137,6 +137,109 @@ def test_expert_yields_at_occupied_junction():
     assert float(ctrl2.brake) == 0.0
 
 
+def test_expert_yields_to_closer_rival_entering_junction():
+    """Entry-conflict tie-break (round 5): two vehicles approaching the same
+    EMPTY junction used to both pass the occupancy test and meet inside.
+    The ego now yields when a rival approaching the same junction is closer
+    to it; a strictly-farther rival does not hold the ego."""
+    town = make_town(blocks=3)
+    params = SimParams(n_agents=1, target_speed=8.0, headway_gap=0.0,
+                       yield_gap=8.0, **_GREEN)
+    junction_r = max(6.0, float(town.road_half_width) * 1.8)
+
+    # ego approaching its nearest junction from ~junction_r + 4 m
+    best = None
+    for s in [float(x) for x in range(2, int(float(town.route_total[0])), 2)]:
+        pos, yaw = route_point(town, jnp.asarray(0, jnp.int32), jnp.asarray(s))
+        d = jnp.linalg.norm(town.junctions - pos, axis=-1)
+        j = int(jnp.argmin(d))
+        dj = float(d[j])
+        heading = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+        ahead = float((town.junctions[j] - pos) @ heading) > 0.0
+        if junction_r + 3.0 < dj < junction_r + 6.0 and ahead:
+            best = (s, j, dj)
+            break
+    assert best is not None, "no approach point found on route 0"
+    ego_s, j, ego_d = best
+
+    # a rival agent approaching the SAME junction, closer than the ego but
+    # still OUTSIDE the disc (the old occupancy rule sees an empty junction)
+    rival = None
+    for r in range(int(town.routes.shape[0])):
+        if r == 0:
+            continue
+        total = float(town.route_total[r])
+        for s in [float(x) for x in range(0, int(total), 1)]:
+            pos, _ = route_point(town, jnp.asarray(r, jnp.int32), jnp.asarray(s))
+            d = float(jnp.linalg.norm(pos - town.junctions[j]))
+            if junction_r + 0.5 < d < ego_d - 1.0:
+                rival = (r, s)
+                break
+        if rival:
+            break
+    assert rival is not None, "no closer rival approach found"
+
+    state = _cruising_state(town, params, agents_route=[rival[0]],
+                            agents_s=[rival[1]], ego_s=ego_s, ego_v=5.0)
+    ctrl = autopilot_control(params, town, state)
+    assert float(ctrl.brake) == 1.0          # yields to the closer rival
+
+    # same geometry, rival moved to a point far from the junction → proceed
+    far_s = None
+    total = float(town.route_total[rival[0]])
+    for s in [float(x) for x in range(0, int(total), 2)]:
+        pos, _ = route_point(town, jnp.asarray(rival[0], jnp.int32),
+                             jnp.asarray(s))
+        if float(jnp.linalg.norm(pos - town.junctions[j])) > junction_r + 10.0:
+            far_s = s
+            break
+    assert far_s is not None
+    gone = state.replace(agents_s=jnp.asarray([far_s], jnp.float32))
+    assert float(autopilot_control(params, town, gone).brake) == 0.0
+
+
+def test_ego_lane_change_blocked_by_occupied_target_lane():
+    """The scheduled ego lane change must obey the same free-headway rule
+    the agents' overtakes do (round 5): with traffic alongside in the target
+    lane the switch is skipped; with the lane clear it executes."""
+    from carla_imitation_learning_tpu.sim.world import (
+        _apply_ego_lane_change, ego_lane_change_plan,
+    )
+
+    town = make_town(blocks=3, lanes_per_direction=2)
+    params = SimParams(n_agents=1, lane_change_period=160, **_GREEN)
+
+    # ego on lane 0 of cell 0 (route 0), at the scheduled switch step,
+    # clear of junctions
+    state = None
+    for s in [float(x) for x in range(2, int(float(town.route_total[0])), 2)]:
+        pos, yaw = route_point(town, jnp.asarray(0, jnp.int32), jnp.asarray(s))
+        d = float(jnp.min(jnp.linalg.norm(pos - town.junctions, axis=-1)))
+        junction_r = max(6.0, float(town.road_half_width) * 1.8)
+        if d > junction_r + 4.0:
+            state = _cruising_state(town, params, agents_route=[1],
+                                    agents_s=[0.0], ego_s=s)
+            break
+    assert state is not None
+    state = state.replace(t=jnp.asarray(80, jnp.int32))  # period//2
+    target_route, _ = ego_lane_change_plan(params, town, state)
+    assert int(target_route) == 1            # lane 0 → lane 1 of cell 0
+
+    # agent parked ALONGSIDE on the target lane (same fractional position)
+    frac = float(state.ego_s / town.route_total[0])
+    beside = state.replace(
+        agents_s=jnp.asarray([frac * float(town.route_total[1])]))
+    blocked = _apply_ego_lane_change(params, town, beside, beside)
+    assert int(blocked.ego_route) == 0       # switch skipped
+
+    # agent far away on the target lane → switch executes
+    far_frac = (frac + 0.5) % 1.0
+    clear = state.replace(
+        agents_s=jnp.asarray([far_frac * float(town.route_total[1])]))
+    done = _apply_ego_lane_change(params, town, clear, clear)
+    assert int(done.ego_route) == 1
+
+
 def test_turn_speed_caps_cruise_through_curves():
     """With turn_speed set, the expert lifts/brakes when the route heading
     swings over the pursuit horizon; on a straight it cruises at target."""

@@ -54,6 +54,75 @@ def test_reward_head_fits_linear_reward():
     assert hist[-1] < 0.05 * hist[0]  # regression actually fits
 
 
+def test_reward_head_ensemble_trains_stacked_members():
+    """ensemble=E returns params with a leading member axis; the vmapped
+    bootstrap training fits every member (mean mse drops) and distinct
+    inits stay distinct (the disagreement signal exists)."""
+    rng = np.random.default_rng(1)
+    zs = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    rewards = zs @ w
+    head, params, hist = imag.train_reward_head(
+        zs, rewards, jax.random.PRNGKey(3), steps=400, ensemble=3)
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(leaf.shape[0] == 3 for leaf in leaves)
+    assert hist[-1] < 0.05 * hist[0]
+    # members agree on-manifold, disagree off-manifold (epistemic signal)
+    on = jax.vmap(lambda p: head.apply({"params": p}, zs[:64]))(params)
+    far = jax.vmap(lambda p: head.apply({"params": p}, zs[:64] * 50.0))(params)
+    assert float(jnp.std(far, axis=0).mean()) > float(jnp.std(on, axis=0).mean())
+
+
+def test_train_latent_bc_fits_and_anchors():
+    """Latent BC fits a synthetic z→action map, and an imagination run
+    KL-anchored to it stays near the BC policy's action distribution even
+    when the (random) reward head pulls elsewhere."""
+    rng = np.random.default_rng(2)
+    zs = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(8, 9)).astype(np.float32))
+    actions = jnp.argmax(zs @ W, axis=-1).astype(jnp.int32)
+    policy = imag.LatentPolicy(n_actions=9, hidden=16)
+    bc_params, hist = imag.train_latent_bc(
+        policy, zs, actions, jax.random.PRNGKey(4), steps=500)
+    assert hist[-1] < 0.5 * hist[0]
+    logits = policy.apply({"params": bc_params}, zs)
+    acc = float((jnp.argmax(logits, -1) == actions).mean())
+    assert acc > 0.5
+
+    wm, params = _tiny_wm(jax.random.PRNGKey(5))
+    head = imag.RewardHead(hidden=16)
+    rh_params = head.init(jax.random.PRNGKey(6),
+                          jnp.zeros((1, wm.z_size)))["params"]
+    _, anchored, h = imag.imagination_train(
+        wm, params, head, rh_params, zs, jax.random.PRNGKey(7),
+        updates=120, batch=64, horizon=6, lr=3e-3, hidden=16,
+        anchor_params=bc_params, anchor_coef=50.0, init_params=bc_params)
+    a_logits = policy.apply({"params": anchored}, zs)
+    agree = float((jnp.argmax(a_logits, -1) == jnp.argmax(logits, -1)).mean())
+    assert agree > 0.8          # the KL ball held
+    assert h[-1]["anchor_kl"] < 1.0
+
+
+def test_disagreement_penalty_and_uncertainty_stop():
+    """With an UNTRAINED (random-init) ensemble — maximal epistemic
+    uncertainty everywhere — the disagreement-penalized return is lower
+    than the bare mean-return, and uncertainty_stop terminates rollouts
+    (alive_frac < 1)."""
+    wm, params = _tiny_wm(jax.random.PRNGKey(8))
+    zs = jnp.tanh(jax.random.normal(jax.random.PRNGKey(9), (256, wm.z_size)))
+    head = imag.RewardHead(hidden=16)
+    rh_stack = jax.vmap(
+        lambda k: head.init(k, jnp.zeros((1, wm.z_size)))["params"])(
+        jax.random.split(jax.random.PRNGKey(10), 4))
+    _, _, h = imag.imagination_train(
+        wm, params, head, rh_stack, zs, jax.random.PRNGKey(11),
+        updates=30, batch=64, horizon=6, lr=3e-3,
+        ensemble=4, disagree_coef=1.0, uncertainty_stop=1e-3)
+    assert h[-1]["reward_std"] > 0.0
+    assert h[-1]["alive_frac"] < 1.0   # untrained members disagree > 1e-3
+    assert np.isfinite(h[-1]["loss"])
+
+
 def test_imagination_training_increases_imagined_return():
     """Against a FROZEN (randomly initialized) reward head and world model,
     the policy must learn to steer imagination toward high-reward latents —

@@ -487,7 +487,11 @@ def step_env(params: SimParams, town: TownMap, state: WorldState,
     crossed = ((rel_pre @ h_pre) > 0.0) & ((rel_post @ h_post) <= 0.0) \
         & (jnp.abs(rel_pre @ l_pre) < 4.0) \
         & (jnp.linalg.norm(rel_pre, axis=-1) < 10.0)
-    ran_red = jnp.any(crossed & (phases != agent_lib.GREEN))
+    # RED only (round 5): a yellow-phase crossing is the legal dilemma-zone
+    # case (a light can turn yellow inside the braking distance — CARLA's
+    # leaderboard infraction is running a RED). Counting yellow charged the
+    # braking expert ~0.1/km of phantom violations.
+    ran_red = jnp.any(crossed & (phases == agent_lib.RED))
 
     info = {
         "collision": collided, "offroad": off, "timeout": timeout, "done": done,

@@ -355,6 +355,13 @@ def make_ppo_update(model: ActorCriticCNN, tx, cfg: PPOConfig,
         metrics["reward_per_step"] = jnp.mean(rewards)
         metrics["progress_m_per_step"] = jnp.mean(traj["route_ds"])
         metrics["value_mean"] = jnp.mean(values)
+        # compliance telemetry: is the optimizer buying progress with
+        # infractions? (the round-5 PPO-vs-expert adjudication signal)
+        if "ran_red" in traj:
+            metrics["ran_red_per_1k_steps"] = 1e3 * jnp.mean(
+                traj["ran_red"].astype(jnp.float32))
+        metrics["collisions_per_1k_steps"] = 1e3 * jnp.mean(
+            traj["collision"].astype(jnp.float32))
         return params, opt_state, metrics
 
     return update

@@ -232,11 +232,17 @@ def main() -> None:
                 for batch in ds:
                     rng, sk = jax.random.split(rng)
                     state, last = step(state, batch, sk)
+            # per-round eval on the SAME fleet key: the dagger-round CURVE
+            # (r4 left "why is dagger=2 < dagger=1?" open — paired rounds
+            # on one eval fleet answer it per seed)
+            r[f"dagger_r{rnd + 1}"] = trim(ev(policy_from(state.params), 103))
+            print(f"[seed {seed}] dagger_r{rnd + 1}: {r[f'dagger_r{rnd+1}']}",
+                  flush=True)
+            save()
         if args.dagger:
             jax.block_until_ready(last["loss"])
             r["dagger_frames"] = sum(len(s) for s in stores)
-            r["dagger"] = trim(ev(policy_from(state.params), 103))
-            print(f"[seed {seed}] dagger: {r['dagger']}", flush=True)
+            r["dagger"] = r[f"dagger_r{args.dagger}"]
             save()
 
         # --- PPO fine-tuning on the driving objective ----------------------
@@ -283,10 +289,11 @@ def main() -> None:
         save()
 
     # --- aggregate: per tier, mean/min/max over seeds ------------------------
-    tiers = [t for t in ("expert", "untrained", "bc", "bc_shield", "dagger",
-                         "rl")
-             if all(t in result["runs"][str(s)] for s in seeds)
-             and any(t in result["runs"][str(s)] for s in seeds)]
+    tier_names = (["expert", "untrained", "bc", "bc_shield"]
+                  + [f"dagger_r{i + 1}" for i in range(args.dagger)]
+                  + ["dagger", "rl"])
+    tiers = [t for t in tier_names
+             if all(t in result["runs"][str(s)] for s in seeds)]
     summary: dict = {}
     for t in tiers:
         summary[t] = {}

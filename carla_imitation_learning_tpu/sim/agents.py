@@ -176,7 +176,22 @@ def step_agents(
                  & (df * total_t[:, None] < gap)
                  & (jnp.arange(A)[None, :] < jnp.arange(A)[:, None]))
         yields_to_rival = jnp.any(rival, axis=1)
-        change = wants & target_free & clear_of_junctions & ~yields_to_rival
+        ego_clear = True
+        if ego_pos is not None:
+            # ego occupancy on the TARGET slot: a route transfer is an
+            # instantaneous ~lane-width lateral jump, and the `near` test
+            # above sees only other agents — without this an agent could
+            # legally teleport into the ego's flank (measured: 3 of 4
+            # expert A→B collisions, benchmarks/crash_forensics.py, the
+            # ego usually stopped mid-yield when it happens). Veto the
+            # change when the LANDING point sits within the same headway
+            # the agent-agent rule demands (`need`).
+            land = jax.vmap(lambda r, f: route_point(town, r, f)[0])(
+                target_route, frac * total_t)            # (A, 2)
+            d_ego_land = jnp.linalg.norm(land - ego_pos, axis=-1)
+            ego_clear = d_ego_land > need[:, 0]
+        change = (wants & target_free & clear_of_junctions
+                  & ~yields_to_rival & ego_clear)
         routes_new = jnp.where(change, target_route, routes)
         # transfer the fractional position onto the (concentric) target loop
         s_new = jnp.where(change, frac * total_t, s_new)

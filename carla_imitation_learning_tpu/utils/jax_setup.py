@@ -13,6 +13,15 @@ import os
 def setup_jax(cache_dir: str | None = None) -> None:
     import jax
 
+    # Explicit platform override. The container's sitecustomize force-sets
+    # JAX_PLATFORMS=axon at interpreter start (clobbering the caller's env),
+    # so a plain ``JAX_PLATFORMS=cpu python benchmarks/...`` still lands on
+    # the TPU; TPUIL_PLATFORM wins through jax.config AFTER that — the same
+    # mechanism tests/conftest.py uses for the hermetic 8-device CPU mesh.
+    plat = os.environ.get("TPUIL_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     cache = cache_dir or os.environ.get(
         "TPUIL_COMPILE_CACHE", os.path.expanduser("~/.cache/tpuil_xla"))
     try:

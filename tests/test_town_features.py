@@ -241,3 +241,40 @@ def test_lane_change_tiebreak_no_superposition():
     moved = [int(r2[i]) == 1 for i in (1, 2)]
     assert moved == [True, False], (
         "exactly the lower-indexed changer should win the slot")
+
+
+def test_lane_change_vetoed_by_ego_on_target_lane():
+    """An agent's overtake is vetoed when the EGO occupies the landing slot:
+    route transfers are instantaneous lateral jumps and the agent-agent
+    occupancy test never saw the ego — measured as the dominant expert A→B
+    collision mode (benchmarks/crash_forensics.py: agent teleports into the
+    flank of an ego stopped mid-yield)."""
+    t = make_town(blocks=2, n_buildings=8, n_lights=4, lanes_per_direction=2)
+    phases = jnp.zeros((t.lights_pos.shape[0],), jnp.int32)
+    total0 = float(t.route_total[0])
+    pts = np.asarray(t.routes[0])
+    arc = np.asarray(t.route_arclen[0])
+    d_junc = np.linalg.norm(pts[:, None, :] - np.asarray(t.junctions)[None],
+                            axis=-1).min(axis=1)
+    i0 = int(np.argmax(d_junc))
+    s_follow = float(arc[i0])
+    s_lead = (s_follow + 5.0) % total0
+    routes = jnp.asarray([0, 0], jnp.int32)
+    s = jnp.asarray([s_lead, s_follow])
+    v = jnp.asarray([0.0, 6.0])
+    # the follower's landing slot on lane 1 (same fractional loop position)
+    land, _ = route_point(t, jnp.asarray(1, jnp.int32),
+                          jnp.asarray(s_follow / total0)
+                          * t.route_total[1])
+    # ego parked ON the landing slot -> veto (no overtake this step);
+    # kwargs otherwise identical to test_lane_change_overtake_and_return,
+    # which asserts the change DOES fire with no ego in play
+    r_veto, _, _ = step_agents(t, routes, s, v, phases, dt=0.05,
+                               target_speed=6.0, stop_distance=0.0,
+                               ego_pos=land)
+    assert int(r_veto[1]) == 0, "ego on the landing slot must veto the change"
+    # ego far away -> the overtake proceeds
+    r_far, _, _ = step_agents(t, routes, s, v, phases, dt=0.05,
+                              target_speed=6.0, stop_distance=0.0,
+                              ego_pos=land + 300.0)
+    assert int(r_far[1]) == 1, "distant ego must not veto the change"
